@@ -1,0 +1,51 @@
+"""graph_kmer_index_tpu — TPU-native graph k-mer indexing engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability stack of
+``ivargr/graph_kmer_index`` (the k-mer indexing backend of the KAGE
+genotyper): batched path-window enumeration over pangenome variant
+graphs, 2-bit rolling-hash k-mer encoding, collision-free multi-value
+hash indexes, counters/sketches, and reference/reverse k-mer indexes —
+with device-resident build/lookup kernels and pjit/shard_map scaling
+over TPU meshes.
+
+k-mer hashes need 62 bits (k <= 31), so the package enables jax x64 at
+import; hot Pallas kernels internally use exact 2 x uint32 arithmetic.
+"""
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .hashing import (  # noqa: E402,F401
+    power_array,
+    reverse_power_array,
+    letter_sequence_to_numeric,
+    numeric_to_letter_sequence,
+    kmer_to_hash_fast,
+    sequence_to_kmer_hash,
+    kmer_hash_to_sequence,
+    kmer_hashes_to_bases,
+    kmer_hashes_to_complement_hashes,
+    kmer_hashes_to_reverse_complement_hash,
+    kmer_hash_to_reverse_complement_hash,
+)
+from .flat_kmers import FlatKmers, FlatKmers2  # noqa: E402,F401
+from .graph import Graph, PositionId, VariantToNodes  # noqa: E402,F401
+from .critical_paths import CriticalGraphPaths  # noqa: E402,F401
+from .finder import DenseKmerFinder  # noqa: E402,F401
+from .snp_finder import SnpKmerFinder  # noqa: E402,F401
+from .read_kmers import ReadKmers  # noqa: E402,F401
+from .models.kmer_index import (  # noqa: E402,F401
+    CollisionFreeKmerIndex,
+    CollisionFreeKmerIndex as KmerIndex,
+    MinimalKmerIndex,
+    KmerIndex2,
+    CounterKmerIndex,
+)
+from .models.reverse_index import ReverseKmerIndex  # noqa: E402,F401
+from .models.reference_index import ReferenceKmerIndex  # noqa: E402,F401
+from .models.unique_index import UniqueKmerIndex  # noqa: E402,F401
+from .models.counters import (  # noqa: E402,F401
+    KmerCounter,
+    CountMinSketchKmerCounter,
+    KmerFrequencyIndex,
+)

@@ -1,0 +1,102 @@
+"""Critical graph path positions.
+
+A position (node, offset) is *critical* when every k-window ending there
+sees a single path — i.e. the graph is locally linear for at least k bases.
+Critical positions are the parallel-safe cut points: k-mer enumeration can
+be sharded into independent segments between them with no halo exchange
+(this is the multi-chip shard boundary, see SURVEY.md §5.7).
+
+Semantics match the reference walk (critical_graph_paths.py:42-104),
+pinned by tests/test_critical_graph_paths.py: walk the linear reference
+per chromosome tracking bubble depth via in/out edge counts; when depth
+returns to 0 on a non-dummy node and fewer than k bases have passed since
+the last join, emit (node, k - bp_since_last_join - 1).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class CriticalGraphPaths:
+    def __init__(self, nodes, offsets, index=None):
+        self.nodes = nodes
+        self.offsets = offsets
+        self._index = index
+
+    @classmethod
+    def empty(cls):
+        return cls(np.array([], dtype=np.uint32), np.array([], dtype=np.uint16))
+
+    def __len__(self):
+        return len(self.nodes)
+
+    def __iter__(self):
+        return ((int(n), int(o)) for n, o in zip(self.nodes, self.offsets))
+
+    def _make_index(self):
+        if len(self.nodes) == 0:
+            self._index = np.zeros(0, dtype=np.int32)
+            return
+        # node -> critical offset (-1 = none); at most one critical per node
+        self._index = np.full(int(np.max(self.nodes)) + 1, -1, dtype=np.int32)
+        self._index[self.nodes.astype(np.int64)] = self.offsets.astype(np.int32)
+
+    def is_critical(self, node, offset) -> bool:
+        if self._index is None:
+            self._make_index()
+        if node >= len(self._index):
+            return False
+        return self._index[node] == offset
+
+    def to_file(self, file_name):
+        np.savez(file_name, nodes=self.nodes, offsets=self.offsets)
+
+    @classmethod
+    def from_file(cls, file_name):
+        try:
+            data = np.load(file_name)
+        except FileNotFoundError:
+            data = np.load(str(file_name) + ".npz")
+        return cls(data["nodes"], data["offsets"])
+
+    @classmethod
+    def from_graph(cls, graph, k):
+        critical_nodes: list[int] = []
+        critical_offsets: list[int] = []
+
+        node_sizes = graph.node_sizes
+        for start_node in graph.chromosome_start_nodes.values():
+            current = int(start_node)
+            depth = 0
+            bp_since_last_join = 0
+            while True:
+                prev_depth = depth
+                depth -= graph.n_in_edges(current)
+                if prev_depth > 1 and depth == 0:
+                    bp_since_last_join = 0
+
+                size = int(node_sizes[current])
+                if depth == 0 and size != 0:
+                    if bp_since_last_join <= k and bp_since_last_join + size >= k:
+                        critical_nodes.append(current)
+                        critical_offsets.append(k - bp_since_last_join - 1)
+
+                next_nodes = graph.get_edges(current)
+                depth += len(next_nodes)
+                if len(next_nodes) == 0:
+                    break
+                if len(next_nodes) == 1:
+                    bp_since_last_join += size
+                    current = int(next_nodes[0])
+                else:
+                    # at a fork, follow the linear reference arm
+                    ref_next = [int(v) for v in next_nodes
+                                if graph.is_linear_ref_node_or_linear_ref_dummy_node(v)]
+                    if len(ref_next) != 1:
+                        raise ValueError(
+                            "expected exactly 1 linear-ref successor of node "
+                            f"{current}, got {ref_next} (edges {list(next_nodes)})")
+                    current = ref_next[0]
+
+        return cls(np.asarray(critical_nodes, dtype=np.uint32),
+                   np.asarray(critical_offsets, dtype=np.uint16))

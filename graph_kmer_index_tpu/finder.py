@@ -1,0 +1,554 @@
+"""DenseKmerFinder — enumerate ALL k-mers over all bounded-variant paths
+of a pangenome graph.
+
+TPU-first inversion of the reference's recursive per-base DFS
+(/root/reference/graph_kmer_index/kmer_finder.py:37-434): the host walks
+the graph in *spans* (maximal runs of window positions whose covered
+node-set is constant), appending only compact span descriptors and a base
+tape; ALL hashing happens afterwards in one batched sliding-window kernel
+(ops.encode.sliding_hashes on device, hashing.sliding_window_hashes on
+host for small inputs), and rows are expanded with vectorized
+repeat/gather. Per-base Python work is confined to window build-up near
+bubbles; long linear stretches cost O(1) descriptors.
+
+Output is bit-identical to the reference, including row ORDER (pinned by
+reference tests/test_kmer_finder.py:test_case1):
+
+- one row per (window, unique node in window), nodes ascending
+  (kmer_finder.py:134,151-161);
+- window node-set = nodes of all path elements from the element of the
+  window's first base through its last, dummy (zero-length) nodes between
+  them included (kmer_finder.py:261-266,419-434); the first full window of
+  a search includes everything from the search start;
+- DFS follows graph edge order; at ``max_variant_nodes`` distinct variant
+  nodes in the window, only the linear-ref arm is followed
+  (kmer_finder.py:383-417);
+- traversal state dedup on (node, offset, frozenset(window nodes))
+  (kmer_finder.py:311-319), here interval-compressed per (node, node-set);
+- searches stop at critical positions (next window would be single-path),
+  which are the segment/shard boundaries (kmer_finder.py:333-340).
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from .containers import NpList
+from .critical_paths import CriticalGraphPaths
+from .flat_kmers import FlatKmers, FlatKmers2
+from .graph import Graph, PositionId
+from .hashing import sliding_window_hashes
+
+# device hashing kicks in above this tape size
+_DEVICE_TAPE_THRESHOLD = 1 << 20
+
+
+class _TreatedIntervals:
+    """(node, frozenset(window nodes)) -> set of treated offset intervals.
+
+    Interval-compressed equivalent of the reference's per-base
+    ``_positions_treated`` set (kmer_finder.py:311-319): a span insert/query
+    costs O(#intervals) instead of O(#bases).
+    """
+
+    __slots__ = ("_map",)
+
+    def __init__(self):
+        self._map: dict = {}
+
+    def first_hit(self, node, fs, o1, o2, exempt=None):
+        """Smallest treated offset in [o1, o2] (skipping ``exempt``), or None."""
+        intervals = self._map.get((node, fs))
+        if not intervals:
+            return None
+        candidate = o1
+        while candidate <= o2:
+            best = None
+            for a, b in intervals:
+                if b >= candidate and a <= o2:
+                    p = max(a, candidate)
+                    if best is None or p < best:
+                        best = p
+            if best is None:
+                return None
+            if best == exempt:
+                candidate = best + 1
+                continue
+            return best
+        return None
+
+    def add(self, node, fs, o1, o2):
+        if o2 < o1:
+            return
+        self._map.setdefault((node, fs), []).append((o1, o2))
+
+
+class DenseKmerFinder:
+    """Find all k-mers in a graph (API-compatible with the reference class,
+    kmer_finder.py:37-105)."""
+
+    def __init__(self, graph: Graph, k: int, critical_graph_paths=None,
+                 position_id=None, only_save_one_node_per_kmer=False,
+                 max_variant_nodes=4, only_store_variant_nodes=False,
+                 start_at_critical_path_number=None,
+                 stop_at_critical_path_number=None,
+                 whitelist=None, only_store_nodes=None,
+                 only_follow_nodes=None, use_device=None):
+        self._graph = graph
+        self._k = k
+        self._only_save_one_node_per_kmer = only_save_one_node_per_kmer
+        self._max_variant_nodes = max_variant_nodes
+        self._critical_graph_paths = critical_graph_paths
+        self._position_id = position_id
+        self._start_at_critical_path_number = start_at_critical_path_number
+        self._stop_at_critical_path_number = stop_at_critical_path_number
+        self._whitelist = whitelist
+        self._only_store_nodes = only_store_nodes
+        self._only_follow_nodes = only_follow_nodes
+        self._use_device = use_device
+
+        # per-branch path state (truncated on DFS backtrack)
+        self._elem_nodes = NpList(dtype=np.int32)   # node per path element
+        self._elem_bases = NpList(dtype=np.int8)    # base per element (-1 dummy)
+        self._ne_pos = NpList(dtype=np.int64)       # element index per nonempty base
+        self._ne_bases = NpList(dtype=np.int8)      # nonempty base stream
+        self._blk_node = NpList(dtype=np.int32)     # path blocks: node ids
+        self._blk_first = NpList(dtype=np.int64)    # path blocks: first element
+
+        # emission state (append-only, global across the find() call)
+        self._tape = NpList(dtype=np.int8)
+        self._span_tape_start = NpList(dtype=np.int64)
+        self._span_n_windows = NpList(dtype=np.int32)
+        self._span_node = NpList(dtype=np.int32)
+        self._span_first_offset = NpList(dtype=np.int32)
+        self._span_af = NpList(dtype=np.float64)
+        self._span_nodes_start = NpList(dtype=np.int64)
+        self._span_nodes_len = NpList(dtype=np.int32)
+        self._span_nodes = NpList(dtype=np.int32)   # concatenated node lists
+
+        self._treated = _TreatedIntervals()
+        self._early_stop = False
+        self._n_nodes_skipped_because_too_complex = 0
+        self._n_skipped_whitelist = 0
+
+        self._finalized = None
+        self.kmers_found = []
+        self.results = []
+
+    # -- public API -----------------------------------------------------
+
+    def find(self):
+        """Full-graph enumeration from critical starting points
+        (reference kmer_finder.py:179-244)."""
+        if self._critical_graph_paths is None:
+            self._critical_graph_paths = CriticalGraphPaths.from_graph(
+                self._graph, self._k)
+
+        starting_points = list(self._critical_graph_paths)[::-1]
+
+        stop_at_node = None
+        if (self._stop_at_critical_path_number is not None
+                and self._stop_at_critical_path_number < len(starting_points)):
+            stop_at_node = starting_points[-self._stop_at_critical_path_number - 1][0]
+
+        self._starting_points_set = set(starting_points)
+        self._starting_points = starting_points
+
+        if (self._start_at_critical_path_number is not None
+                and self._start_at_critical_path_number > 0):
+            self._starting_points = self._starting_points[
+                : -self._start_at_critical_path_number]
+
+        if not self._start_at_critical_path_number:
+            first = self._graph.get_first_node()
+            if self._graph.get_node_size(first) <= self._k:
+                self._starting_points.append((first, 0))
+
+        while self._starting_points:
+            critical_node, critical_offset = self._starting_points.pop()
+            if stop_at_node is not None and stop_at_node == critical_node:
+                break
+            self._start_search(critical_node, critical_offset)
+
+        self._finalize()
+
+    def find_only_kmers_starting_at_position(self, node, offset):
+        """Early-stop mode: emit the first full window of every DFS branch
+        from (node, offset) (reference kmer_finder.py:170-177)."""
+        self._early_stop = True
+        self._critical_graph_paths = CriticalGraphPaths.empty()
+        self._starting_points = []
+        self._starting_points_set = set()
+        self._crit_node, self._crit_offset = int(node), int(offset)
+        self._reset_branch_state()
+        self._search(int(node), int(offset))
+        self._finalize()
+
+    def get_flat_kmers(self, v="2"):
+        kmers, nodes, start_nodes, start_offsets, af = self._results()
+        if v in ("0", "1"):
+            if v == "1":
+                if self._position_id is None:
+                    self._position_id = PositionId.from_graph(self._graph)
+                ref_offsets = self._position_id.get(start_nodes, start_offsets)
+            else:
+                ref_offsets = (self._graph.node_to_ref_offset[start_nodes]
+                               + start_offsets)
+            return FlatKmers(kmers, nodes, ref_offsets, af)
+        return FlatKmers2(kmers, start_nodes, start_offsets, nodes, af)
+
+    def get_found_kmers_and_nodes(self):
+        kmers, nodes, *_ = self._results()
+        return kmers, nodes
+
+    # -- search driver ----------------------------------------------------
+
+    def _reset_branch_state(self):
+        for lst in (self._elem_nodes, self._elem_bases, self._ne_pos,
+                    self._ne_bases, self._blk_node, self._blk_first):
+            lst.set_n_elements(0)
+
+    def _start_search(self, critical_node, critical_offset):
+        self._crit_node = critical_node
+        self._crit_offset = critical_offset
+        self._reset_branch_state()
+        offset = critical_offset
+        if offset >= self._k - 1:
+            offset -= self._k - 1
+        self._search(critical_node, offset)
+
+    def _search(self, node, offset):
+        """Iterative DFS: explicit stack of (node, offset, state snapshot)."""
+        stack = [(node, offset, self._snapshot())]
+        while stack:
+            cur_node, cur_offset, snap = stack.pop()
+            self._restore(snap)
+            status = self._process_entry(cur_node, cur_offset)
+            if status != "CONT":
+                continue
+            children = self._next_nodes(cur_node)
+            if children:
+                snap = self._snapshot()
+                for child in reversed(children):
+                    stack.append((child, 0, snap))
+
+    def _snapshot(self):
+        return (len(self._elem_nodes), len(self._ne_pos), len(self._blk_node))
+
+    def _restore(self, snap):
+        n_elems, n_ne, n_blk = snap
+        self._elem_nodes.set_n_elements(n_elems)
+        self._elem_bases.set_n_elements(n_elems)
+        self._ne_pos.set_n_elements(n_ne)
+        self._ne_bases.set_n_elements(n_ne)
+        self._blk_node.set_n_elements(n_blk)
+        self._blk_first.set_n_elements(n_blk)
+
+    # -- node processing ----------------------------------------------------
+
+    def _process_entry(self, node, offset):
+        g = self._graph
+        size = g.get_node_size(node)
+
+        if offset == 0 and size == 0:
+            # dummy node: sentinel element, no hash digits
+            # (reference kmer_finder.py:261-266)
+            self._blk_node.append(node)
+            self._blk_first.append(len(self._elem_nodes))
+            self._elem_nodes.append(node)
+            self._elem_bases.append(-1)
+            return "CONT"
+
+        self._blk_node.append(node)
+        self._blk_first.append(len(self._elem_nodes))
+
+        while offset < size:
+            if len(self._ne_pos) < self._k:
+                status = self._step_base(node, offset)
+                offset += 1
+            else:
+                status = self._process_run(node, offset)
+                offset = size
+            if status != "CONT":
+                return status
+        return "CONT"
+
+    def _step_base(self, node, offset):
+        """One build-up base (window not yet full); exact per-base semantics
+        of the reference loop (kmer_finder.py:268-342)."""
+        g = self._graph
+        base = g.get_numeric_base_sequence(node, offset)
+        elem_idx = len(self._elem_nodes)
+        self._elem_nodes.append(node)
+        self._elem_bases.append(base)
+        self._ne_pos.append(elem_idx)
+        self._ne_bases.append(base)
+        t = len(self._ne_pos) - 1  # index of this nonempty base
+
+        # window start pointer: build-up => everything since search start
+        fs = frozenset(self._blk_node.get_nparray().tolist())
+        exempt = (offset if (node == self._crit_node
+                             and offset == self._crit_offset) else None)
+        if len(self._elem_nodes) >= self._k:
+            hit = self._treated.first_hit(node, fs, offset, offset, exempt)
+            if hit is not None:
+                return "PRUNE"
+        self._treated.add(node, fs, offset, offset)
+
+        if t >= self._k - 1:
+            self._emit_span(node, offset, 1, block_from=0, t_first=t)
+            if self._early_stop:
+                return "EARLY"
+
+        if ((node != self._crit_node or offset + 1 != self._crit_offset)
+                and self._critical_graph_paths.is_critical(node, offset + 1)):
+            self._queue_starting_point(node, offset + 1)
+            return "STOP"
+        return "CONT"
+
+    def _process_run(self, node, o_start):
+        """Window already full: process offsets [o_start, node end) in
+        constant-node-set subruns. Replaces both the reference's sliding
+        per-base loop and its long-node ``np.convolve`` fast path
+        (kmer_finder.py:272-273,349-381) with span descriptors."""
+        g = self._graph
+        size = g.get_node_size(node)
+        k = self._k
+
+        # critical position inside this node => stop before it
+        process_end = size
+        stop_at = None
+        c = self._critical_offset_of(node)
+        if (c is not None and o_start + 1 <= c <= size
+                and not (node == self._crit_node and c == self._crit_offset)):
+            process_end = c
+            stop_at = c
+        n = process_end - o_start
+        if n <= 0:
+            if stop_at is not None:
+                self._queue_starting_point(node, stop_at)
+                return "STOP"
+            return "CONT"
+
+        bases = np.asarray(
+            g.sequence[g.seq_start[node] + o_start:
+                       g.seq_start[node] + process_end])
+        t0 = len(self._ne_pos)
+        elem0 = len(self._elem_nodes)
+        self._elem_nodes.extend(np.full(n, node, dtype=np.int32))
+        self._elem_bases.extend(bases)
+        self._ne_pos.extend(np.arange(elem0, elem0 + n, dtype=np.int64))
+        self._ne_bases.extend(bases)
+
+        # window-start elements and their path blocks
+        ne_pos = self._ne_pos.get_nparray()
+        starts = ne_pos[t0 - k + 1: t0 - k + 1 + n]
+        blk_first = self._blk_first.get_nparray()
+        b = np.searchsorted(blk_first, starts, side="right") - 1
+        boundaries = np.flatnonzero(np.diff(b)) + 1
+        group_starts = np.concatenate([[0], boundaries])
+        group_ends = np.concatenate([boundaries, [n]])
+
+        blk_nodes = self._blk_node.get_nparray()
+        for ga, gb in zip(group_starts, group_ends):
+            bb = int(b[ga])
+            fs = frozenset(blk_nodes[bb:].tolist())
+            o1 = o_start + int(ga)
+            o2 = o_start + int(gb) - 1
+            exempt = (self._crit_offset
+                      if (node == self._crit_node
+                          and o1 <= self._crit_offset <= o2) else None)
+            hit = self._treated.first_hit(node, fs, o1, o2, exempt)
+            emit_end = (hit - 1) if hit is not None else o2
+            self._treated.add(node, fs, o1, emit_end)
+            if emit_end >= o1:
+                self._emit_span(node, o1, emit_end - o1 + 1,
+                                block_from=bb, t_first=t0 + int(ga))
+            if hit is not None:
+                return "PRUNE"
+
+        if stop_at is not None:
+            self._queue_starting_point(node, stop_at)
+            return "STOP"
+        return "CONT"
+
+    def _critical_offset_of(self, node):
+        cgp = self._critical_graph_paths
+        if cgp is None or len(cgp) == 0:
+            return None
+        if cgp._index is None:
+            cgp._make_index()
+        if node >= len(cgp._index):
+            return None
+        off = int(cgp._index[node])
+        return off if off >= 0 else None
+
+    def _queue_starting_point(self, node, offset):
+        if (node, offset) not in self._starting_points_set:
+            self._starting_points.append((node, offset))
+            self._starting_points_set.add((node, offset))
+
+    # -- edges ----------------------------------------------------------------
+
+    def _next_nodes(self, node):
+        """Successors to follow, with the max-variant-nodes clamp
+        (reference kmer_finder.py:383-417)."""
+        g = self._graph
+        next_nodes = [int(v) for v in g.get_edges(node)]
+        if not next_nodes:
+            return []
+        force_follow = False
+        if self._only_follow_nodes is not None:
+            restricted = [v for v in next_nodes if v in self._only_follow_nodes]
+            if restricted:
+                next_nodes = restricted
+                force_follow = True
+
+        # variant nodes currently in the window
+        blk_nodes = self._blk_node.get_nparray()
+        bb = self._current_window_block()
+        window_nodes = blk_nodes[bb:]
+        n_variant = sum(
+            1 for v in set(window_nodes.tolist())
+            if not g.is_linear_ref_node_or_linear_ref_dummy_node(v))
+
+        if not force_follow and n_variant >= self._max_variant_nodes:
+            self._n_nodes_skipped_because_too_complex += len(next_nodes)
+            next_nodes = [v for v in next_nodes
+                          if g.is_linear_ref_node_or_linear_ref_dummy_node(v)]
+            assert len(next_nodes) == 1, (
+                f"Not 1 linear ref next node from node {node}: {next_nodes}")
+            self._n_nodes_skipped_because_too_complex -= len(next_nodes)
+        return next_nodes
+
+    def _current_window_block(self):
+        """Index of the path block containing the current window start."""
+        k = self._k
+        if len(self._ne_pos) < k:
+            return 0
+        start_elem = self._ne_pos[len(self._ne_pos) - k]
+        # NB: reference pointer after processing base t is ne_pos[t-k+1]
+        blk_first = self._blk_first.get_nparray()
+        return int(np.searchsorted(blk_first, start_elem, side="right") - 1)
+
+    # -- emission --------------------------------------------------------------
+
+    def _emit_span(self, node, first_offset, n_windows, block_from, t_first):
+        g = self._graph
+        k = self._k
+        blk_nodes = self._blk_node.get_nparray()
+        window_nodes = np.unique(blk_nodes[block_from:])
+        af = float(np.min(g.get_node_allele_frequencies(window_nodes)))
+
+        nodes_final = window_nodes
+        if self._only_save_one_node_per_kmer:
+            nodes_final = window_nodes[:1]
+        if self._only_store_nodes is not None:
+            nodes_final = np.array(
+                [v for v in nodes_final if v in self._only_store_nodes],
+                dtype=np.int32)
+
+        ne_bases = self._ne_bases.get_nparray()
+        tape_slice = ne_bases[t_first - k + 1: t_first + n_windows]
+        self._span_tape_start.append(len(self._tape))
+        self._tape.extend(tape_slice)
+        self._span_n_windows.append(n_windows)
+        self._span_node.append(node)
+        self._span_first_offset.append(first_offset)
+        self._span_af.append(af)
+        self._span_nodes_start.append(len(self._span_nodes))
+        self._span_nodes_len.append(len(nodes_final))
+        if len(nodes_final):
+            self._span_nodes.extend(nodes_final.astype(np.int32))
+
+    # -- finalize: batched hashing + row expansion ------------------------------
+
+    def _finalize(self):
+        k = self._k
+        tape = self._tape.get_nparray()
+        n_spans = len(self._span_tape_start)
+        if n_spans == 0:
+            empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32),
+                     np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int16),
+                     np.zeros(0, dtype=np.float64))
+            self._finalized = empty
+            return
+
+        use_device = (self._use_device if self._use_device is not None
+                      else len(tape) >= _DEVICE_TAPE_THRESHOLD)
+        if use_device:
+            from .ops.encode import sliding_hashes
+            import jax.numpy as jnp
+            all_hashes = np.asarray(
+                sliding_hashes(jnp.asarray(tape.astype(np.int32)), k)
+            ).astype(np.uint64)
+        else:
+            all_hashes = sliding_window_hashes(
+                np.maximum(tape, 0).astype(np.uint64), k)
+            all_hashes = np.concatenate(
+                [all_hashes, np.zeros(k - 1, dtype=np.uint64)])[:len(tape)] \
+                if len(tape) else all_hashes
+
+        ts = self._span_tape_start.get_nparray()
+        nw = self._span_n_windows.get_nparray().astype(np.int64)
+        s_node = self._span_node.get_nparray()
+        s_off = self._span_first_offset.get_nparray()
+        s_af = self._span_af.get_nparray()
+        ns = self._span_nodes_start.get_nparray()
+        nl = self._span_nodes_len.get_nparray().astype(np.int64)
+        span_nodes = self._span_nodes.get_nparray()
+
+        # per-window arrays (window order == emission order)
+        win_span = np.repeat(np.arange(n_spans), nw)
+        total_windows = len(win_span)
+        win_local = np.arange(total_windows) - np.repeat(
+            np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+        win_kmer = all_hashes[ts[win_span] + win_local]
+        win_ok = self._whitelist_mask(win_kmer)
+
+        # row expansion: one row per (window, node in span node list)
+        rows_per_window = nl[win_span]
+        row_win = np.repeat(np.arange(total_windows), rows_per_window)
+        total_rows = len(row_win)
+        row_local = np.arange(total_rows) - np.repeat(
+            np.concatenate([[0], np.cumsum(rows_per_window)[:-1]]),
+            rows_per_window)
+        row_span = win_span[row_win]
+
+        keep = win_ok[row_win]
+        kmers = win_kmer[row_win][keep].astype(np.int64)
+        nodes = span_nodes[ns[row_span] + row_local][keep].astype(np.int32)
+        start_nodes = s_node[row_span][keep].astype(np.int32)
+        start_offsets = (s_off[row_span] + win_local[row_win])[keep].astype(np.int16)
+        af = s_af[row_span][keep]
+
+        self._finalized = (kmers, nodes, start_nodes, start_offsets, af)
+
+        # debug/testing aid mirroring reference kmers_found (first 500)
+        self.kmers_found = []
+        for w in range(total_windows):
+            if len(self.kmers_found) >= 500:
+                break
+            if not win_ok[w]:
+                continue
+            sp = win_span[w]
+            nset = set(span_nodes[ns[sp]: ns[sp] + nl[sp]].tolist())
+            self.kmers_found.append(
+                (None, nset, int(s_node[sp]), int(win_kmer[w])))
+
+    def _whitelist_mask(self, kmers):
+        if self._whitelist is None:
+            return np.ones(len(kmers), dtype=bool)
+        wl = self._whitelist
+        if hasattr(wl, "has_kmers"):
+            mask = np.asarray(wl.has_kmers(kmers.astype(np.uint64)), dtype=bool)
+        else:
+            mask = np.array([int(h) in wl for h in kmers], dtype=bool)
+        self._n_skipped_whitelist += int((~mask).sum())
+        return mask
+
+    def _results(self):
+        if self._finalized is None:
+            self._finalize()
+        return self._finalized

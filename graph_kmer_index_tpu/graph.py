@@ -1,0 +1,363 @@
+"""Array-backed pangenome graph model (replaces the external ``obgraph``
+package the reference depends on — see SURVEY.md L0 and the interface used
+throughout /root/reference/graph_kmer_index/kmer_finder.py,
+snp_kmer_finder.py, critical_graph_paths.py).
+
+Design: everything is a flat numpy array indexed by node id (dense up to
+max node id), so the whole graph ships to device as a handful of arrays:
+
+- ``node_sizes[v]``            length of node v's sequence (0 = dummy node)
+- ``sequence`` / ``seq_start`` concatenated 2-bit numeric bases, CSR offsets
+- ``edge_targets``/``edge_index`` CSR adjacency preserving insertion order
+  (edge order matters: it determines DFS emission order, reference
+  kmer_finder.py:406)
+- ``linear_ref_mask``          node is on the linear reference path
+- ``ref_dummy_mask``           zero-length node bridging two *adjacent*
+  linear-ref nodes (the reference allele of an insertion); these count as
+  "linear ref or linear ref dummy" nodes (reference
+  is_linear_ref_node_or_linear_ref_dummy_node semantics, pinned by
+  tests/test_kmer_finder.py:test_max_variant_nodes and
+  tests/test_critical_graph_paths.py:test4/test5)
+- ``node_to_ref_offset[v]``    reference coordinate where v starts (exact
+  cumulative for ref nodes; attachment offset for variant nodes)
+"""
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from .hashing import letter_sequence_to_numeric, numeric_to_letter_sequence
+
+
+class Graph:
+    properties = {
+        "node_sizes", "sequence", "seq_start", "edge_targets", "edge_index",
+        "linear_ref_mask", "ref_dummy_mask", "node_to_ref_offset",
+        "allele_frequencies", "chromosome_start_nodes_array",
+    }
+
+    def __init__(self, node_sizes, sequence, seq_start, edge_targets,
+                 edge_index, linear_ref_mask, ref_dummy_mask,
+                 node_to_ref_offset, allele_frequencies,
+                 chromosome_start_nodes_array):
+        self.node_sizes = node_sizes
+        self.sequence = sequence
+        self.seq_start = seq_start
+        self.edge_targets = edge_targets
+        self.edge_index = edge_index
+        self.linear_ref_mask = linear_ref_mask
+        self.ref_dummy_mask = ref_dummy_mask
+        self.node_to_ref_offset = node_to_ref_offset
+        self.allele_frequencies = allele_frequencies
+        self.chromosome_start_nodes_array = chromosome_start_nodes_array
+
+        self._ref_nodes_in_order = None
+        self._ref_cum_offsets = None
+        self._reverse_edge_index = None
+        self._reverse_edge_targets = None
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_dicts(cls, node_sequences: dict, edges: dict, linear_ref_nodes,
+                   allele_frequencies: dict | None = None,
+                   chromosome_start_nodes=None):
+        """Build from literals, same shape as the reference's test fixtures
+        (e.g. tests/test_kmer_finder.py:12-16): ``{node: "ACGT..."}``,
+        ``{node: [next, ...]}``, ``[ref nodes in reference-path order]``.
+        """
+        max_id = max(node_sequences.keys())
+        n = max_id + 1
+        node_sizes = np.zeros(n, dtype=np.uint32)
+        seqs = {}
+        for node, s in node_sequences.items():
+            num = letter_sequence_to_numeric(s).astype(np.int8)
+            node_sizes[node] = len(num)
+            seqs[node] = num
+        seq_start = np.zeros(n + 1, dtype=np.int64)
+        seq_start[1:] = np.cumsum(node_sizes)
+        sequence = np.zeros(seq_start[-1], dtype=np.int8)
+        for node, num in seqs.items():
+            sequence[seq_start[node]:seq_start[node] + len(num)] = num
+
+        edge_index = np.zeros(n + 1, dtype=np.int64)
+        counts = np.zeros(n, dtype=np.int64)
+        for node, targets in edges.items():
+            counts[node] = len(targets)
+        edge_index[1:] = np.cumsum(counts)
+        edge_targets = np.zeros(edge_index[-1], dtype=np.int32)
+        for node, targets in edges.items():
+            edge_targets[edge_index[node]:edge_index[node + 1]] = targets
+
+        linear_ref_nodes = list(linear_ref_nodes)
+        linear_ref_mask = np.zeros(n, dtype=bool)
+        linear_ref_mask[linear_ref_nodes] = True
+
+        # linear-ref dummy nodes: zero-length nodes bridging two adjacent
+        # ref nodes (u -> d -> v with v immediately after u on the ref path)
+        ref_next = {u: v for u, v in zip(linear_ref_nodes, linear_ref_nodes[1:])}
+        ref_dummy_mask = np.zeros(n, dtype=bool)
+        for node in range(n):
+            if node_sizes[node] != 0 or linear_ref_mask[node]:
+                continue
+            ins = [u for u in range(n)
+                   if node in edge_targets[edge_index[u]:edge_index[u + 1]]]
+            outs = edge_targets[edge_index[node]:edge_index[node + 1]]
+            for u in ins:
+                if linear_ref_mask[u] and any(
+                        ref_next.get(u) == v for v in outs):
+                    ref_dummy_mask[node] = True
+                    break
+
+        node_to_ref_offset = cls._compute_ref_offsets(
+            n, node_sizes, edge_targets, edge_index,
+            linear_ref_mask, linear_ref_nodes)
+
+        af = np.ones(n, dtype=np.float64)
+        if allele_frequencies:
+            for node, f in allele_frequencies.items():
+                af[node] = f
+
+        if chromosome_start_nodes is None:
+            chromosome_start_nodes = [linear_ref_nodes[0]]
+        return cls(node_sizes, sequence, seq_start, edge_targets, edge_index,
+                   linear_ref_mask, ref_dummy_mask, node_to_ref_offset,
+                   af, np.asarray(chromosome_start_nodes, dtype=np.int32))
+
+    @staticmethod
+    def _compute_ref_offsets(n, node_sizes, edge_targets, edge_index,
+                             linear_ref_mask, linear_ref_nodes):
+        # exact cumulative offsets along the ref path; variant nodes get the
+        # attachment offset max(pred_offset + pred_size) in topo order
+        off = np.zeros(n, dtype=np.int64)
+        cum = 0
+        for v in linear_ref_nodes:
+            off[v] = cum
+            cum += int(node_sizes[v])
+
+        indeg = np.zeros(n, dtype=np.int64)
+        np.add.at(indeg, edge_targets, 1)
+        q = deque(np.nonzero(indeg == 0)[0].tolist())
+        topo = []
+        indeg_w = indeg.copy()
+        while q:
+            u = q.popleft()
+            topo.append(u)
+            for v in edge_targets[edge_index[u]:edge_index[u + 1]]:
+                indeg_w[v] -= 1
+                if indeg_w[v] == 0:
+                    q.append(int(v))
+        for u in topo:
+            end = off[u] + int(node_sizes[u])
+            for v in edge_targets[edge_index[u]:edge_index[u + 1]]:
+                if not linear_ref_mask[v]:
+                    off[v] = max(off[v], end)
+        return off
+
+    # -- basic accessors (interface mirrored from obgraph usage) ------------
+
+    @property
+    def nodes(self):
+        """Node-size array; the reference uses ``graph.nodes[node]`` as the
+        node length and ``len(graph.nodes)`` as node count
+        (snp_kmer_finder.py:243, :89)."""
+        return self.node_sizes
+
+    def n_nodes(self):
+        return len(self.node_sizes)
+
+    def max_node_id(self):
+        return len(self.node_sizes) - 1
+
+    def get_first_node(self):
+        return int(self.chromosome_start_nodes_array[0])
+
+    @property
+    def chromosome_start_nodes(self):
+        return {i: int(v) for i, v in enumerate(self.chromosome_start_nodes_array)}
+
+    def get_node_size(self, node):
+        return int(self.node_sizes[node])
+
+    def get_edges(self, node):
+        return self.edge_targets[self.edge_index[node]:self.edge_index[node + 1]]
+
+    def get_numeric_node_sequence(self, node):
+        return self.sequence[self.seq_start[node]:self.seq_start[node] +
+                             self.node_sizes[node]]
+
+    def get_numeric_base_sequence(self, node, offset):
+        return int(self.sequence[self.seq_start[node] + offset])
+
+    def get_node_sequence(self, node):
+        return "".join(numeric_to_letter_sequence(
+            self.get_numeric_node_sequence(node)).tolist())
+
+    def get_node_subsequence(self, node, start, end):
+        return "".join(numeric_to_letter_sequence(
+            self.sequence[self.seq_start[node] + int(start):
+                          self.seq_start[node] + int(end)]).tolist())
+
+    def linear_ref_nodes(self):
+        return set(np.nonzero(self.linear_ref_mask)[0].tolist())
+
+    def is_linear_ref_node_or_linear_ref_dummy_node(self, node):
+        return bool(self.linear_ref_mask[node] or self.ref_dummy_mask[node])
+
+    def make_linear_ref_node_and_ref_dummy_node_index(self):
+        return  # always precomputed here; kept for API parity
+
+    def get_node_allele_frequency(self, node):
+        return float(self.allele_frequencies[node])
+
+    def get_node_allele_frequencies(self, nodes):
+        return self.allele_frequencies[np.asarray(nodes, dtype=np.int64)]
+
+    # -- reverse edges -------------------------------------------------------
+
+    def _build_reverse(self):
+        n = len(self.node_sizes)
+        counts = np.zeros(n, dtype=np.int64)
+        np.add.at(counts, self.edge_targets, 1)
+        rindex = np.zeros(n + 1, dtype=np.int64)
+        rindex[1:] = np.cumsum(counts)
+        rtargets = np.zeros(len(self.edge_targets), dtype=np.int32)
+        fill = rindex[:-1].copy()
+        for u in range(n):
+            for v in self.edge_targets[self.edge_index[u]:self.edge_index[u + 1]]:
+                rtargets[fill[v]] = u
+                fill[v] += 1
+        self._reverse_edge_index = rindex
+        self._reverse_edge_targets = rtargets
+
+    def get_reverse_edges(self, node):
+        if self._reverse_edge_index is None:
+            self._build_reverse()
+        return self._reverse_edge_targets[
+            self._reverse_edge_index[node]:self._reverse_edge_index[node + 1]]
+
+    def get_reverse_edges_hashtable(self):
+        """node -> array of predecessors (reference
+        critical_graph_paths.py:46 uses ``reverse_edges[node]``)."""
+        if self._reverse_edge_index is None:
+            self._build_reverse()
+        graph = self
+
+        class _Rev:
+            def __getitem__(self, node):
+                return graph.get_reverse_edges(node)
+        return _Rev()
+
+    def n_in_edges(self, node):
+        if self._reverse_edge_index is None:
+            self._build_reverse()
+        return int(self._reverse_edge_index[node + 1] -
+                   self._reverse_edge_index[node])
+
+    # -- linear reference coordinates ----------------------------------------
+
+    def _ref_index(self):
+        if self._ref_nodes_in_order is None:
+            ref = np.nonzero(self.linear_ref_mask)[0]
+            order = np.argsort(self.node_to_ref_offset[ref], kind="stable")
+            self._ref_nodes_in_order = ref[order]
+            sizes = self.node_sizes[self._ref_nodes_in_order].astype(np.int64)
+            self._ref_cum_offsets = np.concatenate(
+                [[0], np.cumsum(sizes)])
+        return self._ref_nodes_in_order, self._ref_cum_offsets
+
+    def linear_ref_length(self):
+        return int(self._ref_index()[1][-1])
+
+    def get_node_at_ref_offset(self, ref_offset):
+        nodes, cum = self._ref_index()
+        i = np.searchsorted(cum, ref_offset, side="right") - 1
+        i = min(max(int(i), 0), len(nodes) - 1)
+        return int(nodes[i])
+
+    def get_node_offset_at_ref_offset(self, ref_offset):
+        nodes, cum = self._ref_index()
+        i = np.searchsorted(cum, ref_offset, side="right") - 1
+        i = min(max(int(i), 0), len(nodes) - 1)
+        return int(ref_offset - cum[i])
+
+    def convert_chromosome_ref_offset_to_graph_ref_offset(self, ref_offset,
+                                                          chromosome):
+        starts = self.chromosome_start_nodes_array
+        idx = int(chromosome) if int(chromosome) < len(starts) else 0
+        base = int(self.node_to_ref_offset[starts[idx]])
+        return base + int(ref_offset)
+
+    def get_node_at_chromosome_and_chromosome_offset(self, chromosome, offset):
+        return self.get_node_at_ref_offset(
+            self.convert_chromosome_ref_offset_to_graph_ref_offset(offset, chromosome))
+
+    def get_node_offset_at_chromosome_and_chromosome_offset(self, chromosome, offset):
+        return self.get_node_offset_at_ref_offset(
+            self.convert_chromosome_ref_offset_to_graph_ref_offset(offset, chromosome))
+
+    # -- serialization -------------------------------------------------------
+
+    def to_file(self, file_name):
+        np.savez(file_name, **{p: getattr(self, p) for p in self.properties})
+
+    @classmethod
+    def from_file(cls, file_name):
+        try:
+            data = np.load(file_name)
+        except FileNotFoundError:
+            data = np.load(str(file_name) + ".npz")
+        return cls(**{p: data[p] for p in cls.properties})
+
+
+class PositionId:
+    """Unique integer id per (node, offset) graph position; replaces
+    ``obgraph.position_id.PositionId`` (used in reference
+    kmer_finder.py:109-126 for FlatKmers v='1' ref offsets).
+
+    id = start_id[node] + offset with start ids from cumsum(sizes + 1), so
+    zero-length (dummy) nodes still get distinct ids.
+    """
+
+    def __init__(self, start_ids):
+        self._start_ids = start_ids
+
+    @classmethod
+    def from_graph(cls, graph: Graph):
+        sizes = graph.node_sizes.astype(np.int64)
+        start_ids = np.zeros(len(sizes) + 1, dtype=np.int64)
+        start_ids[1:] = np.cumsum(sizes + 1)
+        return cls(start_ids[:-1])
+
+    def get(self, nodes, offsets):
+        nodes = np.asarray(nodes, dtype=np.int64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        return (self._start_ids[nodes] + offsets).astype(np.uint64)
+
+
+class VariantToNodes:
+    """ref_node/var_node arrays per VCF variant (replaces
+    obgraph.variant_to_nodes.VariantToNodes)."""
+    properties = {"ref_nodes", "var_nodes"}
+
+    def __init__(self, ref_nodes=None, var_nodes=None):
+        self.ref_nodes = ref_nodes
+        self.var_nodes = var_nodes
+
+    def __iter__(self):
+        return zip(self.ref_nodes, self.var_nodes)
+
+    def __len__(self):
+        return len(self.ref_nodes)
+
+    def to_file(self, file_name):
+        np.savez(file_name, ref_nodes=self.ref_nodes, var_nodes=self.var_nodes)
+
+    @classmethod
+    def from_file(cls, file_name):
+        try:
+            data = np.load(file_name)
+        except FileNotFoundError:
+            data = np.load(str(file_name) + ".npz")
+        return cls(data["ref_nodes"], data["var_nodes"])

@@ -1,0 +1,26 @@
+"""IndexBundle — the KAGE genotyper's bundle of indexes in one file
+(reference index_bundle.py:9-19; the reference serializes via the external
+shared_memory_wrapper — here a plain npz-of-pickles container).
+"""
+from __future__ import annotations
+
+import pickle
+
+
+class IndexBundle:
+    index_names = ["VariantToNodes", "NumpyVariants", "NodeCountModelAdvanced",
+                   "HelperVariants", "CombinationMatrix", "TrickyVariants",
+                   "KmerIndex"]
+
+    def __init__(self, indexes):
+        self.indexes = indexes
+
+    @classmethod
+    def from_file(cls, file_name, skip=None):
+        with open(file_name, "rb") as f:
+            return cls(pickle.load(f))
+
+    def to_file(self, file_name, compress=True):
+        with open(file_name, "wb") as f:
+            pickle.dump(self.indexes, f)
+        return file_name

@@ -1,0 +1,425 @@
+"""Collision-free k-mer indexes — the central lookup structures.
+
+Layout (identical on disk to the reference, collision_free_kmer_index.py
+:163-490, so files round-trip): rows sorted by ``hash = kmer % modulo``;
+``_hashes_to_index[modulo]`` = start row per bucket; ``_n_kmers[modulo]`` =
+bucket size; rows carry (kmers, nodes, ref_offsets, frequencies,
+allele_frequencies). Collisions are resolved at query time by comparing
+the stored full kmer.
+
+Build runs as sort + segment ops (device via ops.segment when large,
+numpy otherwise); the per-unique-kmer Python loops of the reference
+(set_frequencies, collision_free_kmer_index.py:267-293) are replaced by
+vectorized segment reductions with identical results. Batched lookup
+(the Cython ``CythonKmerIndex.get`` / external kmer_mapper hot path) is
+ops.lookup on device.
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from ..containers import Counter, MultiValueHashTable, HashTable
+from ..flat_kmers import FlatKmers
+from ..hashing import kmer_hash_to_sequence, sequence_to_kmer_hash, \
+    kmer_hashes_to_reverse_complement_hash
+
+
+def _build_modulo_layout(hashes, modulo, row_arrays):
+    """Sort rows by bucket and scatter bucket starts/sizes.
+
+    Same construction as reference collision_free_kmer_index.py:433-457
+    (argsort + ediff1d segment boundaries), expressed once for all index
+    variants."""
+    sorting = np.argsort(hashes, kind="stable")
+    hashes = hashes[sorting]
+    rows = [a[sorting] for a in row_arrays]
+    diffs = np.ediff1d(hashes, to_begin=1)
+    starts = np.nonzero(diffs)[0]
+    unique_hashes = hashes[starts].astype(np.int64)
+    lookup = np.zeros(modulo, dtype=np.int64)
+    lookup[unique_hashes] = starts
+    n_entries = np.ediff1d(starts, to_end=len(hashes) - starts[-1]) \
+        if len(starts) else np.zeros(0, dtype=np.int64)
+    n_kmers = np.zeros(modulo, dtype=np.uint32)
+    n_kmers[unique_hashes] = n_entries
+    return lookup, n_kmers, rows, sorting
+
+
+def _frequencies_by_distinct_ref_offsets(kmers_sorted, ref_offsets_sorted):
+    """frequency[row] = number of DISTINCT ref offsets among rows with the
+    same kmer (reference set_frequencies semantics,
+    collision_free_kmer_index.py:267-293), vectorized: lexsort by
+    (kmer, ref_offset), count unique pairs per kmer segment."""
+    n = len(kmers_sorted)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint16)
+    order = np.lexsort((ref_offsets_sorted, kmers_sorted))
+    km = kmers_sorted[order]
+    ro = ref_offsets_sorted[order]
+    new_kmer = np.ediff1d(km, to_begin=1) != 0
+    new_pair = new_kmer | (np.ediff1d(ro, to_begin=1) != 0)
+    # distinct pairs per kmer segment
+    seg_id = np.cumsum(new_kmer) - 1
+    counts = np.bincount(seg_id, weights=new_pair.astype(np.int64)).astype(np.int64)
+    freqs = np.zeros(n, dtype=np.uint16)
+    freqs[order] = counts[seg_id]
+    return freqs
+
+
+class CollisionFreeKmerIndex:
+    properties = {
+        "_hashes_to_index", "_n_kmers", "_nodes", "_ref_offsets", "_kmers",
+        "_modulo", "_frequencies", "_allele_frequencies",
+    }
+
+    def __init__(self, _hashes_to_index=None, _n_kmers=None, _nodes=None,
+                 _ref_offsets=None, _kmers=None, _modulo=452930477,
+                 _frequencies=None, _allele_frequencies=None):
+        self._hashes_to_index = _hashes_to_index
+        self._n_kmers = _n_kmers
+        self._nodes = _nodes
+        self._ref_offsets = _ref_offsets
+        self._kmers = _kmers
+        self._modulo = int(_modulo)
+        self._frequencies = 0 if _frequencies is None else _frequencies
+        self._allele_frequencies = _allele_frequencies
+        self._device_index = None
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_flat_kmers(cls, flat_kmers, modulo=452930477,
+                        skip_frequencies=False, skip_singletons=False):
+        if skip_singletons:
+            flat_kmers = flat_kmers.get_new_without_singletons()
+
+        kmers = np.asarray(flat_kmers._hashes, dtype=np.uint64)
+        hashes = kmers % np.uint64(modulo)
+        lookup, n_kmers, rows, _ = _build_modulo_layout(
+            hashes, modulo,
+            [kmers, np.asarray(flat_kmers._nodes),
+             np.asarray(flat_kmers._ref_offsets),
+             np.asarray(flat_kmers._allele_frequencies)])
+        kmers_s, nodes_s, ref_offsets_s, af_s = rows
+
+        obj = cls(lookup.astype(np.int32), n_kmers, nodes_s, ref_offsets_s,
+                  kmers_s, modulo, _allele_frequencies=af_s)
+        obj.set_frequencies(skip_frequencies)
+        if skip_singletons:
+            obj._frequencies += 1
+        return obj
+
+    def set_frequencies(self, skip=False):
+        self._frequencies = np.zeros(len(self._kmers), dtype=np.uint16)
+        if skip:
+            return
+        self._frequencies = _frequencies_by_distinct_ref_offsets(
+            self._kmers, self._ref_offsets)
+
+    def set_frequencies_using_other_index(self, other, multiplier=1,
+                                          min_frequency=1):
+        """(reference collision_free_kmer_index.py:252-265, vectorized)"""
+        unique = np.unique(self._kmers)
+        freqs = np.array([other.get_frequency(int(k)) for k in unique],
+                         dtype=np.int64)
+        idx = np.searchsorted(unique, self._kmers)
+        self._frequencies = np.maximum(
+            min_frequency, freqs[idx] * multiplier).astype(
+                np.asarray(self._frequencies).dtype
+                if np.ndim(self._frequencies) else np.uint16)
+
+    def set_allele_frequencies(self, frequencies):
+        pass  # reference no-op (collision_free_kmer_index.py:234-235)
+
+    # -- maintenance --------------------------------------------------------
+
+    def copy(self):
+        return CollisionFreeKmerIndex(
+            self._hashes_to_index.copy(), self._n_kmers.copy(),
+            self._nodes.copy(), self._ref_offsets.copy(), self._kmers.copy(),
+            self._modulo,
+            self._frequencies.copy() if np.ndim(self._frequencies) else self._frequencies,
+            self._allele_frequencies.copy())
+
+    def clear(self):
+        self._hashes_to_index = None
+        self._n_kmers = None
+        self._nodes = None
+        self._kmers = None
+        self._modulo = None
+
+    def max_node_id(self):
+        return int(np.max(self._nodes))
+
+    def convert_to_int32(self):
+        self._hashes_to_index = self._hashes_to_index.astype(np.int32)
+        self._nodes = self._nodes.astype(np.int32)
+        self._n_kmers = self._n_kmers.astype(np.int32)
+        self._modulo = np.uint64(self._modulo)
+
+    def remove_ref_offsets(self):
+        self._ref_offsets = np.array([0])
+
+    def remove_frequencies(self):
+        self._frequencies = np.array([0])
+
+    def get_kmers(self):
+        return self._kmers
+
+    # -- scalar queries (API parity) ------------------------------------------
+
+    def get(self, kmer, max_hits=10):
+        h = int(kmer) % self._modulo
+        position = int(self._hashes_to_index[h])
+        n_hits = int(self._n_kmers[h])
+        hit_positions = np.where(
+            self._kmers[position:position + n_hits] == kmer)[0]
+        frequencies = self._frequencies[hit_positions + position]
+        allele_frequencies = self._allele_frequencies[hit_positions + position]
+        if len(hit_positions) == 0 or frequencies[0] > max_hits:
+            return None, None, None, None
+        return (self._nodes[hit_positions + position],
+                self._ref_offsets[hit_positions + position],
+                frequencies, allele_frequencies)
+
+    def __contains__(self, item):
+        return self.get(int(item), 100000000000)[0] is not None
+
+    def get_nodes(self, kmer, max_hits=10):
+        return self.get(kmer, max_hits)[0]
+
+    def get_grouped_nodes(self, kmer, max_hits=10):
+        hits = self.get(kmer, max_hits)
+        if hits[0] is None:
+            return None
+        nodes, ref_offsets = hits[0], hits[1]
+        sorting = np.argsort(ref_offsets, kind="stable")
+        ref_offsets = ref_offsets[sorting]
+        nodes = nodes[sorting]
+        _, starts = np.unique(ref_offsets, return_index=True)
+        bounds = list(starts) + [len(ref_offsets)]
+        return [nodes[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+
+    def get_frequency(self, kmer, include_reverse_complement=True, k=31):
+        hits = self.get(kmer, max_hits=10**15)
+        f = 0 if hits[0] is None else int(hits[2][0])
+        if include_reverse_complement:
+            rev = int(kmer_hashes_to_reverse_complement_hash(
+                np.array([kmer], dtype=np.uint64), k)[0])
+            rhits = self.get(rev, max_hits=10**15)
+            if rhits[0] is not None:
+                f += int(rhits[2][0])
+        return f
+
+    def get_nodes_and_ref_offsets_from_multiple_kmers(self, kmers, max_hits=10):
+        all_nodes, all_offsets, all_read_offsets, all_freqs = [], [], [], []
+        for i, h in enumerate(kmers):
+            nodes, offs, freqs, _ = self.get(h, max_hits=max_hits)
+            if nodes is None:
+                continue
+            all_nodes.append(nodes)
+            all_offsets.append(offs)
+            all_read_offsets.append(np.zeros(len(nodes)) + i)
+            all_freqs.append(freqs)
+        if not all_nodes:
+            return (np.array([]),) * 4
+        return (np.concatenate(all_nodes), np.concatenate(all_offsets),
+                np.concatenate(all_read_offsets), np.concatenate(all_freqs))
+
+    def get_nodes_from_multiple_kmers(self, kmers, max_hits=10):
+        out = [self.get(h, max_hits=max_hits)[0] for h in kmers]
+        out = [o for o in out if o is not None]
+        return np.concatenate(out) if out else np.array([])
+
+    # -- batched device queries -------------------------------------------------
+
+    def _device(self):
+        if self._device_index is None:
+            from ..ops.lookup import DeviceKmerIndex
+            self._device_index = DeviceKmerIndex.from_host_index(self)
+        return self._device_index
+
+    def map_kmers(self, kmers, n_nodes):
+        """kmers -> node hit counts (replaces external
+        kmer_mapper.map_kmers_to_graph_index, used in the KAGE mapping hot
+        loop; reference collision_free_kmer_index.py:210-212)."""
+        return self._device().map_kmers(np.asarray(kmers, dtype=np.uint64),
+                                        n_nodes)
+
+    def has_kmers(self, kmers):
+        return self._device().has_kmers(np.asarray(kmers, dtype=np.uint64))
+
+    def has_kmers_parallel(self, kmers, n_threads):
+        """Sharded membership query; on TPU the 'threads' are mesh devices
+        (reference collision_free_kmer_index.py:222-232 forked processes)."""
+        from ..parallel.sharded import has_kmers_sharded
+        return has_kmers_sharded(self, np.asarray(kmers, dtype=np.uint64),
+                                 n_shards=n_threads)
+
+    def get_batched(self, kmers, max_hits=10):
+        """Batched ``get``: (5, n_hits) matrix [node, ref_offset,
+        query_index, frequency, 1000*allele_frequency] — the
+        CythonKmerIndex.get contract (cython_kmer_index.pyx:101-106)."""
+        return self._device().get_batched(
+            np.asarray(kmers, dtype=np.uint64), max_hits=max_hits)
+
+    # -- serialization ------------------------------------------------------------
+
+    def to_file(self, file_name):
+        np.savez(file_name, hashes_to_index=self._hashes_to_index,
+                 n_kmers=self._n_kmers, nodes=self._nodes,
+                 ref_offsets=self._ref_offsets, kmers=self._kmers,
+                 modulo=self._modulo, frequencies=self._frequencies,
+                 allele_frequencies=self._allele_frequencies)
+
+    @classmethod
+    def from_file(cls, file_name):
+        t = time.perf_counter()
+        try:
+            data = np.load(str(file_name) + ".npz")
+        except FileNotFoundError:
+            data = np.load(file_name)
+        af = (data["allele_frequencies"] if "allele_frequencies" in data
+              else np.zeros(len(data["ref_offsets"])))
+        logging.info("Read kmer index in %.4fs", time.perf_counter() - t)
+        return cls(data["hashes_to_index"], data["n_kmers"], data["nodes"],
+                   data["ref_offsets"], data["kmers"], data["modulo"],
+                   data["frequencies"], af)
+
+    def convert_kmers_to_complement(self, k=31, skip_frequencies=True):
+        from ..hashing import kmer_hashes_to_complement_hashes
+        chunks = np.array_split(self._kmers,
+                                max(1, len(self._kmers) // 10000000))
+        new_kmers = np.concatenate(
+            [kmer_hashes_to_complement_hashes(c, k) for c in chunks])
+        return CollisionFreeKmerIndex.from_flat_kmers(
+            FlatKmers(new_kmers, self._nodes, self._ref_offsets,
+                      self._allele_frequencies),
+            modulo=self._modulo, skip_frequencies=skip_frequencies)
+
+
+class MinimalKmerIndex:
+    """Modulo layout minus ref_offsets/frequencies (reference
+    collision_free_kmer_index.py:44-106)."""
+
+    def __init__(self, hashes_to_index, n_kmers, nodes, kmers, modulo):
+        self._hashes_to_index = hashes_to_index.astype(np.int64)
+        self._n_kmers = n_kmers.astype(np.uint32)
+        self._nodes = nodes.astype(np.uint32)
+        self._kmers = kmers
+        self._modulo = np.int64(modulo)
+
+    def max_node_id(self):
+        return int(np.max(self._nodes))
+
+    def to_file(self, file_name):
+        np.savez(file_name, hashes_to_index=self._hashes_to_index,
+                 n_kmers=self._n_kmers, nodes=self._nodes, kmers=self._kmers,
+                 modulo=self._modulo)
+
+    @classmethod
+    def from_file(cls, file_name):
+        try:
+            data = np.load(str(file_name) + ".npz")
+        except FileNotFoundError:
+            data = np.load(file_name)
+        return cls(data["hashes_to_index"], data["n_kmers"], data["nodes"],
+                   data["kmers"], data["modulo"])
+
+    @classmethod
+    def from_flat_kmers(cls, flat_kmers, modulo=452930477):
+        kmers = np.asarray(flat_kmers._hashes, dtype=np.uint64)
+        hashes = kmers % np.uint64(modulo)
+        lookup, n_kmers, rows, _ = _build_modulo_layout(
+            hashes, modulo, [kmers, np.asarray(flat_kmers._nodes)])
+        kmers_s, nodes_s = rows
+        return cls(lookup, n_kmers, nodes_s, kmers_s, modulo)
+
+
+class KmerIndex2:
+    """kmer -> {nodes, start_nodes, start_offsets, allele_frequencies}
+    multi-map (reference collision_free_kmer_index.py:110-158); frequency =
+    number of unique (start_node, start_offset) pairs per kmer."""
+
+    def __init__(self, data, frequencies=None):
+        self._data = data
+        self._frequencies = frequencies
+
+    def get_start_nodes(self, kmer):
+        return self._data[kmer]["start_nodes"]
+
+    def get_start_offsets(self, kmer):
+        return self._data[kmer]["start_offsets"]
+
+    def get_nodes(self, kmer):
+        return self._data[kmer]["nodes"]
+
+    def get_all_kmers(self):
+        return self._data.get_all_keys()
+
+    def get_kmer_frequency(self, kmer):
+        assert self._frequencies is not None, "Frequencies not set"
+        return self._frequencies[kmer]
+
+    @classmethod
+    def from_flat_kmers(cls, flat_kmers, modulo=None, skip_frequencies=False):
+        table = MultiValueHashTable.from_keys_and_values(
+            np.asarray(flat_kmers._hashes),
+            {"nodes": np.asarray(flat_kmers._nodes),
+             "start_nodes": np.asarray(flat_kmers._start_nodes),
+             "start_offsets": np.asarray(flat_kmers._start_offsets),
+             "allele_frequencies": np.asarray(flat_kmers._allele_frequencies)},
+            mod=modulo)
+        index = cls(table)
+        if not skip_frequencies:
+            index.count_unique_kmer_occurences()
+        return index
+
+    def count_unique_kmer_occurences(self):
+        """Vectorized: distinct (start_node, start_offset) pairs per kmer."""
+        kmers = self._data.get_all_keys()
+        sn = self._data._values["start_nodes"]
+        so = self._data._values["start_offsets"]
+        order = np.lexsort((np.asarray(so), np.asarray(sn), np.asarray(kmers)))
+        km, s1, s2 = (np.asarray(kmers)[order], np.asarray(sn)[order],
+                      np.asarray(so)[order])
+        new_kmer = np.ediff1d(km, to_begin=1) != 0
+        new_pair = new_kmer | (np.ediff1d(s1, to_begin=1) != 0) | \
+            (np.ediff1d(s2, to_begin=1) != 0)
+        seg = np.cumsum(new_kmer) - 1
+        counts = np.bincount(seg, weights=new_pair.astype(np.int64)).astype(
+            np.int64)
+        self._frequencies = HashTable(km[new_kmer], counts)
+
+
+class CounterKmerIndex:
+    """Counter over index kmers; get_node_counts = bincount(nodes,
+    counter[kmers]) — the genotyping node-count kernel (reference
+    collision_free_kmer_index.py:14-40). Device path:
+    ops.lookup.node_counts / parallel.sharded."""
+
+    def __init__(self, kmers, nodes, counter):
+        self.kmers = kmers
+        self.nodes = nodes
+        self.counter = counter
+
+    @classmethod
+    def from_kmer_index(cls, kmer_index):
+        kmers = kmer_index._kmers.astype(np.int64)
+        nodes = kmer_index._nodes
+        unique_kmers = np.unique(kmers)
+        counter = Counter(unique_kmers, 0, mod=kmer_index._modulo,
+                          value_dtype=np.uint16)
+        return cls(kmers, nodes, counter)
+
+    def count_kmers(self, kmers, update_counter=True):
+        if not update_counter:
+            self.counter._counts[:] = 0
+        self.counter.count(np.asarray(kmers).astype(np.int64))
+
+    def get_node_counts(self, min_nodes=0):
+        return np.bincount(self.nodes, self.counter[self.kmers],
+                           minlength=min_nodes)

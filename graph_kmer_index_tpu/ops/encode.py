@@ -1,0 +1,168 @@
+"""Device k-mer hashing kernels.
+
+The hash convention (first base = least-significant 2-bit digit, see
+hashing.py and reference kmer_hashing.py:8-9) makes a k-mer hash the
+little-endian 2-bit packing of its bases:
+
+    hash(i) = sum_j seq[i+j] << (2*j)
+
+so sliding-window hashing — the reference's ``np.convolve(seq,
+power_array(k))`` hot path (read_kmers.py:68-70, kmer_finder.py:350-352) —
+is pure bit-packing. On TPU we compute it with a log-doubling shift/or
+ladder (O(log k) vector ops per element) in XLA, or with an explicit
+Pallas kernel operating on 2 x uint32 lanes.
+
+All functions are shape-polymorphic only in the leading dimension and use
+static k, so they jit cleanly.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U64 = jnp.uint64
+U32 = jnp.uint32
+
+
+def encode_ascii(raw: jax.Array) -> jax.Array:
+    """ASCII bytes -> 2-bit codes (a/A=0, c/C=1, g/G=2, t/T=3, other=0).
+
+    Same mapping as hashing.letter_sequence_to_numeric (reference
+    flat_kmers.py:134-145) but arithmetic (3 compares) instead of a
+    gather, which vectorizes on the VPU.
+    """
+    x = (raw.astype(jnp.int32) | 32)  # lowercase
+    return (
+        (x == ord("c")) * 1 + (x == ord("g")) * 2 + (x == ord("t")) * 3
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def sliding_hashes(seq: jax.Array, k: int) -> jax.Array:
+    """uint64 hashes of ALL windows (including the k-1 ragged tail ones).
+
+    ``out[i] = hash(seq[i:i+k])`` for i in [0, len(seq)); windows running
+    past the end are computed as if the sequence were zero-padded. Callers
+    slice ``out[:n-k+1]`` for valid windows. Returning full length keeps the
+    shape independent of k, which matters for jit cache reuse.
+
+    Log-doubling: P_l[i] packs 2^l bases starting at i; combining by the
+    binary decomposition of k gives each window in O(log k) shift/or ops.
+    """
+    assert 1 <= k <= 31
+    n = seq.shape[0]
+    x = seq.astype(U64)
+    # pad so every slice below is in bounds
+    pad = 1 << max(0, (k - 1).bit_length())
+    x = jnp.concatenate([x, jnp.zeros(pad, U64)])
+
+    levels = [x]  # levels[l][i] packs 2^l bases at i
+    span = 1
+    while span < k:
+        p = levels[-1]
+        levels.append(p | (jnp.roll(p, -span) << U64(2 * span)))
+        span *= 2
+
+    acc = jnp.zeros_like(x)
+    offset = 0
+    remaining = k
+    lvl = len(levels) - 1
+    while remaining > 0:
+        size = 1 << lvl
+        if remaining >= size:
+            acc = acc | (jnp.roll(levels[lvl], -offset) << U64(2 * offset))
+            offset += size
+            remaining -= size
+        lvl -= 1
+    return acc[:n]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def sliding_hashes_masked(seq: jax.Array, k: int, valid_mask: jax.Array | None = None):
+    """Window hashes plus a validity mask for windows that fit entirely
+    within a 'valid' region (used for concatenated path streams where
+    windows must not cross stream boundaries)."""
+    hashes = sliding_hashes(seq, k)
+    n = seq.shape[0]
+    idx = jnp.arange(n)
+    ok = idx <= n - k
+    if valid_mask is not None:
+        # window valid iff all k positions valid: min over window
+        m = valid_mask.astype(jnp.int32)
+        cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(m)])
+        cnt = cs[jnp.minimum(idx + k, n)] - cs[idx]
+        ok = ok & (cnt == k)
+    return hashes, ok
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: sliding hashes over a halo-chunked layout.
+# ---------------------------------------------------------------------------
+
+def _hash_kernel(seq_ref, lo_ref, hi_ref, *, k: int, chunk: int):
+    """seq_ref: (ROWS, chunk + 32) int32 bases; lo/hi: (ROWS, chunk) uint32.
+
+    lo packs bases [0,16), hi packs bases [16, k). 31 static column slices,
+    each a shift/or on the VPU — exact uint32 arithmetic, no 64-bit needed.
+    """
+    block = seq_ref[:].astype(U32)
+    lo = jnp.zeros((block.shape[0], chunk), U32)
+    hi = jnp.zeros((block.shape[0], chunk), U32)
+    for t in range(min(k, 16)):
+        lo = lo | (block[:, t : t + chunk] << U32(2 * t))
+    for t in range(16, k):
+        hi = hi | (block[:, t : t + chunk] << U32(2 * (t - 16)))
+    lo_ref[:] = lo
+    hi_ref[:] = hi
+
+
+def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 512,
+                          rows_per_block: int = 8, interpret: bool = False):
+    """Pallas TPU version of :func:`sliding_hashes`.
+
+    Returns (lo, hi) uint32 arrays of length len(seq): the 62-bit hash is
+    ``lo + hi * 2**32``. Tail windows (crossing the end) are computed over
+    zero padding, like :func:`sliding_hashes`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert 1 <= k <= 31
+    n = seq.shape[0]
+    halo = 32  # >= k, keeps the block width static across k
+    n_chunks = max(1, -(-n // chunk))
+    padded = n_chunks * chunk + halo
+    x = jnp.zeros(padded, jnp.int32).at[:n].set(seq.astype(jnp.int32))
+    # overlapping rows: row i covers [i*chunk, i*chunk + chunk + halo)
+    idx = (jnp.arange(n_chunks)[:, None] * chunk + jnp.arange(chunk + halo)[None, :])
+    rows = x[idx]  # (n_chunks, chunk+halo)
+
+    grid = (-(-n_chunks // rows_per_block),)
+    rows = jnp.pad(rows, ((0, grid[0] * rows_per_block - n_chunks), (0, 0)))
+
+    lo, hi = pl.pallas_call(
+        functools.partial(_hash_kernel, k=k, chunk=chunk),
+        grid=grid,
+        in_specs=[pl.BlockSpec((rows_per_block, chunk + halo), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((rows_per_block, chunk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_block, chunk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid[0] * rows_per_block, chunk), U32),
+            jax.ShapeDtypeStruct((grid[0] * rows_per_block, chunk), U32),
+        ),
+        interpret=interpret,
+    )(rows)
+    return lo.reshape(-1)[:n], hi.reshape(-1)[:n]
+
+
+def combine_u32_pair(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """(lo, hi) uint32 lanes -> uint64 hash (requires x64)."""
+    return lo.astype(U64) | (hi.astype(U64) << U64(32))

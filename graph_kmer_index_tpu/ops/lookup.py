@@ -1,0 +1,164 @@
+"""Batched device lookup into modulo-bucket k-mer tables.
+
+Replaces the reference's native hot paths: CythonKmerIndex.get
+(cython_kmer_index.pyx:22-109, the two-pass bucket scan) and the external
+``kmer_mapper`` package's map_kmers_to_graph_index / in_graph_index
+(used at collision_free_kmer_index.py:210-232).
+
+Design: a query's bucket is a contiguous row range [start, start+n). With
+MAX_SCAN = max bucket size (static, computed at build), every query
+becomes a dense (n_queries, MAX_SCAN) gather + vectorized kmer-equality
+mask — no data-dependent shapes, so XLA tiles it. Node counting is a
+scatter-add (segment-sum) over the masked hits, which is the KAGE
+genotyping kernel (CounterKmerIndex.get_node_counts,
+collision_free_kmer_index.py:39-40).
+
+Queries are padded to a fixed quantum and masked with a dynamic valid
+count, so jit caches stay warm across variable batch sizes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# hard caps mirroring the Cython reference (cython_kmer_index.pyx:62-63,93-99)
+DEFAULT_HIT_CAP = 10000
+DEFAULT_FREQUENCY_CAP = 20
+
+_PAD = 1024  # query padding quantum for jit cache reuse
+
+
+@functools.partial(jax.jit, static_argnums=(7,))
+def _bucket_hits(kmers, n_valid, table_kmers, starts_tbl, sizes_tbl, modulo,
+                 n_rows, max_scan):
+    """Per-query bucket scan.
+
+    Returns (row_idx, hit_mask, n_in_bucket): row indices (n_q, max_scan),
+    boolean hit mask (False for padded queries), and bucket sizes."""
+    bucket = (kmers % modulo).astype(jnp.int64)
+    start = starts_tbl[bucket]
+    n = sizes_tbl[bucket].astype(jnp.int32)
+    scan = jnp.arange(max_scan, dtype=jnp.int64)
+    rows = start[:, None] + scan[None, :]
+    rows_c = jnp.minimum(rows, n_rows - 1)
+    stored = table_kmers[rows_c]
+    qvalid = jnp.arange(kmers.shape[0]) < n_valid
+    mask = ((scan[None, :] < n[:, None])
+            & (stored == kmers[:, None])
+            & qvalid[:, None])
+    return rows_c, mask, n
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _node_counts(kmers, n_valid, table_kmers, table_nodes, starts_tbl,
+                 sizes_tbl, modulo, n_nodes, max_scan):
+    rows, mask, _ = _bucket_hits(kmers, n_valid, table_kmers, starts_tbl,
+                                 sizes_tbl, modulo, table_kmers.shape[0],
+                                 max_scan)
+    nodes = table_nodes[rows]
+    counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+    return counts.at[nodes.reshape(-1)].add(mask.reshape(-1).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _has_kmers(kmers, n_valid, table_kmers, starts_tbl, sizes_tbl, modulo,
+               max_scan):
+    _, mask, _ = _bucket_hits(kmers, n_valid, table_kmers, starts_tbl,
+                              sizes_tbl, modulo, table_kmers.shape[0],
+                              max_scan)
+    return jnp.any(mask, axis=1)
+
+
+def _pad_queries(kmers):
+    n = len(kmers)
+    padded = max(_PAD, -(-n // _PAD) * _PAD)
+    out = np.zeros(padded, dtype=np.uint64)
+    out[:n] = kmers
+    return out, n
+
+
+class DeviceKmerIndex:
+    """Device-resident view of a CollisionFreeKmerIndex."""
+
+    def __init__(self, table_kmers, table_nodes, table_ref_offsets,
+                 table_frequencies, table_allele_frequencies,
+                 starts_tbl, sizes_tbl, modulo, max_scan):
+        self.table_kmers = table_kmers
+        self.table_nodes = table_nodes
+        self.table_ref_offsets = table_ref_offsets
+        self.table_frequencies = table_frequencies
+        self.table_allele_frequencies = table_allele_frequencies
+        self.starts_tbl = starts_tbl
+        self.sizes_tbl = sizes_tbl
+        self.modulo = modulo
+        self.max_scan = max_scan
+
+    @classmethod
+    def from_host_index(cls, index):
+        sizes = np.asarray(index._n_kmers)
+        max_scan = max(1, int(sizes.max()) if len(sizes) else 1)
+        freqs = index._frequencies
+        if np.ndim(freqs) == 0 or len(np.atleast_1d(freqs)) != len(index._kmers):
+            freqs = np.zeros(len(index._kmers), dtype=np.uint16)
+        af = index._allele_frequencies
+        if af is None or np.ndim(af) == 0 or len(np.atleast_1d(af)) != len(index._kmers):
+            af = np.zeros(len(index._kmers), dtype=np.float32)
+        return cls(
+            jnp.asarray(np.asarray(index._kmers, dtype=np.uint64)),
+            jnp.asarray(np.asarray(index._nodes, dtype=np.int32)),
+            jnp.asarray(np.asarray(index._ref_offsets).astype(np.int64)),
+            jnp.asarray(np.asarray(freqs, dtype=np.int32)),
+            jnp.asarray(np.asarray(af, dtype=np.float32)),
+            jnp.asarray(np.asarray(index._hashes_to_index, dtype=np.int64)),
+            jnp.asarray(sizes.astype(np.int32)),
+            jnp.uint64(index._modulo),
+            max_scan,
+        )
+
+    def has_kmers(self, kmers: np.ndarray) -> np.ndarray:
+        q, n = _pad_queries(kmers)
+        out = _has_kmers(jnp.asarray(q), n, self.table_kmers, self.starts_tbl,
+                         self.sizes_tbl, self.modulo, self.max_scan)
+        return np.asarray(out)[:n]
+
+    def map_kmers(self, kmers: np.ndarray, n_nodes: int) -> np.ndarray:
+        """Node hit counts for a read-kmer batch (kmer_mapper contract)."""
+        q, n = _pad_queries(kmers)
+        counts = _node_counts(jnp.asarray(q), n, self.table_kmers,
+                              self.table_nodes, self.starts_tbl,
+                              self.sizes_tbl, self.modulo, int(n_nodes),
+                              self.max_scan)
+        return np.asarray(counts)
+
+    def get_batched(self, kmers: np.ndarray, max_hits=10,
+                    hit_cap=DEFAULT_HIT_CAP,
+                    frequency_cap=DEFAULT_FREQUENCY_CAP):
+        """(5, n_hits) uint64 matrix [node, ref_offset, query_index,
+        frequency, 1000*allele_frequency], the CythonKmerIndex.get contract
+        (cython_kmer_index.pyx:101-106): queries with more than ``hit_cap``
+        rows in their bucket are skipped, as are rows with frequency >
+        ``frequency_cap``."""
+        q, n = _pad_queries(kmers)
+        rows, mask, n_bucket = _bucket_hits(
+            jnp.asarray(q), n, self.table_kmers, self.starts_tbl,
+            self.sizes_tbl, self.modulo, self.table_kmers.shape[0],
+            self.max_scan)
+        rows = np.asarray(rows)[:n]
+        mask = np.asarray(mask)[:n]
+        n_bucket = np.asarray(n_bucket)[:n]
+        freqs = np.asarray(self.table_frequencies)
+        mask &= (n_bucket <= hit_cap)[:, None]
+        mask &= freqs[rows] <= frequency_cap
+        qi, sc = np.nonzero(mask)
+        r = rows[qi, sc]
+        out = np.zeros((5, len(r)), dtype=np.uint64)
+        out[0] = np.asarray(self.table_nodes)[r]
+        out[1] = np.asarray(self.table_ref_offsets)[r]
+        out[2] = qi
+        out[3] = freqs[r]
+        out[4] = (np.asarray(self.table_allele_frequencies)[r] * 1000).astype(
+            np.uint64)
+        return out
