@@ -49,3 +49,9 @@ from .models.counters import (  # noqa: E402,F401
     CountMinSketchKmerCounter,
     KmerFrequencyIndex,
 )
+from .variants import VcfVariant, VcfVariants  # noqa: E402,F401
+from .unique_variant_kmers import UniqueVariantKmersFinder  # noqa: E402,F401
+from .structural_variants import (  # noqa: E402,F401
+    sample_kmers_from_structural_variants,
+)
+from .models.bundle import IndexBundle  # noqa: E402,F401

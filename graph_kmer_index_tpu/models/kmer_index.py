@@ -36,7 +36,7 @@ def _build_modulo_layout(hashes, modulo, row_arrays):
     sorting = np.argsort(hashes, kind="stable")
     hashes = hashes[sorting]
     rows = [a[sorting] for a in row_arrays]
-    diffs = np.ediff1d(hashes, to_begin=1)
+    diffs = np.ediff1d(hashes, to_begin=hashes.dtype.type(1))
     starts = np.nonzero(diffs)[0]
     unique_hashes = hashes[starts].astype(np.int64)
     lookup = np.zeros(modulo, dtype=np.int64)
@@ -59,8 +59,8 @@ def _frequencies_by_distinct_ref_offsets(kmers_sorted, ref_offsets_sorted):
     order = np.lexsort((ref_offsets_sorted, kmers_sorted))
     km = kmers_sorted[order]
     ro = ref_offsets_sorted[order]
-    new_kmer = np.ediff1d(km, to_begin=1) != 0
-    new_pair = new_kmer | (np.ediff1d(ro, to_begin=1) != 0)
+    new_kmer = np.ediff1d(km, to_begin=km.dtype.type(1)) != 0
+    new_pair = new_kmer | (np.ediff1d(ro, to_begin=ro.dtype.type(1)) != 0)
     # distinct pairs per kmer segment
     seg_id = np.cumsum(new_kmer) - 1
     counts = np.bincount(seg_id, weights=new_pair.astype(np.int64)).astype(np.int64)
@@ -386,9 +386,9 @@ class KmerIndex2:
         order = np.lexsort((np.asarray(so), np.asarray(sn), np.asarray(kmers)))
         km, s1, s2 = (np.asarray(kmers)[order], np.asarray(sn)[order],
                       np.asarray(so)[order])
-        new_kmer = np.ediff1d(km, to_begin=1) != 0
-        new_pair = new_kmer | (np.ediff1d(s1, to_begin=1) != 0) | \
-            (np.ediff1d(s2, to_begin=1) != 0)
+        new_kmer = np.ediff1d(km, to_begin=km.dtype.type(1)) != 0
+        new_pair = new_kmer | (np.ediff1d(s1, to_begin=s1.dtype.type(1)) != 0) | \
+            (np.ediff1d(s2, to_begin=s2.dtype.type(1)) != 0)
         seg = np.cumsum(new_kmer) - 1
         counts = np.bincount(seg, weights=new_pair.astype(np.int64)).astype(
             np.int64)
@@ -407,11 +407,12 @@ class CounterKmerIndex:
         self.counter = counter
 
     @classmethod
-    def from_kmer_index(cls, kmer_index):
+    def from_kmer_index(cls, kmer_index, modulo=None):
         kmers = kmer_index._kmers.astype(np.int64)
         nodes = kmer_index._nodes
         unique_kmers = np.unique(kmers)
-        counter = Counter(unique_kmers, 0, mod=kmer_index._modulo,
+        counter = Counter(unique_kmers, 0,
+                          mod=modulo if modulo else kmer_index._modulo,
                           value_dtype=np.uint16)
         return cls(kmers, nodes, counter)
 

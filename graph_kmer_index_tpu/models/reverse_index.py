@@ -53,7 +53,7 @@ class ReverseKmerIndex:
         nodes_s, kmers_s = nodes[order], kmers[order]
         ref_s = ref_positions[order]
 
-        diffs = np.ediff1d(nodes_s, to_begin=1)
+        diffs = np.ediff1d(nodes_s, to_begin=nodes_s.dtype.type(1))
         starts = np.nonzero(diffs)[0]
         unique_nodes = nodes_s[starts].astype(np.int64)
         index = np.zeros(max_node + 1, dtype=np.uint32)

@@ -80,6 +80,52 @@ def sliding_hashes(seq: jax.Array, k: int) -> jax.Array:
     return acc[:n]
 
 
+def _pack_u32(x: jax.Array, m: int) -> jax.Array:
+    """P_m[i] = sum_{t<m} x[i+t] << 2t as uint32 (m <= 16), log-doubling."""
+    assert 1 <= m <= 16
+    levels = [x]
+    span = 1
+    while span < m:
+        p = levels[-1]
+        levels.append(p | (jnp.roll(p, -span) << U32(2 * span)))
+        span *= 2
+    acc = jnp.zeros_like(x)
+    offset, remaining, lvl = 0, m, len(levels) - 1
+    while remaining > 0:
+        size = 1 << lvl
+        if remaining >= size:
+            acc = acc | (jnp.roll(levels[lvl], -offset) << U32(2 * offset))
+            offset += size
+            remaining -= size
+        lvl -= 1
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def sliding_hashes_u32(seq: jax.Array, k: int):
+    """(lo, hi) uint32 lanes of every window hash: hash = lo | hi << 32.
+
+    TPU-native formulation — 64-bit integers are emulated on TPU, so the
+    u64 ladder of :func:`sliding_hashes` costs ~2x per op plus ~20
+    intermediate arrays of HBM traffic. Here the 62-bit hash is built from
+    ONE shared u32 packing: lo[i] = P16[i] (bases i..i+15) and
+    hi[i] = P16[i+16] masked to k-16 bases — 4 log-doubling rounds of
+    native u32 ops total. Tail windows read zero padding.
+    """
+    assert 1 <= k <= 31
+    n = seq.shape[0]
+    x = seq.astype(U32)
+    pad = 32
+    x = jnp.concatenate([x, jnp.zeros(pad, U32)])
+    if k <= 16:
+        lo = _pack_u32(x, k)
+        return lo[:n], jnp.zeros(n, U32)
+    p16 = _pack_u32(x, 16)
+    lo = p16
+    hi = jnp.roll(p16, -16) & U32((1 << (2 * (k - 16))) - 1)
+    return lo[:n], hi[:n]
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def sliding_hashes_masked(seq: jax.Array, k: int, valid_mask: jax.Array | None = None):
     """Window hashes plus a validity mask for windows that fit entirely
@@ -143,15 +189,20 @@ def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 512,
     grid = (-(-n_chunks // rows_per_block),)
     rows = jnp.pad(rows, ((0, grid[0] * rows_per_block - n_chunks), (0, 0)))
 
+    # NB: index maps must return same-typed indices and must not capture
+    # constants; with x64 enabled a bare literal 0 traces as i64 while
+    # program ids are i32, which fails Mosaic lowering
+    # ("func.return (i32, i64)") — hence the computed i32 zero ``i - i``.
     lo, hi = pl.pallas_call(
         functools.partial(_hash_kernel, k=k, chunk=chunk),
         grid=grid,
-        in_specs=[pl.BlockSpec((rows_per_block, chunk + halo), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((rows_per_block, chunk + halo),
+                               lambda i: (i, i - i),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((rows_per_block, chunk), lambda i: (i, 0),
+            pl.BlockSpec((rows_per_block, chunk), lambda i: (i, i - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_block, chunk), lambda i: (i, 0),
+            pl.BlockSpec((rows_per_block, chunk), lambda i: (i, i - i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

@@ -66,7 +66,7 @@ def count_min_sketch_sharded(kmers: np.ndarray, modulos,
     """Count-min sketch over a sharded kmer batch; rows are bincounts per
     modulo, merged across devices by psum (reference
     count_min_sketch_kmer_counter.py:25-29 is the single-host loop)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     modulos = np.asarray(modulos, dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(modulos)[:-1]])
@@ -95,6 +95,132 @@ def count_min_sketch_sharded(kmers: np.ndarray, modulos,
     fn = shard_map(local_count, mesh=mesh, in_specs=P("data"),
                    out_specs=P())
     return np.asarray(fn(jnp.asarray(q)))
+
+
+# ---------------------------------------------------------------------------
+# 2-D sharded pipeline: reads data-parallel x index table-parallel.
+#
+# This is the production multi-chip layout (SURVEY.md §5.8): the bucket
+# table (modulo-sized, ~3.6 GB at production modulo 452930477) is sharded
+# by contiguous BUCKET RANGE over the mesh "table" axis — each device owns
+# buckets [t*m_local, (t+1)*m_local) plus the row segment they point into —
+# while read/query batches shard over the "data" axis. A query is answered
+# by the single table shard owning its bucket; node-count merging is a
+# psum over BOTH axes (the reference's equivalent is fork() + host
+# concatenate, shared_mem.py:123-176 / collision_free_kmer_index.py:222-232).
+# ---------------------------------------------------------------------------
+
+
+class TableShards:
+    """Host-side container of the bucket-range-sharded index arrays, stacked
+    with a leading (n_table,) axis so shard_map can split them."""
+
+    def __init__(self, starts, sizes, row_kmers, row_nodes, m_local, modulo,
+                 max_scan, n_table):
+        self.starts = starts          # (n_table, m_local) int64, shard-local row offsets
+        self.sizes = sizes            # (n_table, m_local) int32
+        self.row_kmers = row_kmers    # (n_table, rmax) uint64
+        self.row_nodes = row_nodes    # (n_table, rmax) int32
+        self.m_local = m_local
+        self.modulo = modulo
+        self.max_scan = max_scan
+        self.n_table = n_table
+
+    @classmethod
+    def from_index(cls, index, n_table: int):
+        starts_tbl = np.asarray(index._hashes_to_index, dtype=np.int64)
+        sizes_tbl = np.asarray(index._n_kmers, dtype=np.int32)
+        kmers = np.asarray(index._kmers, dtype=np.uint64)
+        nodes = np.asarray(index._nodes, dtype=np.int32)
+        modulo = int(index._modulo)
+        m_local = -(-modulo // n_table)
+
+        starts_p = np.zeros(m_local * n_table, dtype=np.int64)
+        sizes_p = np.zeros(m_local * n_table, dtype=np.int32)
+        starts_p[:modulo] = starts_tbl
+        sizes_p[:modulo] = sizes_tbl
+        starts_p = starts_p.reshape(n_table, m_local)
+        sizes_p = sizes_p.reshape(n_table, m_local)
+
+        # rows live sorted by bucket, so each shard's rows are contiguous
+        rows_lo, rows_hi = [], []
+        for t in range(n_table):
+            nz = sizes_p[t] > 0
+            if nz.any():
+                lo = int(starts_p[t][nz].min())
+                hi = int((starts_p[t][nz] + sizes_p[t][nz]).max())
+            else:
+                lo, hi = 0, 0
+            rows_lo.append(lo)
+            rows_hi.append(hi)
+        rmax = max(1, max(h - l for l, h in zip(rows_lo, rows_hi)))
+        row_kmers = np.zeros((n_table, rmax), dtype=np.uint64)
+        row_nodes = np.zeros((n_table, rmax), dtype=np.int32)
+        for t, (lo, hi) in enumerate(zip(rows_lo, rows_hi)):
+            row_kmers[t, : hi - lo] = kmers[lo:hi]
+            row_nodes[t, : hi - lo] = nodes[lo:hi]
+            starts_p[t] -= lo  # re-base to shard-local row offsets
+        max_scan = max(1, int(sizes_tbl.max()) if len(sizes_tbl) else 1)
+        return cls(starts_p, sizes_p, row_kmers, row_nodes, m_local, modulo,
+                   max_scan, n_table)
+
+
+def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
+                    data_axis: str = "data", table_axis: str = "table"):
+    """Build the jitted full pipeline step over a 2-D mesh: 2-bit reads ->
+    sliding-window hashes -> bucket-range-sharded lookup -> node counts.
+
+    Returns ``step(reads, table_args...)``: reads (n_reads, read_len) int32
+    sharded over ``data_axis``; table arrays sharded over ``table_axis``;
+    output node counts replicated (psum over both axes).
+    """
+    from jax import shard_map
+    from ..ops.encode import sliding_hashes
+
+    m_local = shards.m_local
+    max_scan = shards.max_scan
+    modulo = np.uint64(shards.modulo)
+
+    def local_step(reads, starts, sizes, row_kmers, row_nodes):
+        # shard-local shapes: reads (r_loc, L); table args (1, ...)
+        starts, sizes = starts[0], sizes[0]
+        row_kmers, row_nodes = row_kmers[0], row_nodes[0]
+        t_idx = jax.lax.axis_index(table_axis).astype(jnp.int64)
+
+        r_loc, L = reads.shape
+        flat = reads.reshape(-1)
+        hashes = sliding_hashes(flat, k)
+        # windows crossing read boundaries are invalid
+        pos = jnp.arange(r_loc * L) % L
+        valid = pos <= L - k
+        kmers = jnp.where(valid, hashes, jnp.uint64(0))
+
+        bucket = (kmers % modulo).astype(jnp.int64)
+        owner = bucket // m_local
+        mine = (owner == t_idx) & valid
+        local_bucket = jnp.clip(bucket - t_idx * m_local, 0, m_local - 1)
+        start = starts[local_bucket]
+        n_in_bucket = sizes[local_bucket].astype(jnp.int32)
+        scan = jnp.arange(max_scan, dtype=jnp.int64)
+        rows = jnp.minimum(start[:, None] + scan[None, :],
+                           row_kmers.shape[0] - 1)
+        stored = row_kmers[rows]
+        hit = ((scan[None, :] < n_in_bucket[:, None])
+               & (stored == kmers[:, None]) & mine[:, None])
+        nodes_hit = row_nodes[rows]
+        counts = jnp.zeros(n_nodes, jnp.int32).at[nodes_hit.reshape(-1)].add(
+            hit.reshape(-1).astype(jnp.int32))
+        return jax.lax.psum(counts, (data_axis, table_axis))
+
+    P_ = P
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P_(data_axis, None), P_(table_axis, None),
+                  P_(table_axis, None), P_(table_axis, None),
+                  P_(table_axis, None)),
+        out_specs=P_(),
+    )
+    return jax.jit(step)
 
 
 def run_sharded_function(func, n_shards, array_args):

@@ -8,10 +8,21 @@ N-way-parallel == serial equality checks (test_shared_memory.py:22-27).
 """
 import os
 
-# Must be set before jax import (anywhere) in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import (anywhere) in the test process. The image's
+# sitecustomize registers a hardware backend when PALLAS_AXON_POOL_IPS is
+# set and JAX_PLATFORMS=axon is preset in the environment — override both
+# so tests deterministically get the 8-device CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# sitecustomize may have already imported jax and pinned the hardware
+# platform; the config update below wins as long as no backend has been
+# initialized yet (conftest runs before any test imports trigger one).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,117 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Mirrors the reference's parallel-equals-serial strategy
+(tests/test_shared_memory.py:22-27, test_collision_free_kmer_index.py:30-34):
+every sharded kernel must reproduce the single-device result exactly.
+"""
+import sys
+import pathlib
+
+import numpy as np
+import jax
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import (
+    Graph, DenseKmerFinder, CollisionFreeKmerIndex, FlatKmers)
+from graph_kmer_index_tpu.parallel.sharded import (
+    has_kmers_sharded, map_kmers_sharded, count_min_sketch_sharded,
+    run_sharded_function, TableShards, make_count_step)
+
+
+def _toy_index():
+    graph = Graph.from_dicts(
+        {1: "ACTGACTGTCTAGGACTGAC", 2: "A", 3: "G", 4: "CCCTACTGTTTAGTCA"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    finder = DenseKmerFinder(graph, k=5)
+    finder.find()
+    flat = finder.get_flat_kmers(v="0")
+    return graph, flat, CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=211)
+
+
+def test_has_kmers_sharded_matches_serial():
+    graph, flat, index = _toy_index()
+    queries = np.concatenate([
+        np.asarray(flat._hashes[:10], dtype=np.uint64),
+        np.array([12345678, 999], dtype=np.uint64)])
+    serial = np.array([int(q) in index for q in queries])
+    for n_shards in (1, 2, 3, 8):
+        got = has_kmers_sharded(index, queries, n_shards=n_shards)
+        assert np.array_equal(got, serial), n_shards
+
+
+def test_map_kmers_sharded_matches_serial():
+    graph, flat, index = _toy_index()
+    queries = np.asarray(flat._hashes, dtype=np.uint64)
+    serial = index.map_kmers(queries, graph.n_nodes())
+    for n_shards in (2, 8):
+        got = map_kmers_sharded(index, queries, graph.n_nodes(),
+                                n_shards=n_shards)
+        assert np.array_equal(got, serial)
+
+
+def test_count_min_sketch_sharded_matches_host():
+    rng = np.random.default_rng(1)
+    kmers = rng.integers(0, 1 << 40, 1000).astype(np.uint64)
+    modulos = [97, 101, 103]
+    sketch = count_min_sketch_sharded(kmers, modulos, n_shards=8)
+    offset = 0
+    for m in modulos:
+        expected = np.bincount((kmers % np.uint64(m)).astype(np.int64),
+                               minlength=m)
+        assert np.array_equal(sketch[offset:offset + m], expected)
+        offset += m
+
+
+def test_run_sharded_function():
+    x = np.arange(1000, dtype=np.float64)
+    out = run_sharded_function(lambda a: a * 2 + 1, 4, [x])
+    assert np.array_equal(out, x * 2 + 1)
+
+
+def test_table_sharded_count_step_matches_single_device():
+    """2-D (data x table) mesh pipeline == single-device lookup, for every
+    viable mesh shape on 8 virtual devices."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+
+    k = 5
+    graph, flat, index = _toy_index()
+    n_nodes = graph.n_nodes()
+
+    rng = np.random.default_rng(2)
+    ref_seq = np.concatenate([graph.get_numeric_node_sequence(v)
+                              for v in [1, 2, 4]])
+    reads = np.stack([
+        np.resize(np.roll(ref_seq, -int(s)), 16) for s in
+        rng.integers(0, len(ref_seq), 8)]).astype(np.int32)
+
+    # single-device expectation via the host index
+    hashes = np.asarray(sliding_hashes(jnp.asarray(reads.reshape(-1)), k))
+    pos = np.arange(reads.size) % reads.shape[1]
+    valid = pos <= reads.shape[1] - k
+    expected = index.map_kmers(hashes[valid].astype(np.uint64), n_nodes)
+
+    for n_data, n_table in ((4, 2), (2, 4), (8, 1), (1, 8)):
+        devices = np.asarray(jax.devices()[:8]).reshape(n_data, n_table)
+        mesh = Mesh(devices, ("data", "table"))
+        shards = TableShards.from_index(index, n_table)
+        step = make_count_step(mesh, shards, n_nodes, k)
+        reads_j = jax.device_put(jnp.asarray(reads),
+                                 NamedSharding(mesh, P("data", None)))
+        targs = [jax.device_put(jnp.asarray(a),
+                                NamedSharding(mesh, P("table", None)))
+                 for a in (shards.starts, shards.sizes, shards.row_kmers,
+                           shards.row_nodes)]
+        got = np.asarray(step(reads_j, *targs))
+        assert np.array_equal(got, expected), (n_data, n_table)
+
+
+def test_graft_entry():
+    import __graft_entry__ as e
+    import jax.numpy as jnp
+    fn, args = e.entry()
+    out = np.asarray(jax.jit(fn)(*[jnp.asarray(a) for a in args]))
+    assert out.sum() > 0
+    e.dryrun_multichip(8)

@@ -1,0 +1,89 @@
+"""UniqueVariantKmersFinder end-to-end (mirrors reference
+tests/test_variant_kmers.py:15-75): 10-node graph + 3 VCF variants; the
+kmer CTGAG shared by both alleles of variant 1 must be excluded, and both
+nodes of each variant must receive kmers."""
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import (
+    Graph, PositionId, VariantToNodes, VcfVariant, VcfVariants,
+    DenseKmerFinder, KmerIndex, ReverseKmerIndex, UniqueVariantKmersFinder,
+    sequence_to_kmer_hash)
+
+
+@pytest.fixture
+def k():
+    return 5
+
+
+@pytest.fixture
+def graph():
+    return Graph.from_dicts(
+        {1: "AAAAAACTG", 2: "A", 3: "G", 4: "GC", 5: "T", 6: "C",
+         7: "TGAGCCCCC", 8: "", 9: "TC", 10: "AAAAA"},
+        {1: [2, 3], 2: [4], 3: [4], 4: [5, 6], 5: [7], 6: [7],
+         7: [8, 9], 9: [10], 8: [10]},
+        [1, 2, 4, 5, 7, 10])
+
+
+@pytest.fixture
+def variant_to_nodes():
+    return VariantToNodes(np.array([2, 5, 8]), np.array([3, 6, 9]))
+
+
+@pytest.fixture
+def variants():
+    return VcfVariants([
+        VcfVariant(1, 10, "A", "G", vcf_line_number=0, type="SNP"),
+        VcfVariant(1, 13, "T", "C", vcf_line_number=1, type="SNP"),
+        VcfVariant(1, 22, "C", "CTC", vcf_line_number=2, type="INDEL"),
+    ])
+
+
+@pytest.fixture
+def kmer_index_with_frequencies(graph, k):
+    kmer_finder = DenseKmerFinder(graph, k)
+    kmer_finder.find()
+    flat_kmers = kmer_finder.get_flat_kmers(v="1")
+    index = KmerIndex.from_flat_kmers(flat_kmers, modulo=4099)
+    assert index.get_frequency(sequence_to_kmer_hash("CTGAG"), k=k) == 2
+    return index
+
+
+@pytest.fixture
+def kmer_finder(graph, variant_to_nodes, variants, k,
+                kmer_index_with_frequencies):
+    return UniqueVariantKmersFinder(
+        graph, variant_to_nodes, variants, k=k,
+        kmer_index_with_frequencies=kmer_index_with_frequencies,
+        use_dense_kmer_finder=True,
+        position_id_index=PositionId.from_graph(graph))
+
+
+def test_kmers_from_position(kmer_finder):
+    kmers_found = kmer_finder.find_unique_kmers()
+    index = KmerIndex.from_flat_kmers(kmers_found, modulo=4099)
+    nodes = index.get_nodes(sequence_to_kmer_hash("CTGAG"))
+    assert nodes is None, "CTGAG should not be in index"
+    reverse_index = ReverseKmerIndex.from_flat_kmers(kmers_found)
+    assert len(reverse_index.get_node_kmers(2)) > 0
+    assert len(reverse_index.get_node_kmers(3)) > 0
+
+
+def test_simple_mode(graph, variant_to_nodes, variants, k,
+                     kmer_index_with_frequencies):
+    finder = UniqueVariantKmersFinder(
+        graph, variant_to_nodes, variants, k=k,
+        kmer_index_with_frequencies=kmer_index_with_frequencies,
+        use_dense_kmer_finder=True,
+        position_id_index=PositionId.from_graph(graph),
+        use_simple=True)
+    flat = finder.find_unique_kmers()
+    # every variant node must receive kmers in simple mode
+    for node in (2, 3, 5, 6):
+        assert node in set(np.asarray(flat._nodes).tolist())
