@@ -20,7 +20,7 @@ import numpy as np
 K = 31
 N_DEVICE = 1 << 24   # bases hashed per device iteration
 N_CPU = 1 << 20      # bases for the CPU reference measurement
-REPS = 5
+REPS = 16
 KERNEL_TIMEOUT_S = 240
 
 
@@ -34,7 +34,15 @@ def _median_time(fn, reps=REPS):
 
 
 def measure_kernel(kernel: str) -> float:
-    """Run in-process: rate (kmers/s) for one device kernel."""
+    """Rate (kmers/s) for one device kernel.
+
+    Methodology: the only trustworthy sync point on this backend is a
+    scalar fetch, so we time a jitted data-dependent chain of R kernel
+    applications ending in a sum() for two chain lengths and difference
+    them — constant dispatch/fetch overhead cancels, leaving pure kernel
+    time per iteration."""
+    import functools
+    import jax
     import jax.numpy as jnp
     from graph_kmer_index_tpu.ops.encode import (
         sliding_hashes, sliding_hashes_pallas, sliding_hashes_u32)
@@ -42,25 +50,32 @@ def measure_kernel(kernel: str) -> float:
     rng = np.random.default_rng(0)
     seq = jnp.asarray(rng.integers(0, 4, N_DEVICE).astype(np.int32))
 
-    if kernel == "pallas":
-        def launch():
-            return sliding_hashes_pallas(seq, K)[0]
-    elif kernel == "u32":
-        def launch():
-            return sliding_hashes_u32(seq, K)[0]
-    else:
-        def launch():
-            return sliding_hashes(seq, K)
+    def apply(s):
+        if kernel == "pallas":
+            lo, hi = sliding_hashes_pallas(s, K)
+            return (lo ^ hi).astype(jnp.int32)
+        if kernel == "u32":
+            lo, hi = sliding_hashes_u32(s, K)
+            return (lo ^ hi).astype(jnp.int32)
+        return sliding_hashes(s, K).astype(jnp.int32)
 
-    launch().block_until_ready()  # compile
-    # pipelined dispatch (sync once at the end) so per-call host->device
-    # launch latency is amortized, as in any production streaming use
-    t = time.perf_counter()
-    outs = [launch() for _ in range(REPS)]
-    for o in outs:
-        o.block_until_ready()
-    dt = (time.perf_counter() - t) / REPS
-    return N_DEVICE / dt
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chain(s, reps):
+        def body(i, x):
+            return (x + apply(x) & 3).astype(jnp.int32)
+        return jax.lax.fori_loop(0, reps, body, s).sum()
+
+    r_short, r_long = 2, 2 + REPS
+    int(chain(seq, r_short))  # compile
+    int(chain(seq, r_long))
+    t0 = time.perf_counter()
+    int(chain(seq, r_short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    int(chain(seq, r_long))
+    t_long = time.perf_counter() - t0
+    per_iter = max(1e-9, (t_long - t_short) / REPS)
+    return N_DEVICE / per_iter
 
 
 def measure_kernel_subprocess(kernel: str) -> float | None:

@@ -242,15 +242,28 @@ class CollisionFreeKmerIndex:
             self._device_index = DeviceKmerIndex.from_host_index(self)
         return self._device_index
 
-    def map_kmers(self, kmers, n_nodes):
+    def _native(self):
+        if getattr(self, "_native_index", None) is None:
+            from .native_index import NativeKmerIndex
+            self._native_index = (NativeKmerIndex(self)
+                                  if NativeKmerIndex.available() else False)
+        return self._native_index or None
+
+    def map_kmers(self, kmers, n_nodes, backend="device"):
         """kmers -> node hit counts (replaces external
         kmer_mapper.map_kmers_to_graph_index, used in the KAGE mapping hot
-        loop; reference collision_free_kmer_index.py:210-212)."""
-        return self._device().map_kmers(np.asarray(kmers, dtype=np.uint64),
-                                        n_nodes)
+        loop; reference collision_free_kmer_index.py:210-212). ``backend``:
+        'device' (TPU kernel) or 'native' (host C++)."""
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        if backend == "native" and self._native() is not None:
+            return self._native().map_kmers(kmers, n_nodes)
+        return self._device().map_kmers(kmers, n_nodes)
 
-    def has_kmers(self, kmers):
-        return self._device().has_kmers(np.asarray(kmers, dtype=np.uint64))
+    def has_kmers(self, kmers, backend="device"):
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        if backend == "native" and self._native() is not None:
+            return self._native().has_kmers(kmers)
+        return self._device().has_kmers(kmers)
 
     def has_kmers_parallel(self, kmers, n_threads):
         """Sharded membership query; on TPU the 'threads' are mesh devices

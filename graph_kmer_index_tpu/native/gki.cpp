@@ -1,0 +1,160 @@
+// Native host-side runtime kernels for graph_kmer_index_tpu.
+//
+// These are the CPU equivalents of the reference's native layer (SURVEY.md
+// L6): cython_kmer_index.pyx (batched bucket lookup), the external
+// kmer_mapper package (map-to-node-counts / membership), and the hot
+// letter->2bit / rolling-hash loops. The TPU device path (ops/) is the
+// production path; this library serves host-side streaming (FASTA
+// ingestion, CPU fallback lookup) without Python-loop overhead.
+//
+// Plain C ABI, loaded via ctypes (no pybind11 in the image).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ASCII -> 2-bit encode (a/A=0 c/C=1 g/G=2 t/T=3, others 0); returns n.
+// Mirrors reference flat_kmers.py:134-145.
+int64_t gki_encode_ascii(const char* seq, int64_t n, int8_t* out) {
+    static int8_t table[256];
+    static bool init = false;
+    if (!init) {
+        memset(table, 0, sizeof(table));
+        table[(unsigned char)'c'] = table[(unsigned char)'C'] = 1;
+        table[(unsigned char)'g'] = table[(unsigned char)'G'] = 2;
+        table[(unsigned char)'t'] = table[(unsigned char)'T'] = 3;
+        init = true;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = table[(unsigned char)seq[i]];
+    return n;
+}
+
+// Rolling sliding-window hashes, first-base-LSB convention
+// (hash = sum base[i] * 4^i, reference kmer_hashing.py:8-9). Writes
+// n - k + 1 hashes; O(n) via the reference's own rolling update rule
+// (kmer_finder.py:27-31): h' = (h - first)/4 + new*4^(k-1).
+int64_t gki_sliding_hashes(const int8_t* seq, int64_t n, int32_t k,
+                           uint64_t* out) {
+    if (n < k) return 0;
+    uint64_t h = 0;
+    for (int32_t i = 0; i < k; ++i)
+        h |= ((uint64_t)seq[i]) << (2 * i);
+    out[0] = h;
+    const int32_t top = 2 * (k - 1);
+    for (int64_t i = 1; i + k <= n; ++i) {
+        h = (h >> 2) | (((uint64_t)seq[i + k - 1]) << top);
+        out[i] = h;
+    }
+    return n - k + 1;
+}
+
+// Batched bucket lookup — the CythonKmerIndex.get contract
+// (cython_kmer_index.pyx:22-109): two passes over each query's bucket
+// rows; skip queries whose bucket has > hit_cap rows and rows with
+// frequency > freq_cap. Pass 1 (count_only=1) returns the total number
+// of surviving hits; pass 2 fills the (5, n_hits) row-major output
+// [node, ref_offset, query_index, frequency, 1000*allele_frequency].
+int64_t gki_bucket_lookup(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers,
+    const uint32_t* table_nodes,
+    const uint64_t* table_ref_offsets,
+    const uint16_t* table_frequencies,
+    const float* table_allele_frequencies,
+    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, int64_t hit_cap, int64_t freq_cap,
+    int32_t count_only, uint64_t* out, int64_t out_capacity) {
+    int64_t n_hits = 0;
+    for (int64_t q = 0; q < n_kmers; ++q) {
+        uint64_t kmer = kmers[q];
+        uint64_t bucket = kmer % modulo;
+        int64_t start = starts_tbl[bucket];
+        int64_t sz = sizes_tbl[bucket];
+        if (sz > hit_cap) continue;
+        for (int64_t r = start; r < start + sz; ++r) {
+            if (table_kmers[r] != kmer) continue;
+            if ((int64_t)table_frequencies[r] > freq_cap) continue;
+            if (!count_only) {
+                if (n_hits >= out_capacity) return -1;
+                out[0 * out_capacity + n_hits] = table_nodes[r];
+                out[1 * out_capacity + n_hits] = table_ref_offsets[r];
+                out[2 * out_capacity + n_hits] = (uint64_t)q;
+                out[3 * out_capacity + n_hits] = table_frequencies[r];
+                out[4 * out_capacity + n_hits] =
+                    (uint64_t)(table_allele_frequencies[r] * 1000.0f);
+            }
+            ++n_hits;
+        }
+    }
+    return n_hits;
+}
+
+// kmer_mapper.map_kmers_to_graph_index equivalent: node hit counts.
+void gki_map_kmers(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers, const uint32_t* table_nodes,
+    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, int64_t max_node_id, uint32_t* counts /* size max+1 */) {
+    for (int64_t q = 0; q < n_kmers; ++q) {
+        uint64_t kmer = kmers[q];
+        uint64_t bucket = kmer % modulo;
+        int64_t start = starts_tbl[bucket];
+        int64_t sz = sizes_tbl[bucket];
+        for (int64_t r = start; r < start + sz; ++r) {
+            if (table_kmers[r] == kmer && table_nodes[r] <= max_node_id)
+                ++counts[table_nodes[r]];
+        }
+    }
+}
+
+// kmer_mapper.in_graph_index equivalent: membership mask.
+void gki_has_kmers(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers,
+    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, uint8_t* out) {
+    for (int64_t q = 0; q < n_kmers; ++q) {
+        uint64_t kmer = kmers[q];
+        uint64_t bucket = kmer % modulo;
+        int64_t start = starts_tbl[bucket];
+        int64_t sz = sizes_tbl[bucket];
+        uint8_t hit = 0;
+        for (int64_t r = start; r < start + sz && !hit; ++r)
+            hit = (table_kmers[r] == kmer);
+        out[q] = hit;
+    }
+}
+
+// FASTA streaming: scan a buffer of FASTA text, 2-bit-encode every
+// sequence line into `out`, recording per-read (start, length) pairs.
+// Returns number of reads, or -1 if capacity exceeded.
+int64_t gki_fasta_encode(
+    const char* text, int64_t n_text,
+    int8_t* out, int64_t out_capacity,
+    int64_t* read_starts, int64_t* read_lens, int64_t max_reads) {
+    int64_t n_reads = 0;
+    int64_t out_pos = 0;
+    int64_t i = 0;
+    while (i < n_text) {
+        // line [i, j)
+        int64_t j = i;
+        while (j < n_text && text[j] != '\n') ++j;
+        if (j > i && text[i] != '>' && text[i] != '@' && text[i] != '+') {
+            int64_t len = j - i;
+            if (text[j - 1] == '\r') --len;
+            if (out_pos + len > out_capacity || n_reads >= max_reads)
+                return -1;
+            gki_encode_ascii(text + i, len, out + out_pos);
+            read_starts[n_reads] = out_pos;
+            read_lens[n_reads] = len;
+            out_pos += len;
+            ++n_reads;
+        }
+        i = j + 1;
+    }
+    return n_reads;
+}
+
+}  // extern "C"

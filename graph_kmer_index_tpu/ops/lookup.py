@@ -146,9 +146,9 @@ class DeviceKmerIndex:
             jnp.asarray(q), n, self.table_kmers, self.starts_tbl,
             self.sizes_tbl, self.modulo, self.table_kmers.shape[0],
             self.max_scan)
-        rows = np.asarray(rows)[:n]
-        mask = np.asarray(mask)[:n]
-        n_bucket = np.asarray(n_bucket)[:n]
+        rows = np.array(rows[:n])
+        mask = np.array(mask[:n])  # copy: jax->numpy views are read-only
+        n_bucket = np.array(n_bucket[:n])
         freqs = np.asarray(self.table_frequencies)
         mask &= (n_bucket <= hit_cap)[:, None]
         mask &= freqs[rows] <= frequency_cap

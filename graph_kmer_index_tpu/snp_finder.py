@@ -89,6 +89,9 @@ class SnpKmerFinder:
     # -- kmer emission with all the filters (reference :117-203) ----------
 
     def has_kmer(self, kmer, nodes):
+        """Test helper (reference snp_kmer_finder.py:~91). Our decoded kmer
+        strings are lowercase 'acgt'; compare case-insensitively."""
+        kmer = kmer.lower()
         return any(f[0] == kmer and f[1] == nodes for f in self.kmers_found)
 
     def _add_kmer(self, kmer, nodes):

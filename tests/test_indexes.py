@@ -1,0 +1,168 @@
+"""Index structure tests — ports of reference
+tests/test_collision_free_kmer_index.py, test_indexes2.py,
+test_reverse_kmer_index.py, test_count_min_sketch_kmer_counter.py, plus
+coverage for ReferenceKmerIndex (commented out upstream),
+KmerFrequencyIndex, KmerCounter, MinimalKmerIndex and FlatKmers
+transforms."""
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import (
+    FlatKmers, FlatKmers2, CollisionFreeKmerIndex, KmerIndex2,
+    MinimalKmerIndex, ReverseKmerIndex, ReferenceKmerIndex, KmerCounter,
+    CountMinSketchKmerCounter, KmerFrequencyIndex, CounterKmerIndex)
+
+
+@pytest.fixture
+def index():
+    flat = FlatKmers(
+        np.array([1, 1, 2, 2, 4, 5, 3], dtype=np.uint64),
+        np.array([5, 6, 7, 8, 10, 11, 100]),
+        np.array([1, 1, 2, 3, 10, 11, 100]))
+    return CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=4)
+
+
+def test_simple(index, tmp_path):
+    assert list(index.get(1)[0]) == [5, 6]
+    assert list(index.get(1)[1]) == [1, 1]
+
+    f = str(tmp_path / "tmp.index")
+    index.to_file(f)
+    index = CollisionFreeKmerIndex.from_file(f)
+    assert list(index.get(5)[0]) == [11]
+    nodes, offsets, read_offsets, freqs = \
+        index.get_nodes_and_ref_offsets_from_multiple_kmers(np.array([1, 5]))
+    assert list(nodes) == [5, 6, 11]
+    assert list(read_offsets) == [0, 0, 1]
+
+
+def test_frequencies(index):
+    # kmer 1: ref offsets (1, 1) -> 1 distinct; kmer 2: (2, 3) -> 2
+    assert index.get(1, max_hits=10)[2][0] == 1
+    assert index.get(2, max_hits=10)[2][0] == 2
+
+
+def test_has_kmers_parallel(index):
+    index.convert_to_int32()
+    kmers = np.array([1, 2, 3, 10, 10, 12, 100, 101, 102, 5],
+                     dtype=np.uint64)
+    result = index.has_kmers_parallel(kmers, n_threads=3)
+    assert np.all(result == [True, True, True, False, False, False, False,
+                             False, False, True]), result
+
+
+def test_minimal_index(tmp_path):
+    flat = FlatKmers(np.array([1, 2, 7], dtype=np.uint64),
+                     np.array([10, 20, 30]),
+                     np.array([0, 0, 0]))
+    m = MinimalKmerIndex.from_flat_kmers(flat, modulo=5)
+    f = str(tmp_path / "minimal")
+    m.to_file(f)
+    m = MinimalKmerIndex.from_file(f)
+    # kmer 7 -> bucket 2, same as kmer 2: collision resolved by kmer match
+    assert m.max_node_id() == 30
+
+
+def test_kmer_index2():
+    flat_kmers = FlatKmers2(
+        np.array([1, 1, 1, 2, 3, 10, 11, 2]),
+        np.array([1, 1, 2, 2, 3, 1, 10, 5]),
+        np.array([0, 0, 1, 2, 3, 4, 5, 6]),
+        np.array([1, 2, 3, 4, 5, 6, 7, 8]),
+        np.array([0.4, 0.1, 0.3, 0.4, 0.1, 0.1, 0.1, 0.1]))
+    index = KmerIndex2.from_flat_kmers(flat_kmers)
+    assert index.get_kmer_frequency(1) == 2
+    assert np.all(index.get_start_nodes(1) == [1, 1, 2])
+    assert np.all(index.get_nodes(3) == [5])
+
+
+def test_reverse_kmer_index(tmp_path):
+    flat = FlatKmers(np.array([10, 3, 11, 4]), np.array([5, 3, 5, 8]))
+    reverse = ReverseKmerIndex.from_flat_kmers(flat)
+    assert 11 in reverse.get_node_kmers(5)
+    assert 10 in reverse.get_node_kmers(5)
+    assert 3 in reverse.get_node_kmers(3)
+    assert 4 in reverse.get_node_kmers(8)
+    f = str(tmp_path / "tmp.reverse")
+    reverse.to_file(f)
+    new_reverse = ReverseKmerIndex.from_file(f + ".npz")
+    assert 3 in new_reverse.get_node_kmers(3)
+
+
+def test_count_min_sketch():
+    counter = CountMinSketchKmerCounter.create_empty([3, 9, 13])
+    counter.count_kmers(np.array([123, 5]))
+    assert counter.get_count(123) == 1
+    assert counter.get_count(5) == 1
+    counter.count_kmers(np.array([5, 5, 5]))
+    assert counter.get_count(5) == 4
+
+
+def test_kmer_counter():
+    flat = FlatKmers(np.array([5, 5, 7, 9, 9, 9], dtype=np.uint64),
+                     np.arange(6))
+    counter = KmerCounter.from_flat_kmers(flat, modulo=101)
+    assert counter.get_frequency(5) == 2
+    assert counter.get_frequency(9) == 3
+    assert counter.get_frequency(1234) == 0
+    # score = -max frequency of the set (reference kmer_counter.py:76-83)
+    assert counter.score_kmers(np.array([5, 9], dtype=np.uint64)) == -3
+    assert counter.score_kmers(np.array([], dtype=np.uint64)) == 1
+
+
+def test_kmer_frequency_index(tmp_path):
+    idx = KmerFrequencyIndex.from_kmers(
+        np.array([4, 4, 4, 9, 1], dtype=np.uint64))
+    assert idx.get(4) == 3
+    assert idx.get(9) == 1
+    assert idx.get(777) == 0
+    f = str(tmp_path / "freq")
+    idx.to_file(f)
+    idx = KmerFrequencyIndex.from_file(f)
+    assert idx.get(4) == 3
+
+
+def test_reference_kmer_index():
+    # Bit-identical reference quirk: the FIRST row is never registered
+    # (ediff1d(to_begin=0) marks no "new position" at row 0, reference
+    # reference_kmer_index.py:91-95), so lookups start at the second
+    # distinct ref position.
+    flat = FlatKmers(np.array([11, 12, 13, 14], dtype=np.uint64),
+                     np.array([1, 1, 1, 1]),
+                     np.array([1, 2, 3, 6]))
+    idx = ReferenceKmerIndex.from_flat_kmers(flat)
+    assert list(idx.ref_position_to_index) == [1, 1, 1, 2, 3, 3, 3]
+    between = idx.get_between(1, 4)
+    assert list(between) == [12, 13]
+    assert 14 not in between
+
+
+def test_counter_kmer_index(index):
+    c = CounterKmerIndex.from_kmer_index(index)
+    c.count_kmers(np.array([1, 1, 5], dtype=np.uint64))
+    counts = c.get_node_counts()
+    # kmer 1 hits nodes 5 and 6 twice; kmer 5 hits node 11 once
+    assert counts[5] == 2 and counts[6] == 2 and counts[11] == 1
+
+
+def test_flat_kmers_singleton_removal():
+    flat = FlatKmers(np.array([1, 1, 2, 3, 3, 3], dtype=np.uint64),
+                     np.array([10, 11, 12, 13, 14, 15]),
+                     np.array([0, 1, 2, 3, 4, 5]))
+    pruned = flat.get_new_without_singletons()
+    # first occurrence of each hash dropped (reference flat_kmers.py:98-125)
+    assert list(pruned._hashes) == [1, 3, 3]
+    assert list(pruned._nodes) == [11, 14, 15]
+
+
+def test_flat_kmers_revcomp_roundtrip():
+    from graph_kmer_index_tpu import sequence_to_kmer_hash
+    h = sequence_to_kmer_hash("ACTGG")
+    flat = FlatKmers(np.array([h], dtype=np.uint64), np.array([1]))
+    rc = flat.get_reverse_complement_flat_kmers(5)
+    assert rc._hashes[0] == sequence_to_kmer_hash("CCAGT")

@@ -1,0 +1,79 @@
+"""Native (C++) runtime layer == numpy/device reference implementations.
+
+Mirrors the role of the reference's Cython layer
+(cython_kmer_index.pyx test() micro-harness, :112-118): the native
+bucket lookup must agree with both the scalar python ``get`` and the
+device kernel.
+"""
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import (
+    Graph, DenseKmerFinder, CollisionFreeKmerIndex, native)
+from graph_kmer_index_tpu.hashing import sliding_window_hashes
+from graph_kmer_index_tpu.models.native_index import NativeKmerIndex
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no native toolchain")
+
+
+def _toy_index():
+    graph = Graph.from_dicts(
+        {1: "ACTGACTGTCTAGGACTGAC", 2: "A", 3: "G", 4: "CCCTACTGTTTAGTCA"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    finder = DenseKmerFinder(graph, k=5)
+    finder.find()
+    flat = finder.get_flat_kmers(v="0")
+    return graph, flat, CollisionFreeKmerIndex.from_flat_kmers(flat,
+                                                               modulo=211)
+
+
+def test_native_sliding_hashes_matches_numpy():
+    seq = np.random.randint(0, 4, 10000).astype(np.int8)
+    for k in (3, 16, 31):
+        got = native.sliding_hashes(seq, k)
+        ref = sliding_window_hashes(seq.astype(np.uint64), k)
+        assert np.array_equal(got, ref), k
+
+
+def test_native_encode_ascii():
+    out = native.encode_ascii(b"ACGTacgtNnMm")
+    assert out.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 0, 0, 0, 0]
+
+
+def test_native_lookup_matches_device_and_scalar():
+    graph, flat, index = _toy_index()
+    nk = NativeKmerIndex(index)
+    queries = np.concatenate([
+        np.asarray(flat._hashes, dtype=np.uint64),
+        np.array([123456789, 42], dtype=np.uint64)])
+
+    got = nk.get(queries, hit_cap=10000, freq_cap=20)
+    want = index.get_batched(queries, max_hits=10)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+    counts_native = nk.map_kmers(queries, graph.n_nodes())
+    counts_device = index.map_kmers(queries, graph.n_nodes())
+    assert np.array_equal(counts_native, counts_device.astype(np.uint32))
+    assert np.array_equal(index.map_kmers(queries, graph.n_nodes(),
+                                          backend="native"),
+                          counts_device.astype(np.uint32))
+
+    has_native = nk.has_kmers(queries)
+    has_device = index.has_kmers(queries)
+    assert np.array_equal(has_native, np.asarray(has_device, dtype=bool))
+    assert not has_native[-1] and not has_native[-2]
+
+
+def test_native_fasta_encode_matches_readkmers():
+    fa = b">read1\nACGTACGTAA\n>read2\nTTTTGGGGCCCC\n"
+    flat, starts, lens = native.fasta_encode(fa)
+    assert lens.tolist() == [10, 12]
+    assert flat[:4].tolist() == [0, 1, 2, 3]
+    assert flat[starts[1]:starts[1] + 4].tolist() == [3, 3, 3, 3]
