@@ -90,34 +90,50 @@ class CollisionFreeKmerIndex:
 
     # -- construction -----------------------------------------------------
 
+    # above this row count the sort/scatter build runs on the accelerator
+    DEVICE_BUILD_THRESHOLD = 1 << 22
+
     @classmethod
     def from_flat_kmers(cls, flat_kmers, modulo=452930477,
-                        skip_frequencies=False, skip_singletons=False):
+                        skip_frequencies=False, skip_singletons=False,
+                        use_device=None):
         if skip_singletons:
             flat_kmers = flat_kmers.get_new_without_singletons()
 
         kmers = np.asarray(flat_kmers._hashes, dtype=np.uint64)
-        hashes = kmers % np.uint64(modulo)
-        lookup, n_kmers, rows, _ = _build_modulo_layout(
-            hashes, modulo,
-            [kmers, np.asarray(flat_kmers._nodes),
-             np.asarray(flat_kmers._ref_offsets),
-             np.asarray(flat_kmers._allele_frequencies)])
+        row_arrays = [kmers, np.asarray(flat_kmers._nodes),
+                      np.asarray(flat_kmers._ref_offsets),
+                      np.asarray(flat_kmers._allele_frequencies)]
+        if use_device is None:
+            use_device = len(kmers) >= cls.DEVICE_BUILD_THRESHOLD
+        if use_device:
+            from ..ops.build import build_modulo_layout_device
+            lookup, n_kmers, rows, _ = build_modulo_layout_device(
+                kmers, modulo, row_arrays)
+        else:
+            hashes = kmers % np.uint64(modulo)
+            lookup, n_kmers, rows, _ = _build_modulo_layout(
+                hashes, modulo, row_arrays)
         kmers_s, nodes_s, ref_offsets_s, af_s = rows
 
         obj = cls(lookup.astype(np.int32), n_kmers, nodes_s, ref_offsets_s,
                   kmers_s, modulo, _allele_frequencies=af_s)
-        obj.set_frequencies(skip_frequencies)
+        obj.set_frequencies(skip_frequencies, use_device=use_device)
         if skip_singletons:
             obj._frequencies += 1
         return obj
 
-    def set_frequencies(self, skip=False):
+    def set_frequencies(self, skip=False, use_device=False):
         self._frequencies = np.zeros(len(self._kmers), dtype=np.uint16)
         if skip:
             return
-        self._frequencies = _frequencies_by_distinct_ref_offsets(
-            self._kmers, self._ref_offsets)
+        if use_device:
+            from ..ops.build import frequencies_device
+            self._frequencies = frequencies_device(self._kmers,
+                                                   self._ref_offsets)
+        else:
+            self._frequencies = _frequencies_by_distinct_ref_offsets(
+                self._kmers, self._ref_offsets)
 
     def set_frequencies_using_other_index(self, other, multiplier=1,
                                           min_frequency=1):

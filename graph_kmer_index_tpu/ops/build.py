@@ -1,0 +1,102 @@
+"""Device-side index construction: sort + segment ops on TPU.
+
+The collision-free index build is a sort by bucket followed by segment
+boundary extraction and scatters (reference
+collision_free_kmer_index.py:433-457 does this with np.argsort/ediff1d on
+host). On device it is jax.lax.sort_key_val + vectorized diff/scatter —
+O(n log n) on-chip, no host round-trip for the row arrays, and the
+frequency computation (distinct ref-offsets per kmer, the reference's
+slow python loop at :267-293) becomes two more sorted-segment passes.
+
+All outputs are bit-identical to the host build except row order WITHIN a
+bucket for equal keys: lax.sort is stable, matching numpy's stable
+argsort, so order is identical too.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sort_rows(kmers, row_ids, modulo):
+    """Stable sort of (bucket, original_row) pairs; returns permutation."""
+    buckets = (kmers % jnp.uint64(modulo)).astype(jnp.int64)
+    _, perm = jax.lax.sort_key_val(buckets, row_ids, is_stable=True)
+    return perm
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _bucket_tables(sorted_buckets, modulo):
+    """starts[modulo], sizes[modulo] from the sorted bucket column."""
+    n = sorted_buckets.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    is_first = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_buckets[1:] != sorted_buckets[:-1]])
+    # scatter each bucket's first row index; non-first rows aim at an
+    # out-of-range slot and are dropped
+    starts = jnp.zeros(modulo, jnp.int64).at[
+        jnp.where(is_first, sorted_buckets, modulo)].set(idx, mode="drop")
+    sizes = jnp.zeros(modulo, jnp.int32).at[sorted_buckets].add(
+        1, mode="drop")
+    return starts, sizes
+
+
+@jax.jit
+def _frequencies_device(sorted_kmers, sorted_ref_offsets):
+    """frequency[row] = #distinct ref offsets among rows with same kmer
+    (vectorized equivalent of reference collision_free_kmer_index.py
+    :267-293); rows must be sorted by (kmer, ref_offset)."""
+    n = sorted_kmers.shape[0]
+    new_kmer = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_kmers[1:] != sorted_kmers[:-1]])
+    new_pair = new_kmer | jnp.concatenate(
+        [jnp.ones(1, bool),
+         sorted_ref_offsets[1:] != sorted_ref_offsets[:-1]])
+    seg_id = jnp.cumsum(new_kmer.astype(jnp.int32)) - 1
+    counts = jnp.zeros(n, jnp.int32).at[seg_id].add(
+        new_pair.astype(jnp.int32))
+    return counts[seg_id]
+
+
+def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
+    """Device equivalent of models.kmer_index._build_modulo_layout.
+
+    Returns (lookup_starts int64[modulo], sizes uint32[modulo],
+    [row arrays sorted by bucket], permutation). Host arrays in/out;
+    sorting and table scatters run on the accelerator.
+    """
+    n = len(hashes)
+    if n == 0:
+        return (np.zeros(modulo, np.int64), np.zeros(modulo, np.uint32),
+                [np.asarray(a) for a in row_arrays], np.zeros(0, np.int64))
+    kmers_j = jnp.asarray(np.asarray(hashes, dtype=np.uint64))
+    perm = np.asarray(_sort_rows(kmers_j, jnp.arange(n, dtype=jnp.int64),
+                                 int(modulo)))
+    sorted_buckets = jnp.asarray(
+        (np.asarray(hashes, dtype=np.uint64)[perm]
+         % np.uint64(modulo)).astype(np.int64))
+    starts, sizes = _bucket_tables(sorted_buckets, int(modulo))
+    rows = [np.asarray(a)[perm] for a in row_arrays]
+    return (np.asarray(starts), np.asarray(sizes).astype(np.uint32), rows,
+            perm)
+
+
+def frequencies_device(kmers_sorted: np.ndarray,
+                       ref_offsets_sorted: np.ndarray) -> np.ndarray:
+    """Device path for per-row kmer frequencies (distinct ref offsets).
+    Input rows in bucket order (any order within kmer); output aligned to
+    input order."""
+    n = len(kmers_sorted)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint16)
+    order = np.lexsort((ref_offsets_sorted, kmers_sorted))
+    freqs_sorted = np.asarray(_frequencies_device(
+        jnp.asarray(np.asarray(kmers_sorted, np.uint64)[order]),
+        jnp.asarray(np.asarray(ref_offsets_sorted).astype(np.int64)[order])))
+    out = np.zeros(n, dtype=np.uint16)
+    out[order] = freqs_sorted.astype(np.uint16)
+    return out

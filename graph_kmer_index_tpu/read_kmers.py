@@ -81,6 +81,62 @@ class ReadKmers:
         numeric = letter_sequence_to_numeric(read)
         return sliding_window_hashes(numeric, k)
 
+    # -- batched production streaming (TPU path) -----------------------------
+
+    @staticmethod
+    def hash_fasta_file(fasta_file_name, k, include_reverse_complements=False,
+                        use_device=None):
+        """All window hashes of all reads in a FASTA/FASTQ file, flat, in
+        read order — the production read-streaming front end. Parsing +
+        2-bit encoding runs in the native C++ layer when available
+        (native.fasta_encode); hashing runs through the sliding-window
+        kernel over the concatenated read tape with cross-read windows
+        masked out, one device dispatch for the whole file."""
+        from . import native
+        from .hashing import kmer_hashes_to_reverse_complement_hash
+
+        with open(fasta_file_name, "rb") as f:
+            text = f.read()
+        encoded = native.fasta_encode(text)
+        if encoded is None:  # no native toolchain: python fallback
+            lines = [l.strip() for l in text.decode().splitlines()
+                     if l and not l.startswith((">", "@", "+"))]
+            arrays = [letter_sequence_to_numeric(l).astype(np.int8)
+                      for l in lines]
+            flat = (np.concatenate(arrays) if arrays
+                    else np.zeros(0, np.int8))
+            starts = np.cumsum([0] + [len(a) for a in arrays[:-1]]) \
+                if arrays else np.zeros(0, np.int64)
+            lens = np.array([len(a) for a in arrays], dtype=np.int64)
+        else:
+            flat, starts, lens = encoded
+
+        n = len(flat)
+        if n == 0:
+            return np.zeros(0, dtype=np.uint64)
+        if use_device is None:
+            use_device = n >= (1 << 20)
+        if use_device:
+            import jax.numpy as jnp
+            from .ops.encode import sliding_hashes
+            all_hashes = np.asarray(
+                sliding_hashes(jnp.asarray(flat.astype(np.int32)), k)
+            ).astype(np.uint64)
+        else:
+            all_hashes = np.concatenate(
+                [sliding_window_hashes(flat.astype(np.uint64), k),
+                 np.zeros(min(k - 1, n), dtype=np.uint64)])
+        # valid windows: fully inside one read
+        pos = np.arange(n)
+        read_id = np.searchsorted(starts, pos, side="right") - 1
+        read_end = (starts + lens)[read_id]
+        valid = pos + k <= read_end
+        kmers = all_hashes[valid]
+        if include_reverse_complements:
+            kmers = np.concatenate(
+                [kmers, kmer_hashes_to_reverse_complement_hash(kmers, k)])
+        return kmers
+
     def __iter__(self):
         return self.kmers.__iter__()
 

@@ -1,0 +1,38 @@
+"""Read streaming tests: per-read window hashing and the batched
+FASTA-file front end (native + python fallback paths agree)."""
+import sys
+import pathlib
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import ReadKmers, sequence_to_kmer_hash
+from graph_kmer_index_tpu.hashing import power_array
+
+
+def test_get_kmers_from_read_dynamic():
+    kmers = ReadKmers.get_kmers_from_read_dynamic("ACTGA", power_array(3))
+    assert list(kmers) == [sequence_to_kmer_hash(s)
+                           for s in ("ACT", "CTG", "TGA")]
+
+
+def test_hash_fasta_file(tmp_path):
+    fa = tmp_path / "reads.fa"
+    fa.write_text(">r1\nACTGACTG\n>r2\nTTTTT\n>empty\n>r3\nACT\n")
+    k = 3
+    kmers = ReadKmers.hash_fasta_file(str(fa), k, use_device=False)
+    expected = []
+    for read in ("ACTGACTG", "TTTTT", "ACT"):
+        expected += [sequence_to_kmer_hash(read[i:i + k])
+                     for i in range(len(read) - k + 1)]
+    assert list(kmers) == expected
+
+
+def test_hash_fasta_file_revcomp(tmp_path):
+    fa = tmp_path / "reads.fa"
+    fa.write_text(">r\nACTG\n")
+    kmers = ReadKmers.hash_fasta_file(str(fa), 4, use_device=False,
+                                      include_reverse_complements=True)
+    assert list(kmers) == [sequence_to_kmer_hash("ACTG"),
+                           sequence_to_kmer_hash("CAGT")]
