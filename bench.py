@@ -113,8 +113,10 @@ def main():
         print(json.dumps({"rate": measure_kernel(sys.argv[2])}))
         return
 
+    import os
+    kernels = os.environ.get("GKI_BENCH_KERNELS", "u32,pallas").split(",")
     rates = {}
-    for kernel in ("u32", "xla", "pallas"):
+    for kernel in kernels:
         rate = measure_kernel_subprocess(kernel)
         if rate is not None:
             rates[kernel] = rate

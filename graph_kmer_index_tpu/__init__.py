@@ -32,7 +32,8 @@ from .flat_kmers import FlatKmers, FlatKmers2  # noqa: E402,F401
 from .graph import Graph, PositionId, VariantToNodes  # noqa: E402,F401
 from .critical_paths import CriticalGraphPaths  # noqa: E402,F401
 from .finder import DenseKmerFinder  # noqa: E402,F401
-from .snp_finder import SnpKmerFinder  # noqa: E402,F401
+from .snp_finder import SnpKmerFinder, IndelKmerFinder  # noqa: E402,F401
+from .bionumpy_wrapper import bionumpy_hash  # noqa: E402,F401
 from .read_kmers import ReadKmers  # noqa: E402,F401
 from .models.kmer_index import (  # noqa: E402,F401
     CollisionFreeKmerIndex,

@@ -148,21 +148,47 @@ def sliding_hashes_masked(seq: jax.Array, k: int, valid_mask: jax.Array | None =
 # Pallas kernel: sliding hashes over a halo-chunked layout.
 # ---------------------------------------------------------------------------
 
-def _hash_kernel(seq_ref, lo_ref, hi_ref, *, k: int, chunk: int):
-    """seq_ref: (ROWS, chunk + 32) int32 bases; lo/hi: (ROWS, chunk) uint32.
+def _hash_kernel(seq_ref, lo_ref, hi_ref, *, k: int, chunk: int, halo: int):
+    """seq_ref: (ROWS, chunk + halo) int32; lo/hi: (ROWS, chunk) uint32.
 
-    lo packs bases [0,16), hi packs bases [16, k). 31 static column slices,
-    each a shift/or on the VPU — exact uint32 arithmetic, no 64-bit needed.
+    Log-doubling shift/or ladder with ``pltpu.roll`` lane rotations (no
+    unaligned lane slices — Mosaic-friendly): P_{2s}[c] = P_s[c] |
+    P_s[c+s] << 2s. Circular wrap only corrupts the top ``halo`` columns,
+    which are never emitted (the final [:, :chunk] slice is lane-aligned).
+    lo packs bases [c, c+16); hi packs bases [c+16, c+k).
     """
-    block = seq_ref[:].astype(U32)
-    lo = jnp.zeros((block.shape[0], chunk), U32)
-    hi = jnp.zeros((block.shape[0], chunk), U32)
-    for t in range(min(k, 16)):
-        lo = lo | (block[:, t : t + chunk] << U32(2 * t))
-    for t in range(16, k):
-        hi = hi | (block[:, t : t + chunk] << U32(2 * (t - 16)))
-    lo_ref[:] = lo
-    hi_ref[:] = hi
+    from jax.experimental.pallas import tpu as pltpu
+
+    width = chunk + halo
+    p = seq_ref[:].astype(U32)
+    m = min(k, 16)
+    # ladder up to P_m via binary decomposition
+    levels = {1: p}
+    span = 1
+    while span * 2 <= m:
+        prev = levels[span]
+        levels[span * 2] = prev | (
+            pltpu.roll(prev, shift=jnp.int32((-span) % width), axis=1) << U32(2 * span))
+        span *= 2
+    # combine decomposition of m
+    acc = None
+    offset = 0
+    for bit in sorted(levels.keys(), reverse=True):
+        if offset + bit <= m:
+            part = levels[bit]
+            shifted = (part if offset == 0 else
+                       pltpu.roll(part, shift=jnp.int32((-offset) % width), axis=1)
+                       << U32(2 * offset))
+            acc = shifted if acc is None else (acc | shifted)
+            offset += bit
+    p16 = acc  # packs min(k,16) bases at each column
+    lo_ref[:] = p16[:, :chunk]
+    if k > 16:
+        hi = (pltpu.roll(p16, shift=jnp.int32((-16) % width), axis=1)
+              & U32((1 << (2 * (k - 16))) - 1))
+        hi_ref[:] = hi[:, :chunk]
+    else:
+        hi_ref[:] = jnp.zeros((p16.shape[0], chunk), U32)
 
 
 def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 512,
@@ -178,7 +204,7 @@ def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 512,
 
     assert 1 <= k <= 31
     n = seq.shape[0]
-    halo = 32  # >= k, keeps the block width static across k
+    halo = 128  # >= k and lane-aligned, keeps block width a lane multiple
     n_chunks = max(1, -(-n // chunk))
     padded = n_chunks * chunk + halo
     x = jnp.zeros(padded, jnp.int32).at[:n].set(seq.astype(jnp.int32))
@@ -194,7 +220,7 @@ def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 512,
     # program ids are i32, which fails Mosaic lowering
     # ("func.return (i32, i64)") — hence the computed i32 zero ``i - i``.
     lo, hi = pl.pallas_call(
-        functools.partial(_hash_kernel, k=k, chunk=chunk),
+        functools.partial(_hash_kernel, k=k, chunk=chunk, halo=halo),
         grid=grid,
         in_specs=[pl.BlockSpec((rows_per_block, chunk + halo),
                                lambda i: (i, i - i),

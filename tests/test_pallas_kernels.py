@@ -1,0 +1,45 @@
+"""Pallas kernel correctness in interpreter mode (CPU).
+
+Real-TPU compilation is exercised by bench.py; these tests pin the kernel
+math (lane-roll ladder, halo handling, lo/hi split) against the numpy
+reference for every k regime."""
+import sys
+import pathlib
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu.ops.encode import (
+    sliding_hashes_pallas, sliding_hashes, sliding_hashes_u32,
+    combine_u32_pair, encode_ascii)
+from graph_kmer_index_tpu.hashing import sliding_window_hashes
+
+
+@pytest.mark.parametrize("k", [1, 4, 5, 15, 16, 17, 30, 31])
+def test_pallas_matches_numpy(k):
+    rng = np.random.default_rng(k)
+    seq = rng.integers(0, 4, 2000).astype(np.int32)
+    lo, hi = sliding_hashes_pallas(jnp.asarray(seq), k, interpret=True)
+    full = (np.asarray(lo).astype(np.uint64)
+            | (np.asarray(hi).astype(np.uint64) << np.uint64(32)))
+    ref = sliding_window_hashes(seq.astype(np.uint64), k)
+    assert np.array_equal(full[:len(ref)], ref)
+
+
+@pytest.mark.parametrize("k", [3, 16, 31])
+def test_u32_matches_u64(k):
+    rng = np.random.default_rng(k)
+    seq = rng.integers(0, 4, 5000).astype(np.int32)
+    lo, hi = sliding_hashes_u32(jnp.asarray(seq), k)
+    full = np.asarray(combine_u32_pair(lo, hi))
+    ref = np.asarray(sliding_hashes(jnp.asarray(seq), k))
+    assert np.array_equal(full, ref)
+
+
+def test_encode_ascii_device():
+    raw = np.frombuffer(b"ACGTacgtNnMm", dtype=np.uint8)
+    out = np.asarray(encode_ascii(jnp.asarray(raw)))
+    assert out.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 0, 0, 0, 0]
