@@ -139,17 +139,53 @@ def kmer_hashes_to_reverse_complement_hash_chunked(
 
 
 def sliding_window_hashes(numeric_sequence: np.ndarray, k: int) -> np.ndarray:
-    """Hashes of every k-window of a numeric sequence (host/numpy version).
+    """Hashes of every k-window of a numeric sequence (host version).
 
     Equivalent to the reference's ``np.convolve(seq, power_array(k), 'valid')``
     (read_kmers.py:68-70, kmer_finder.py:350-352): convolution flips the
-    kernel, yielding the first-base-LSB convention. Implemented here as a
-    strided dot with ``reverse_power_array`` to stay in exact uint64.
+    kernel, yielding the first-base-LSB convention — but exact in uint64
+    (float convolution would lose bits above 2^53) and O(n): the native
+    C++ rolling hash when available, else a numpy log-doubling shift/or
+    ladder (the strided-dot formulation collapses to ~0.1 Mbases/s on
+    large inputs from its cache-hostile column reduce).
     The device version is :func:`graph_kmer_index_tpu.ops.encode.sliding_hashes`.
     """
     seq = np.asarray(numeric_sequence, dtype=_U64)
     n = len(seq) - k + 1
     if n <= 0:
         return np.zeros(0, dtype=_U64)
-    windows = np.lib.stride_tricks.sliding_window_view(seq, k)
-    return (windows * reverse_power_array(k)[None, :]).sum(axis=1, dtype=_U64)
+
+    if n >= 4096:  # ctypes call overhead not worth it below this
+        from . import native
+        h = native.sliding_hashes(seq.astype(np.int8), k)
+        if h is not None:
+            return h
+
+    # numpy log-doubling ladder: P_{2s}[i] = P_s[i] | P_s[i+s] << 2s
+    x = np.concatenate([seq, np.zeros(32, dtype=_U64)])
+    levels = [x]
+    span = 1
+    while span < k:
+        p = levels[-1]
+        shifted = np.empty_like(p)
+        shifted[:-span] = p[span:]
+        shifted[-span:] = 0
+        levels.append(p | (shifted << _U64(2 * span)))
+        span *= 2
+    acc = np.zeros_like(x)
+    offset, remaining, lvl = 0, k, len(levels) - 1
+    while remaining > 0:
+        size = 1 << lvl
+        if remaining >= size:
+            part = levels[lvl]
+            if offset:
+                shifted = np.empty_like(part)
+                shifted[:-offset] = part[offset:]
+                shifted[-offset:] = 0
+                acc = acc | (shifted << _U64(2 * offset))
+            else:
+                acc = acc | part
+            offset += size
+            remaining -= size
+        lvl -= 1
+    return acc[:n]

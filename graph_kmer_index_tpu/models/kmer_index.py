@@ -105,7 +105,10 @@ class CollisionFreeKmerIndex:
                       np.asarray(flat_kmers._ref_offsets),
                       np.asarray(flat_kmers._allele_frequencies)]
         if use_device is None:
-            use_device = len(kmers) >= cls.DEVICE_BUILD_THRESHOLD
+            # the modulo-sized bucket tables dominate build cost; above a
+            # few million buckets they should be built (and stay) in HBM
+            use_device = (len(kmers) >= cls.DEVICE_BUILD_THRESHOLD
+                          or modulo >= (1 << 24))
         if use_device:
             from ..ops.build import build_modulo_layout_device
             lookup, n_kmers, rows, _ = build_modulo_layout_device(
@@ -116,7 +119,9 @@ class CollisionFreeKmerIndex:
                 hashes, modulo, row_arrays)
         kmers_s, nodes_s, ref_offsets_s, af_s = rows
 
-        obj = cls(lookup.astype(np.int32), n_kmers, nodes_s, ref_offsets_s,
+        if isinstance(lookup, np.ndarray):
+            lookup = lookup.astype(np.int32)  # device tables stay int64
+        obj = cls(lookup, n_kmers, nodes_s, ref_offsets_s,
                   kmers_s, modulo, _allele_frequencies=af_s)
         obj.set_frequencies(skip_frequencies, use_device=use_device)
         if skip_singletons:

@@ -65,9 +65,12 @@ def _frequencies_device(sorted_kmers, sorted_ref_offsets):
 def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
     """Device equivalent of models.kmer_index._build_modulo_layout.
 
-    Returns (lookup_starts int64[modulo], sizes uint32[modulo],
-    [row arrays sorted by bucket], permutation). Host arrays in/out;
-    sorting and table scatters run on the accelerator.
+    Returns (lookup_starts int64[modulo], sizes int32[modulo],
+    [row arrays sorted by bucket], permutation). The modulo-sized bucket
+    tables are returned as DEVICE (jax) arrays — at production modulo
+    (452930477 buckets, ~5 GB) materializing them host-side costs more
+    than the whole build; they live in HBM where the lookup kernels read
+    them anyway. Row arrays stay host-side (numpy).
     """
     n = len(hashes)
     if n == 0:
@@ -81,8 +84,7 @@ def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
          % np.uint64(modulo)).astype(np.int64))
     starts, sizes = _bucket_tables(sorted_buckets, int(modulo))
     rows = [np.asarray(a)[perm] for a in row_arrays]
-    return (np.asarray(starts), np.asarray(sizes).astype(np.uint32), rows,
-            perm)
+    return starts, sizes, rows, perm
 
 
 def frequencies_device(kmers_sorted: np.ndarray,

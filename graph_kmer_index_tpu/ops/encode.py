@@ -206,11 +206,13 @@ def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 512,
     n = seq.shape[0]
     halo = 128  # >= k and lane-aligned, keeps block width a lane multiple
     n_chunks = max(1, -(-n // chunk))
-    padded = n_chunks * chunk + halo
+    padded = (n_chunks + 1) * chunk
     x = jnp.zeros(padded, jnp.int32).at[:n].set(seq.astype(jnp.int32))
-    # overlapping rows: row i covers [i*chunk, i*chunk + chunk + halo)
-    idx = (jnp.arange(n_chunks)[:, None] * chunk + jnp.arange(chunk + halo)[None, :])
-    rows = x[idx]  # (n_chunks, chunk+halo)
+    # overlapping rows, built with reshapes (no gather): row i covers
+    # [i*chunk, i*chunk + chunk + halo)
+    base = x[: n_chunks * chunk].reshape(n_chunks, chunk)
+    nxt = x[chunk: (n_chunks + 1) * chunk].reshape(n_chunks, chunk)[:, :halo]
+    rows = jnp.concatenate([base, nxt], axis=1)  # (n_chunks, chunk+halo)
 
     grid = (-(-n_chunks // rows_per_block),)
     rows = jnp.pad(rows, ((0, grid[0] * rows_per_block - n_chunks), (0, 0)))

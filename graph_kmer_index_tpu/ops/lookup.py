@@ -98,22 +98,26 @@ class DeviceKmerIndex:
 
     @classmethod
     def from_host_index(cls, index):
-        sizes = np.asarray(index._n_kmers)
-        max_scan = max(1, int(sizes.max()) if len(sizes) else 1)
+        """Device view; index arrays may be numpy (transferred once) or
+        already-device jax arrays (zero copy — the device-build path
+        leaves the modulo-sized bucket tables in HBM)."""
+        sizes = jnp.asarray(index._n_kmers).astype(jnp.int32)
+        max_scan = max(1, int(jnp.max(sizes))) if sizes.shape[0] else 1
+        n = len(index._kmers)
         freqs = index._frequencies
-        if np.ndim(freqs) == 0 or len(np.atleast_1d(freqs)) != len(index._kmers):
-            freqs = np.zeros(len(index._kmers), dtype=np.uint16)
+        if np.ndim(freqs) == 0 or np.shape(freqs)[0] != n:
+            freqs = np.zeros(n, dtype=np.uint16)
         af = index._allele_frequencies
-        if af is None or np.ndim(af) == 0 or len(np.atleast_1d(af)) != len(index._kmers):
-            af = np.zeros(len(index._kmers), dtype=np.float32)
+        if af is None or np.ndim(af) == 0 or np.shape(af)[0] != n:
+            af = np.zeros(n, dtype=np.float32)
         return cls(
-            jnp.asarray(np.asarray(index._kmers, dtype=np.uint64)),
-            jnp.asarray(np.asarray(index._nodes, dtype=np.int32)),
-            jnp.asarray(np.asarray(index._ref_offsets).astype(np.int64)),
-            jnp.asarray(np.asarray(freqs, dtype=np.int32)),
-            jnp.asarray(np.asarray(af, dtype=np.float32)),
-            jnp.asarray(np.asarray(index._hashes_to_index, dtype=np.int64)),
-            jnp.asarray(sizes.astype(np.int32)),
+            jnp.asarray(index._kmers).astype(jnp.uint64),
+            jnp.asarray(index._nodes).astype(jnp.int32),
+            jnp.asarray(index._ref_offsets).astype(jnp.int64),
+            jnp.asarray(freqs).astype(jnp.int32),
+            jnp.asarray(af).astype(jnp.float32),
+            jnp.asarray(index._hashes_to_index).astype(jnp.int64),
+            sizes,
             jnp.uint64(index._modulo),
             max_scan,
         )

@@ -253,6 +253,10 @@ class SnpKmerFinder:
                          np.array(self._allele_frequencies, np.single))
 
     def find_kmers_on_linear_reference(self):
+        if self._end_position is None:
+            # whole reference (the reference impl crashes here when no
+            # interval is given, snp_kmer_finder.py:301; evident intent)
+            self._end_position = max(0, len(self.reference) - self.k)
         seq = str(self.reference[self._start_position:
                                  self._end_position + self.k])
         assert len(seq) > 0, "No reference sequence in range"

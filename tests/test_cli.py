@@ -1,0 +1,103 @@
+"""End-to-end CLI coverage: every subcommand through run_argument_parser
+(reference command_line_interface.py parity)."""
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import (
+    Graph, VariantToNodes, FlatKmers, KmerIndex, sequence_to_kmer_hash)
+from graph_kmer_index_tpu.cli import run_argument_parser
+
+
+@pytest.fixture
+def fixtures(tmp_path):
+    graph = Graph.from_dicts(
+        {1: "AAAAAACTG", 2: "A", 3: "G", 4: "GC", 5: "T", 6: "C",
+         7: "TGAGCCCCC", 8: "", 9: "TC", 10: "AAAAA"},
+        {1: [2, 3], 2: [4], 3: [4], 4: [5, 6], 5: [7], 6: [7],
+         7: [8, 9], 9: [10], 8: [10]},
+        [1, 2, 4, 5, 7, 10])
+    g = str(tmp_path / "graph.npz")
+    graph.to_file(g)
+    v2n = str(tmp_path / "v2n.npz")
+    VariantToNodes(np.array([2, 5, 8]), np.array([3, 6, 9])).to_file(v2n)
+    vcf = str(tmp_path / "variants.vcf")
+    with open(vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\n"
+                "1\t10\t.\tA\tG\n1\t13\t.\tT\tC\n1\t22\t.\tC\tCTC\n")
+    return tmp_path, g, v2n, vcf
+
+
+def test_full_cli_pipeline(fixtures):
+    tmp, g, v2n, vcf = fixtures
+    flat = str(tmp / "flat.npz")
+    kindex = str(tmp / "kindex.npz")
+
+    run_argument_parser(["index", "-g", g, "-k", "5", "-o", flat])
+    run_argument_parser(["make_from_flat", "-f", flat, "-o", kindex,
+                         "-m", "4099"])
+    run_argument_parser(["make_reverse", "-f", flat,
+                         "-o", str(tmp / "rev.npz")])
+    run_argument_parser(["find_critical_paths", "-g", g, "-k", "5",
+                         "-o", str(tmp / "crit.pkl")])
+    run_argument_parser(["make_unique_variant_kmers", "-g", g, "-V", v2n,
+                         "-k", "5", "-i", kindex, "-v", vcf, "-D", "true",
+                         "-o", str(tmp / "sig.npz")])
+    run_argument_parser(["sample_kmers_from_structural_variants", "-g", g,
+                         "-V", v2n, "-k", "5",
+                         "-o", str(tmp / "sv.npz")])
+    run_argument_parser(["merge_flat_kmers",
+                         "-f", f"{flat},{tmp / 'sig.npz'}",
+                         "-o", str(tmp / "merged.npz")])
+    run_argument_parser(["add_reverse_complements", "-f", flat, "-k", "5",
+                         "-o", str(tmp / "flatrc.npz")])
+    run_argument_parser(["count_kmers", "-f", flat,
+                         "-o", str(tmp / "counter.pkl")])
+    run_argument_parser(["create_counter_index", "-i", kindex,
+                         "-o", str(tmp / "cidx.pkl"), "-m", "4099"])
+    run_argument_parser(["prune_flat_kmers", "-f", flat,
+                         "-o", str(tmp / "pruned.npz")])
+    run_argument_parser(["make", "-g", g, "-k", "5", "-s", "1",
+                         "-o", str(tmp / "make_flat.npz")])
+    run_argument_parser(["make_reference_kmer_index", "-f", flat,
+                         "-o", str(tmp / "refidx.npz")])
+    run_argument_parser(["make_unique_index", "-f", flat, "-g", g,
+                         "-r", str(tmp / "rev.npz"),
+                         "-o", str(tmp / "uniq.pkl")])
+    run_argument_parser(["set_frequencies_using_other_index", "-i", kindex,
+                         "-f", kindex])
+    run_argument_parser(["make_kmer_frequency_index",
+                         "-r", str(tmp / "refidx.npz"),
+                         "-o", str(tmp / "freq.npz")])
+
+    # semantic spot checks on the pipeline outputs
+    sig = FlatKmers.from_file(str(tmp / "sig.npz"))
+    assert sequence_to_kmer_hash("CTGAG") not in set(
+        np.asarray(sig._hashes).tolist())
+    idx = KmerIndex.from_file(kindex)
+    assert idx.get_frequency(sequence_to_kmer_hash("CTGAG"), k=5) == 2
+    flat_arr = FlatKmers.from_file(flat)
+    rc = FlatKmers.from_file(str(tmp / "flatrc.npz"))
+    assert len(rc._hashes) == 2 * len(flat_arr._hashes)
+
+
+def test_cli_make_from_reference_fasta(fixtures):
+    tmp, g, v2n, vcf = fixtures
+    fa = str(tmp / "ref.fa")
+    with open(fa, "w") as f:
+        f.write(">chr1\nACGTACGTACGTACGTACGT\n")
+    out = str(tmp / "linear_flat.npz")
+    run_argument_parser(["make", "-R", fa, "-n", "chr1", "-k", "5",
+                         "-s", "1", "-o", out])
+    flat = FlatKmers.from_file(out)
+    assert len(flat._hashes) > 0
+    assert flat._hashes[0] == sequence_to_kmer_hash("ACGTA")
+
+
+def test_cli_no_args_exits():
+    with pytest.raises(SystemExit):
+        run_argument_parser([])
