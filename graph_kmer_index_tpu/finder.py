@@ -265,14 +265,65 @@ class DenseKmerFinder:
 
         while offset < size:
             if len(self._ne_pos) < self._k:
-                status = self._step_base(node, offset)
-                offset += 1
+                if len(self._elem_nodes) == len(self._ne_pos):
+                    # no dummy elements in path => the per-base treated
+                    # check can't fire during build-up; take the bulk path
+                    status, offset = self._bulk_buildup(node, offset, size)
+                else:
+                    status = self._step_base(node, offset)
+                    offset += 1
             else:
                 status = self._process_run(node, offset)
                 offset = size
             if status != "CONT":
                 return status
         return "CONT"
+
+    def _bulk_buildup(self, node, offset, size):
+        """Vectorized build-up: append all bases of this node needed to
+        fill the window in one shot (same semantics as m calls to
+        _step_base when the path holds no dummy elements)."""
+        g = self._graph
+        k = self._k
+        m = min(k - len(self._ne_pos), size - offset)
+
+        # stop before an in-node critical position (reference per-base
+        # is_critical(node, offset+1) check, kmer_finder.py:333-340)
+        stop_at = None
+        c = self._critical_offset_of(node)
+        if (c is not None and offset < c <= offset + m
+                and not (node == self._crit_node and c == self._crit_offset)):
+            m = c - offset
+            stop_at = c
+        if m <= 0:
+            if stop_at is not None:
+                self._queue_starting_point(node, stop_at)
+                return "STOP", offset
+            return "CONT", offset
+
+        bases = np.asarray(
+            g.sequence[g.seq_start[node] + offset:
+                       g.seq_start[node] + offset + m])
+        elem0 = len(self._elem_nodes)
+        self._elem_nodes.extend(np.full(m, node, dtype=np.int32))
+        self._elem_bases.extend(bases)
+        self._ne_pos.extend(np.arange(elem0, elem0 + m, dtype=np.int64))
+        self._ne_bases.extend(bases)
+
+        fs = frozenset(self._blk_node.get_nparray().tolist())
+        self._treated.add(node, fs, offset, offset + m - 1)
+
+        status = "CONT"
+        if len(self._ne_pos) >= k:
+            # the last appended base completed the first window
+            self._emit_span(node, offset + m - 1, 1, block_from=0,
+                            t_first=len(self._ne_pos) - 1)
+            if self._early_stop:
+                status = "EARLY"
+        if status == "CONT" and stop_at is not None:
+            self._queue_starting_point(node, stop_at)
+            status = "STOP"
+        return status, offset + m
 
     def _step_base(self, node, offset):
         """One build-up base (window not yet full); exact per-base semantics
@@ -435,19 +486,14 @@ class DenseKmerFinder:
     # -- emission --------------------------------------------------------------
 
     def _emit_span(self, node, first_offset, n_windows, block_from, t_first):
-        g = self._graph
+        """Record a span descriptor. The window node set is stored RAW
+        (path blocks from ``block_from``); dedup, allele-frequency min and
+        the only_save_one/only_store filters are applied vectorized over
+        all spans at once in _finalize (the reference does all of that
+        per-kmer in _add_kmer, kmer_finder.py:128-168)."""
         k = self._k
         blk_nodes = self._blk_node.get_nparray()
-        window_nodes = np.unique(blk_nodes[block_from:])
-        af = float(np.min(g.get_node_allele_frequencies(window_nodes)))
-
-        nodes_final = window_nodes
-        if self._only_save_one_node_per_kmer:
-            nodes_final = window_nodes[:1]
-        if self._only_store_nodes is not None:
-            nodes_final = np.array(
-                [v for v in nodes_final if v in self._only_store_nodes],
-                dtype=np.int32)
+        raw_nodes = blk_nodes[block_from:]
 
         ne_bases = self._ne_bases.get_nparray()
         tape_slice = ne_bases[t_first - k + 1: t_first + n_windows]
@@ -456,11 +502,9 @@ class DenseKmerFinder:
         self._span_n_windows.append(n_windows)
         self._span_node.append(node)
         self._span_first_offset.append(first_offset)
-        self._span_af.append(af)
         self._span_nodes_start.append(len(self._span_nodes))
-        self._span_nodes_len.append(len(nodes_final))
-        if len(nodes_final):
-            self._span_nodes.extend(nodes_final.astype(np.int32))
+        self._span_nodes_len.append(len(raw_nodes))
+        self._span_nodes.extend(raw_nodes.astype(np.int32))
 
     # -- finalize: batched hashing + row expansion ------------------------------
 
@@ -494,10 +538,36 @@ class DenseKmerFinder:
         nw = self._span_n_windows.get_nparray().astype(np.int64)
         s_node = self._span_node.get_nparray()
         s_off = self._span_first_offset.get_nparray()
-        s_af = self._span_af.get_nparray()
-        ns = self._span_nodes_start.get_nparray()
-        nl = self._span_nodes_len.get_nparray().astype(np.int64)
-        span_nodes = self._span_nodes.get_nparray()
+        raw_nl = self._span_nodes_len.get_nparray().astype(np.int64)
+        raw_nodes = self._span_nodes.get_nparray()
+
+        # vectorized per-span node-set resolution (dedup ascending, min
+        # allele frequency, only_save_one/only_store filters) — semantics
+        # of the reference's per-kmer _add_kmer (kmer_finder.py:128-168)
+        span_id = np.repeat(np.arange(n_spans), raw_nl)
+        af_raw = self._graph.allele_frequencies[raw_nodes]
+        seg_starts = np.concatenate([[0], np.cumsum(raw_nl)[:-1]])
+        s_af = np.minimum.reduceat(af_raw, seg_starts) \
+            if len(af_raw) else np.zeros(0)
+        order = np.lexsort((raw_nodes, span_id))
+        sid = span_id[order]
+        vals = raw_nodes[order]
+        first = np.ones(len(vals), dtype=bool)
+        first[1:] = (sid[1:] != sid[:-1]) | (vals[1:] != vals[:-1])
+        u_sid = sid[first]
+        u_vals = vals[first]
+        if self._only_save_one_node_per_kmer:
+            keep1 = np.ones(len(u_sid), dtype=bool)
+            keep1[1:] = u_sid[1:] != u_sid[:-1]
+            u_sid, u_vals = u_sid[keep1], u_vals[keep1]
+        if self._only_store_nodes is not None:
+            allowed = np.array(sorted(self._only_store_nodes),
+                               dtype=np.int64)
+            keep2 = np.isin(u_vals, allowed)
+            u_sid, u_vals = u_sid[keep2], u_vals[keep2]
+        nl = np.bincount(u_sid, minlength=n_spans).astype(np.int64)
+        ns = np.concatenate([[0], np.cumsum(nl)[:-1]])
+        span_nodes = u_vals
 
         # per-window arrays (window order == emission order)
         win_span = np.repeat(np.arange(n_spans), nw)
