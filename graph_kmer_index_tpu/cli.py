@@ -114,7 +114,7 @@ def create_index(args):
 # -- index (DenseKmerFinder, reference cli:536-638) --------------------------
 
 def index_command(args):
-    from . import (CriticalGraphPaths, DenseKmerFinder, FlatKmers, Graph,
+    from . import (CriticalGraphPaths, FlatKmers, Graph,
                    PositionId)
 
     graph = Graph.from_file(args.graph)
@@ -129,30 +129,15 @@ def index_command(args):
         from .models.kmer_index import CollisionFreeKmerIndex
         whitelist = CollisionFreeKmerIndex.from_file(args.whitelist)
 
-    n_chunks = min(args.n_threads * 20, max(1, len(critical_paths)))
-    n_paths_per_chunk = max(1, len(critical_paths) // n_chunks)
-    starting = list(range(0, len(critical_paths), n_paths_per_chunk))
-    ending = starting[1:] + [len(critical_paths)]
-    chunks = list(zip(starting, ending))
-    logging.info("There are %d critical paths; processing %d chunks",
-                 len(critical_paths), len(chunks))
-
+    from .parallel.host_pool import find_kmers_parallel
     t = time.perf_counter()
-    flat_kmers = []
-    for start, stop in chunks:
-        finder = DenseKmerFinder(
-            graph, args.kmer_size, critical_graph_paths=critical_paths,
-            position_id=position_id,
-            max_variant_nodes=args.max_variant_nodes,
-            only_save_one_node_per_kmer=True,
-            start_at_critical_path_number=start,
-            stop_at_critical_path_number=stop,
-            whitelist=whitelist)
-        finder.find()
-        flat_kmers.append(finder.get_flat_kmers(v="1"))
+    flat = find_kmers_parallel(
+        graph, args.kmer_size, n_workers=args.n_threads,
+        critical_paths=critical_paths, position_id=position_id,
+        max_variant_nodes=args.max_variant_nodes,
+        only_save_one_node_per_kmer=True,
+        whitelist=whitelist)
     logging.info("Time spent to make indexes: %.2f", time.perf_counter() - t)
-
-    flat = FlatKmers.from_multiple_flat_kmers(flat_kmers)
     if args.include_reverse_complement:
         logging.info("Adding reverse complements")
         rev = flat.get_reverse_complement_flat_kmers(args.kmer_size)

@@ -115,3 +115,20 @@ def test_graft_entry():
     out = np.asarray(jax.jit(fn)(*[jnp.asarray(a) for a in args]))
     assert out.sum() > 0
     e.dryrun_multichip(8)
+
+
+def test_host_pool_parallel_equals_serial():
+    """Multiprocess worklist sharding == serial full find (the reference's
+    index -t N invariant, command_line_interface.py:574-623)."""
+    from graph_kmer_index_tpu.parallel.host_pool import find_kmers_parallel
+    from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+
+    graph, _ = random_snp_graph(3000, 30, seed=7)
+    serial = find_kmers_parallel(graph, 7, n_workers=1,
+                                 only_save_one_node_per_kmer=True)
+    par = find_kmers_parallel(graph, 7, n_workers=3,
+                              only_save_one_node_per_kmer=True)
+    assert np.array_equal(np.asarray(serial._hashes), np.asarray(par._hashes))
+    assert np.array_equal(np.asarray(serial._nodes), np.asarray(par._nodes))
+    assert np.array_equal(np.asarray(serial._ref_offsets),
+                          np.asarray(par._ref_offsets))
