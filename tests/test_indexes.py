@@ -166,3 +166,33 @@ def test_flat_kmers_revcomp_roundtrip():
     flat = FlatKmers(np.array([h], dtype=np.uint64), np.array([1]))
     rc = flat.get_reverse_complement_flat_kmers(5)
     assert rc._hashes[0] == sequence_to_kmer_hash("CCAGT")
+
+
+def test_unique_kmer_index(tmp_path):
+    from graph_kmer_index_tpu import (Graph, DenseKmerFinder,
+                                      UniqueKmerIndex)
+    graph = Graph.from_dicts(
+        {1: "ACTGACTGAA", 2: "A", 3: "G", 4: "CCTACGTGCA"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    finder = DenseKmerFinder(graph, k=5)
+    finder.find()
+    flat = finder.get_flat_kmers(v="0")
+    reverse = ReverseKmerIndex.from_flat_kmers(flat)
+    unique = UniqueKmerIndex.from_flat_kmers_and_snps_graph(
+        flat, graph, reverse)
+    f = str(tmp_path / "uniq.pkl")
+    unique.to_file(f)
+    unique2 = UniqueKmerIndex.from_file(f)
+    assert unique2._index_dict == unique._index_dict
+
+
+def test_critical_paths_roundtrip(tmp_path):
+    from graph_kmer_index_tpu import CriticalGraphPaths, Graph
+    graph = Graph.from_dicts(
+        {1: "ACTGACTGAA", 2: "A", 3: "G", 4: "CCTACGTGCA"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    cgp = CriticalGraphPaths.from_graph(graph, 4)
+    f = str(tmp_path / "crit")
+    cgp.to_file(f)
+    cgp2 = CriticalGraphPaths.from_file(f)
+    assert list(cgp) == list(cgp2)
