@@ -138,9 +138,11 @@ class DenseKmerFinder:
 
     # -- public API -----------------------------------------------------
 
-    def find(self):
+    def find(self, use_native=None):
         """Full-graph enumeration from critical starting points
-        (reference kmer_finder.py:179-244)."""
+        (reference kmer_finder.py:179-244). The traversal control plane
+        runs in the native C++ span walker when available (identical span
+        stream, differential-tested); Python otherwise."""
         if self._critical_graph_paths is None:
             self._critical_graph_paths = CriticalGraphPaths.from_graph(
                 self._graph, self._k)
@@ -153,18 +155,25 @@ class DenseKmerFinder:
             stop_at_node = starting_points[-self._stop_at_critical_path_number - 1][0]
 
         self._starting_points_set = set(starting_points)
-        self._starting_points = starting_points
+        worklist = starting_points
 
         if (self._start_at_critical_path_number is not None
                 and self._start_at_critical_path_number > 0):
-            self._starting_points = self._starting_points[
-                : -self._start_at_critical_path_number]
+            worklist = worklist[: -self._start_at_critical_path_number]
 
         if not self._start_at_critical_path_number:
             first = self._graph.get_first_node()
             if self._graph.get_node_size(first) <= self._k:
-                self._starting_points.append((first, 0))
+                worklist = worklist + [(first, 0)]
 
+        if use_native is None:
+            use_native = self._only_follow_nodes is None
+        if use_native and self._find_native(worklist, starting_points,
+                                            stop_at_node):
+            self._finalize()
+            return
+
+        self._starting_points = list(worklist)
         while self._starting_points:
             critical_node, critical_offset = self._starting_points.pop()
             if stop_at_node is not None and stop_at_node == critical_node:
@@ -172,6 +181,37 @@ class DenseKmerFinder:
             self._start_search(critical_node, critical_offset)
 
         self._finalize()
+
+    def _find_native(self, worklist, seen_points, stop_at_node) -> bool:
+        """Run the C++ span walker; load its span stream into the
+        emission buffers. False => caller uses the Python walker."""
+        from . import native
+        if not native.available():
+            return False
+        cgp = self._critical_graph_paths
+        if cgp._index is None:
+            cgp._make_index()
+        n = self._graph.n_nodes()
+        crit = np.full(n, -1, dtype=np.int32)
+        if len(cgp._index):
+            m = min(n, len(cgp._index))
+            crit[:m] = cgp._index[:m]
+        res = native.walk(
+            self._graph, crit, self._k, self._max_variant_nodes,
+            worklist=np.array(worklist, dtype=np.int64).reshape(-1, 2),
+            seen_points=np.array(seen_points, dtype=np.int64).reshape(-1, 2),
+            stop_at_node=-1 if stop_at_node is None else int(stop_at_node))
+        if res is None:
+            return False
+        tape, ts, nw, s_node, s_off, nl, span_nodes = res
+        self._tape.extend(tape)
+        self._span_tape_start.extend(ts)
+        self._span_n_windows.extend(nw)
+        self._span_node.extend(s_node)
+        self._span_first_offset.extend(s_off)
+        self._span_nodes_len.extend(nl)
+        self._span_nodes.extend(span_nodes)
+        return True
 
     def find_only_kmers_starting_at_position(self, node, offset):
         """Early-stop mode: emit the first full window of every DFS branch
@@ -519,8 +559,13 @@ class DenseKmerFinder:
             self._finalized = empty
             return
 
-        use_device = (self._use_device if self._use_device is not None
-                      else len(tape) >= _DEVICE_TAPE_THRESHOLD)
+        if self._use_device is not None:
+            use_device = self._use_device
+        else:
+            use_device = len(tape) >= _DEVICE_TAPE_THRESHOLD
+            if use_device:
+                import jax
+                use_device = jax.default_backend() != "cpu"
         if use_device:
             from .ops.encode import sliding_hashes
             import jax.numpy as jnp

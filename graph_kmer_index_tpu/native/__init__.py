@@ -15,7 +15,7 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "gki.cpp")
+_SRCS = [os.path.join(_HERE, "gki.cpp"), os.path.join(_HERE, "walker.cpp")]
 _SO = os.path.join(_HERE, "libgki.so")
 _lock = threading.Lock()
 _lib = None
@@ -23,10 +23,10 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-o", _SO] + _SRCS
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return True
     except (OSError, subprocess.SubprocessError) as e:
         logging.info("native build unavailable (%s); using numpy fallbacks", e)
@@ -40,8 +40,8 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not os.path.exists(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS):
             if not _build():
                 return None
         try:
@@ -77,6 +77,21 @@ def get_lib():
         lib.gki_fasta_encode.argtypes = [
             ctypes.c_char_p, i64, p(ctypes.c_int8), i64, p(ctypes.c_int64),
             p(ctypes.c_int64), i64]
+        lib.gki_walk_run.restype = ctypes.c_void_p
+        lib.gki_walk_run.argtypes = [
+            i64, p(ctypes.c_uint32), p(ctypes.c_int64), p(ctypes.c_int8),
+            p(ctypes.c_int64), p(ctypes.c_int32), p(ctypes.c_uint8),
+            p(ctypes.c_int32), i32, i32,
+            p(ctypes.c_int64), p(ctypes.c_int64), i64,
+            p(ctypes.c_int64), p(ctypes.c_int64), i64,
+            i64, p(ctypes.c_int64)]
+        lib.gki_walk_fetch.restype = None
+        lib.gki_walk_fetch.argtypes = [
+            ctypes.c_void_p, p(ctypes.c_int8), p(ctypes.c_int64),
+            p(ctypes.c_int32), p(ctypes.c_int32), p(ctypes.c_int32),
+            p(ctypes.c_int32), p(ctypes.c_int32)]
+        lib.gki_walk_free.restype = None
+        lib.gki_walk_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -171,6 +186,65 @@ def has_kmers(kmers, table_kmers, starts_tbl, sizes_tbl,
         _ptr(np.ascontiguousarray(sizes_tbl, np.uint32), ctypes.c_uint32),
         int(modulo), _ptr(out, ctypes.c_uint8))
     return out.astype(bool)
+
+
+def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
+         stop_at_node=-1):
+    """Run the native DenseKmerFinder span walk. Returns the span
+    descriptor arrays (tape, span_tape_start, span_n_windows, span_node,
+    span_first_offset, span_nodes_len, span_nodes) or None when the
+    native library is unavailable or a python-level assertion would fire
+    (caller falls back to the python walker)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = graph.n_nodes()
+    node_sizes = np.ascontiguousarray(graph.node_sizes, np.uint32)
+    seq_start = np.ascontiguousarray(graph.seq_start, np.int64)
+    sequence = np.ascontiguousarray(graph.sequence, np.int8)
+    edge_index = np.ascontiguousarray(graph.edge_index, np.int64)
+    edge_targets = np.ascontiguousarray(graph.edge_targets, np.int32)
+    is_ref = np.ascontiguousarray(
+        (graph.linear_ref_mask | graph.ref_dummy_mask).astype(np.uint8))
+    crit = np.ascontiguousarray(crit_index, np.int32)
+    assert len(crit) >= n, "crit_index must cover all nodes"
+
+    wl = np.asarray(worklist, dtype=np.int64).reshape(-1, 2)
+    sp = np.asarray(seen_points, dtype=np.int64).reshape(-1, 2)
+    wl_nodes = np.ascontiguousarray(wl[:, 0])
+    wl_offsets = np.ascontiguousarray(wl[:, 1])
+    seen_nodes = np.ascontiguousarray(sp[:, 0])
+    seen_offsets = np.ascontiguousarray(sp[:, 1])
+
+    out_sizes = np.zeros(3, dtype=np.int64)
+    handle = lib.gki_walk_run(
+        n, _ptr(node_sizes, ctypes.c_uint32), _ptr(seq_start, ctypes.c_int64),
+        _ptr(sequence, ctypes.c_int8), _ptr(edge_index, ctypes.c_int64),
+        _ptr(edge_targets, ctypes.c_int32), _ptr(is_ref, ctypes.c_uint8),
+        _ptr(crit, ctypes.c_int32), int(k), int(max_variant_nodes),
+        _ptr(wl_nodes, ctypes.c_int64), _ptr(wl_offsets, ctypes.c_int64),
+        len(wl_nodes),
+        _ptr(seen_nodes, ctypes.c_int64), _ptr(seen_offsets, ctypes.c_int64),
+        len(seen_nodes), int(stop_at_node),
+        _ptr(out_sizes, ctypes.c_int64))
+    if not handle or out_sizes[0] < 0:
+        return None
+    n_spans, tape_len, sn_len = (int(out_sizes[0]), int(out_sizes[1]),
+                                 int(out_sizes[2]))
+    tape = np.empty(tape_len, np.int8)
+    ts = np.empty(n_spans, np.int64)
+    nw = np.empty(n_spans, np.int32)
+    s_node = np.empty(n_spans, np.int32)
+    s_off = np.empty(n_spans, np.int32)
+    nl = np.empty(n_spans, np.int32)
+    span_nodes = np.empty(sn_len, np.int32)
+    lib.gki_walk_fetch(handle, _ptr(tape, ctypes.c_int8),
+                       _ptr(ts, ctypes.c_int64), _ptr(nw, ctypes.c_int32),
+                       _ptr(s_node, ctypes.c_int32),
+                       _ptr(s_off, ctypes.c_int32),
+                       _ptr(nl, ctypes.c_int32),
+                       _ptr(span_nodes, ctypes.c_int32))
+    return tape, ts, nw, s_node, s_off, nl, span_nodes
 
 
 def fasta_encode(text: bytes, max_reads: int | None = None):

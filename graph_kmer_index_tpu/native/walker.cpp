@@ -1,0 +1,414 @@
+// Native span-walker: the DenseKmerFinder graph-traversal control plane.
+//
+// Function-by-function mirror of graph_kmer_index_tpu/finder.py
+// (_search/_process_entry/_step_base/_process_run/_next_nodes/_emit_span
+// and the _TreatedIntervals dedup), which itself implements the reference
+// semantics (kmer_finder.py:179-434). Emits the same span descriptors +
+// base tape in the same order; hashing and row expansion stay in
+// Python/JAX (_finalize). Differential tests assert byte equality with
+// the Python walker on random graphs.
+//
+// Plain C ABI for ctypes; one opaque result handle per run.
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct Graph {
+    int64_t n_nodes;
+    const uint32_t* node_sizes;
+    const int64_t* seq_start;
+    const int8_t* sequence;
+    const int64_t* edge_index;
+    const int32_t* edge_targets;
+    const uint8_t* is_ref;        // linear-ref or ref-dummy mask
+    const int32_t* crit_index;    // per-node critical offset, -1 = none
+};
+
+struct SetKey {
+    int32_t node;
+    std::vector<int32_t> members;  // sorted unique window nodes
+    bool operator==(const SetKey& o) const {
+        return node == o.node && members == o.members;
+    }
+};
+
+struct SetKeyHash {
+    size_t operator()(const SetKey& k) const {
+        uint64_t h = 1469598103934665603ull ^ (uint64_t)k.node;
+        for (int32_t v : k.members) {
+            h ^= (uint64_t)(uint32_t)v;
+            h *= 1099511628211ull;
+        }
+        return (size_t)h;
+    }
+};
+
+struct Walker {
+    Graph g;
+    int32_t k;
+    int32_t max_variant_nodes;
+
+    // per-branch state (truncated on DFS backtrack)
+    std::vector<int32_t> elem_nodes;
+    std::vector<int8_t> elem_bases;
+    std::vector<int64_t> ne_pos;
+    std::vector<int8_t> ne_bases;
+    std::vector<int32_t> blk_node;
+    std::vector<int64_t> blk_first;
+
+    // emission buffers (append-only, global)
+    std::vector<int8_t> tape;
+    std::vector<int64_t> span_tape_start;
+    std::vector<int32_t> span_n_windows;
+    std::vector<int32_t> span_node;
+    std::vector<int32_t> span_first_offset;
+    std::vector<int32_t> span_nodes_len;
+    std::vector<int32_t> span_nodes;
+
+    // treated intervals: (node, window-node-set) -> [o1,o2] list
+    std::unordered_map<SetKey, std::vector<std::pair<int32_t, int32_t>>,
+                       SetKeyHash> treated;
+
+    // worklist
+    std::vector<std::pair<int32_t, int32_t>> starting_points;
+    std::unordered_set<int64_t> seen;
+
+    int32_t crit_node = -1, crit_offset = -1;
+
+    static int64_t pkey(int32_t node, int32_t offset) {
+        return ((int64_t)node << 32) | (int64_t)(uint32_t)offset;
+    }
+
+    int32_t critical_offset_of(int32_t node) const {
+        if (g.crit_index == nullptr || node >= g.n_nodes) return -1;
+        return g.crit_index[node];
+    }
+
+    void queue_starting_point(int32_t node, int32_t offset) {
+        int64_t key = pkey(node, offset);
+        if (seen.insert(key).second)
+            starting_points.emplace_back(node, offset);
+    }
+
+    SetKey make_key(int32_t node, size_t block_from) const {
+        SetKey key;
+        key.node = node;
+        key.members.assign(blk_node.begin() + block_from, blk_node.end());
+        std::sort(key.members.begin(), key.members.end());
+        key.members.erase(std::unique(key.members.begin(), key.members.end()),
+                          key.members.end());
+        return key;
+    }
+
+    // smallest treated offset in [o1,o2] skipping `exempt` (-1 = none)
+    int32_t first_hit(const SetKey& key, int32_t o1, int32_t o2,
+                      int32_t exempt) const {
+        auto it = treated.find(key);
+        if (it == treated.end()) return -1;
+        const auto& intervals = it->second;
+        int32_t candidate = o1;
+        while (candidate <= o2) {
+            int32_t best = INT32_MAX;
+            for (const auto& iv : intervals) {
+                if (iv.second >= candidate && iv.first <= o2) {
+                    int32_t p = std::max(iv.first, candidate);
+                    if (p < best) best = p;
+                }
+            }
+            if (best == INT32_MAX) return -1;
+            if (best == exempt) { candidate = best + 1; continue; }
+            return best;
+        }
+        return -1;
+    }
+
+    void treated_add(const SetKey& key, int32_t o1, int32_t o2) {
+        if (o2 < o1) return;
+        treated[key].emplace_back(o1, o2);
+    }
+
+    void emit_span(int32_t node, int32_t first_offset, int32_t n_windows,
+                   size_t block_from, int64_t t_first) {
+        span_tape_start.push_back((int64_t)tape.size());
+        tape.insert(tape.end(),
+                    ne_bases.begin() + (t_first - k + 1),
+                    ne_bases.begin() + (t_first + n_windows));
+        span_n_windows.push_back(n_windows);
+        span_node.push_back(node);
+        span_first_offset.push_back(first_offset);
+        span_nodes_len.push_back((int32_t)(blk_node.size() - block_from));
+        span_nodes.insert(span_nodes.end(), blk_node.begin() + block_from,
+                          blk_node.end());
+    }
+
+    // finder.py _step_base (exact per-base semantics)
+    // returns 0=CONT 1=STOP/PRUNE
+    int step_base(int32_t node, int32_t offset) {
+        int8_t base = g.sequence[g.seq_start[node] + offset];
+        int64_t elem_idx = (int64_t)elem_nodes.size();
+        elem_nodes.push_back(node);
+        elem_bases.push_back(base);
+        ne_pos.push_back(elem_idx);
+        ne_bases.push_back(base);
+        int64_t t = (int64_t)ne_pos.size() - 1;
+
+        SetKey key = make_key(node, 0);
+        int32_t exempt = (node == crit_node && offset == crit_offset)
+                             ? offset : -1;
+        if ((int64_t)elem_nodes.size() >= k) {
+            if (first_hit(key, offset, offset, exempt) >= 0) return 1;
+        }
+        treated_add(key, offset, offset);
+
+        if (t >= k - 1)
+            emit_span(node, offset, 1, 0, t);
+
+        if (!(node == crit_node && offset + 1 == crit_offset)
+            && critical_offset_of(node) == offset + 1 ) {
+            queue_starting_point(node, offset + 1);
+            return 1;
+        }
+        return 0;
+    }
+
+    // finder.py _process_run
+    int process_run(int32_t node, int32_t o_start) {
+        int32_t size = (int32_t)g.node_sizes[node];
+        int32_t process_end = size;
+        int32_t stop_at = -1;
+        int32_t c = critical_offset_of(node);
+        if (c >= 0 && o_start + 1 <= c && c <= size
+            && !(node == crit_node && c == crit_offset)) {
+            process_end = c;
+            stop_at = c;
+        }
+        int32_t n = process_end - o_start;
+        if (n <= 0) {
+            if (stop_at >= 0) { queue_starting_point(node, stop_at); return 1; }
+            return 0;  // CONT (unreachable in practice; mirrors python)
+        }
+
+        int64_t t0 = (int64_t)ne_pos.size();
+        int64_t elem0 = (int64_t)elem_nodes.size();
+        const int8_t* bases = g.sequence + g.seq_start[node] + o_start;
+        for (int32_t i = 0; i < n; ++i) {
+            elem_nodes.push_back(node);
+            elem_bases.push_back(bases[i]);
+            ne_pos.push_back(elem0 + i);
+            ne_bases.push_back(bases[i]);
+        }
+
+        // group window starts by containing path block
+        // b(i) = index of last blk_first <= ne_pos[t0-k+1+i]
+        size_t gi = 0;
+        while (gi < (size_t)n) {
+            int64_t start_elem = ne_pos[t0 - k + 1 + gi];
+            size_t bb = (size_t)(std::upper_bound(blk_first.begin(),
+                                                  blk_first.end(), start_elem)
+                                 - blk_first.begin()) - 1;
+            // group extent: windows whose start elem stays in block bb
+            size_t ge = gi + 1;
+            while (ge < (size_t)n) {
+                int64_t se = ne_pos[t0 - k + 1 + ge];
+                size_t b2 = (size_t)(std::upper_bound(blk_first.begin(),
+                                                      blk_first.end(), se)
+                                     - blk_first.begin()) - 1;
+                if (b2 != bb) break;
+                ++ge;
+            }
+            SetKey key = make_key(node, bb);
+            int32_t o1 = o_start + (int32_t)gi;
+            int32_t o2 = o_start + (int32_t)ge - 1;
+            int32_t exempt = (node == crit_node && o1 <= crit_offset
+                              && crit_offset <= o2) ? crit_offset : -1;
+            int32_t hit = first_hit(key, o1, o2, exempt);
+            int32_t emit_end = (hit >= 0) ? hit - 1 : o2;
+            treated_add(key, o1, emit_end);
+            if (emit_end >= o1)
+                emit_span(node, o1, emit_end - o1 + 1, bb,
+                          t0 + (int64_t)gi);
+            if (hit >= 0) return 1;  // PRUNE
+            gi = ge;
+        }
+
+        if (stop_at >= 0) { queue_starting_point(node, stop_at); return 1; }
+        return 0;
+    }
+
+    // finder.py _process_entry; returns 0=CONT else stop
+    int process_entry(int32_t node, int32_t offset) {
+        int32_t size = (int32_t)g.node_sizes[node];
+        if (offset == 0 && size == 0) {
+            blk_node.push_back(node);
+            blk_first.push_back((int64_t)elem_nodes.size());
+            elem_nodes.push_back(node);
+            elem_bases.push_back(-1);
+            return 0;
+        }
+        blk_node.push_back(node);
+        blk_first.push_back((int64_t)elem_nodes.size());
+        while (offset < size) {
+            if ((int64_t)ne_pos.size() < k) {
+                if (step_base(node, offset)) return 1;
+                ++offset;
+            } else {
+                return process_run(node, offset) ? 1 : 0;
+            }
+        }
+        return 0;
+    }
+
+    size_t current_window_block() const {
+        if ((int64_t)ne_pos.size() < k) return 0;
+        int64_t start_elem = ne_pos[ne_pos.size() - k];
+        return (size_t)(std::upper_bound(blk_first.begin(), blk_first.end(),
+                                         start_elem) - blk_first.begin()) - 1;
+    }
+
+    // finder.py _next_nodes (only_follow unsupported in native mode)
+    // returns successors in edge order; empty if none / clamp violation
+    bool next_nodes(int32_t node, std::vector<int32_t>& out) {
+        out.clear();
+        for (int64_t e = g.edge_index[node]; e < g.edge_index[node + 1]; ++e)
+            out.push_back(g.edge_targets[e]);
+        if (out.empty()) return true;
+
+        size_t bb = current_window_block();
+        std::vector<int32_t> uniq(blk_node.begin() + bb, blk_node.end());
+        std::sort(uniq.begin(), uniq.end());
+        uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+        int32_t n_variant = 0;
+        for (int32_t v : uniq)
+            if (!g.is_ref[v]) ++n_variant;
+
+        if (n_variant >= max_variant_nodes) {
+            std::vector<int32_t> ref_only;
+            for (int32_t v : out)
+                if (g.is_ref[v]) ref_only.push_back(v);
+            if (ref_only.size() != 1) return false;  // assertion in python
+            out.swap(ref_only);
+        }
+        return true;
+    }
+
+    struct Snap { size_t n_elems, n_ne, n_blk; };
+
+    void restore(const Snap& s) {
+        elem_nodes.resize(s.n_elems);
+        elem_bases.resize(s.n_elems);
+        ne_pos.resize(s.n_ne);
+        ne_bases.resize(s.n_ne);
+        blk_node.resize(s.n_blk);
+        blk_first.resize(s.n_blk);
+    }
+
+    // finder.py _search: iterative DFS; returns false on python-level
+    // assertion failure (caller falls back)
+    bool search(int32_t node, int32_t offset) {
+        struct Entry { int32_t node, offset; Snap snap; };
+        std::vector<Entry> stack;
+        stack.push_back({node, offset, {elem_nodes.size(), ne_pos.size(),
+                                        blk_node.size()}});
+        std::vector<int32_t> children;
+        while (!stack.empty()) {
+            Entry e = stack.back();
+            stack.pop_back();
+            restore(e.snap);
+            if (process_entry(e.node, e.offset)) continue;
+            if (!next_nodes(e.node, children)) return false;
+            if (!children.empty()) {
+                Snap snap{elem_nodes.size(), ne_pos.size(), blk_node.size()};
+                for (auto it = children.rbegin(); it != children.rend(); ++it)
+                    stack.push_back({*it, 0, snap});
+            }
+        }
+        return true;
+    }
+
+    bool run(const int64_t* wl_nodes, const int64_t* wl_offsets,
+             int64_t n_wl, const int64_t* seen_nodes,
+             const int64_t* seen_offsets, int64_t n_seen,
+             int64_t stop_at_node) {
+        for (int64_t i = 0; i < n_seen; ++i)
+            seen.insert(pkey((int32_t)seen_nodes[i],
+                             (int32_t)seen_offsets[i]));
+        starting_points.reserve((size_t)n_wl);
+        for (int64_t i = 0; i < n_wl; ++i)
+            starting_points.emplace_back((int32_t)wl_nodes[i],
+                                         (int32_t)wl_offsets[i]);
+        while (!starting_points.empty()) {
+            auto [cnode, coffset] = starting_points.back();
+            starting_points.pop_back();
+            if (stop_at_node >= 0 && cnode == (int32_t)stop_at_node) break;
+            // _start_search
+            crit_node = cnode;
+            crit_offset = coffset;
+            elem_nodes.clear(); elem_bases.clear();
+            ne_pos.clear(); ne_bases.clear();
+            blk_node.clear(); blk_first.clear();
+            int32_t offset = coffset;
+            if (offset >= k - 1) offset -= k - 1;
+            if (!search(cnode, offset)) return false;
+        }
+        return true;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gki_walk_run(
+    int64_t n_nodes, const uint32_t* node_sizes, const int64_t* seq_start,
+    const int8_t* sequence, const int64_t* edge_index,
+    const int32_t* edge_targets, const uint8_t* is_ref,
+    const int32_t* crit_index, int32_t k, int32_t max_variant_nodes,
+    const int64_t* wl_nodes, const int64_t* wl_offsets, int64_t n_wl,
+    const int64_t* seen_nodes, const int64_t* seen_offsets, int64_t n_seen,
+    int64_t stop_at_node,
+    int64_t* out_sizes /* [n_spans, tape_len, span_nodes_len] */) {
+    Walker* w = new Walker();
+    w->g = Graph{n_nodes, node_sizes, seq_start, sequence, edge_index,
+                 edge_targets, is_ref, crit_index};
+    w->k = k;
+    w->max_variant_nodes = max_variant_nodes;
+    if (!w->run(wl_nodes, wl_offsets, n_wl, seen_nodes, seen_offsets,
+                n_seen, stop_at_node)) {
+        delete w;
+        out_sizes[0] = -1;
+        return nullptr;
+    }
+    out_sizes[0] = (int64_t)w->span_node.size();
+    out_sizes[1] = (int64_t)w->tape.size();
+    out_sizes[2] = (int64_t)w->span_nodes.size();
+    return w;
+}
+
+void gki_walk_fetch(void* handle, int8_t* tape, int64_t* span_tape_start,
+                    int32_t* span_n_windows, int32_t* span_node,
+                    int32_t* span_first_offset, int32_t* span_nodes_len,
+                    int32_t* span_nodes) {
+    Walker* w = (Walker*)handle;
+    memcpy(tape, w->tape.data(), w->tape.size());
+    memcpy(span_tape_start, w->span_tape_start.data(),
+           w->span_tape_start.size() * 8);
+    memcpy(span_n_windows, w->span_n_windows.data(),
+           w->span_n_windows.size() * 4);
+    memcpy(span_node, w->span_node.data(), w->span_node.size() * 4);
+    memcpy(span_first_offset, w->span_first_offset.data(),
+           w->span_first_offset.size() * 4);
+    memcpy(span_nodes_len, w->span_nodes_len.data(),
+           w->span_nodes_len.size() * 4);
+    memcpy(span_nodes, w->span_nodes.data(), w->span_nodes.size() * 4);
+    delete w;
+}
+
+void gki_walk_free(void* handle) { delete (Walker*)handle; }
+
+}  // extern "C"

@@ -1,0 +1,70 @@
+"""Differential tests: native C++ span walker == Python walker, bit
+exact, on random SNP and indel graphs."""
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import DenseKmerFinder, native
+from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no native toolchain")
+
+
+def _flat_tuple(graph, k, use_native, **kwargs):
+    finder = DenseKmerFinder(graph, k=k, **kwargs)
+    finder.find(use_native=use_native)
+    flat = finder.get_flat_kmers(v="1")
+    return (np.asarray(flat._hashes), np.asarray(flat._nodes),
+            np.asarray(flat._ref_offsets),
+            np.asarray(flat._allele_frequencies))
+
+
+@pytest.mark.parametrize("seed,indel_fraction,k", [
+    (0, 0.0, 7), (1, 0.0, 31), (2, 0.3, 7), (3, 0.5, 15), (4, 1.0, 5),
+])
+def test_native_walker_matches_python(seed, indel_fraction, k):
+    graph, _ = random_snp_graph(4000, 60, seed=seed,
+                                indel_fraction=indel_fraction)
+    py = _flat_tuple(graph, k, use_native=False)
+    cc = _flat_tuple(graph, k, use_native=True)
+    for a, b, name in zip(py, cc, ("hashes", "nodes", "ref_offsets", "af")):
+        assert np.array_equal(a, b), name
+
+
+def test_native_walker_max_variant_nodes():
+    graph, _ = random_snp_graph(2000, 40, seed=9)
+    py = _flat_tuple(graph, 9, use_native=False, max_variant_nodes=1)
+    cc = _flat_tuple(graph, 9, use_native=True, max_variant_nodes=1)
+    for a, b in zip(py, cc):
+        assert np.array_equal(a, b)
+
+
+def test_native_walker_chunked_sharding():
+    """start/stop_at_critical_path_number sharding equality."""
+    graph, _ = random_snp_graph(2000, 30, seed=5)
+    py = _flat_tuple(graph, 7, use_native=False,
+                     start_at_critical_path_number=3,
+                     stop_at_critical_path_number=9)
+    cc = _flat_tuple(graph, 7, use_native=True,
+                     start_at_critical_path_number=3,
+                     stop_at_critical_path_number=9)
+    for a, b in zip(py, cc):
+        assert np.array_equal(a, b)
+
+
+def test_native_walker_only_save_one_and_store_filters():
+    graph, _ = random_snp_graph(1500, 20, seed=6)
+    some_nodes = set(range(1, graph.n_nodes(), 3))
+    py = _flat_tuple(graph, 7, use_native=False,
+                     only_save_one_node_per_kmer=True,
+                     only_store_nodes=some_nodes)
+    cc = _flat_tuple(graph, 7, use_native=True,
+                     only_save_one_node_per_kmer=True,
+                     only_store_nodes=some_nodes)
+    for a, b in zip(py, cc):
+        assert np.array_equal(a, b)
