@@ -59,8 +59,9 @@ def measure_kernel(kernel: str) -> float:
             return (lo ^ hi).astype(jnp.int32)
         return sliding_hashes(s, K).astype(jnp.int32)
 
-    @functools.partial(jax.jit, static_argnums=(1,))
+    @jax.jit
     def chain(s, reps):
+        # traced trip count -> ONE compile serves both chain lengths
         def body(i, x):
             return (x + apply(x) & 3).astype(jnp.int32)
         return jax.lax.fori_loop(0, reps, body, s).sum()

@@ -41,8 +41,8 @@ def main():
         rng.integers(0, 1 << 62, n_q - n_q // 2).astype(np.uint64)])
     q0 = jnp.asarray(half_hit)
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def chain(q, reps):
+    @jax.jit
+    def chain(q, reps):  # traced trip count -> one compile
         def body(i, x):
             counts = _node_counts(x, x.shape[0], dev.table_kmers,
                                   dev.table_nodes, dev.starts_tbl,

@@ -72,6 +72,42 @@ def _has_kmers(kmers, n_valid, table_kmers, starts_tbl, sizes_tbl, modulo,
     return jnp.any(mask, axis=1)
 
 
+@functools.partial(jax.jit, static_argnums=(10, 13))
+def _get_batched_kernel(kmers, n_valid, table_kmers, table_nodes,
+                        table_ref_offsets, table_frequencies,
+                        table_allele_frequencies, starts_tbl, sizes_tbl,
+                        modulo, max_scan, hit_cap, freq_cap, max_total):
+    """Fully on-device batched get with compaction: hits scatter into a
+    fixed (5, max_total) matrix by prefix-sum position; returns the
+    matrix + true hit count (caller re-runs with a bigger max_total on
+    overflow). Replaces the Cython two-pass scan
+    (cython_kmer_index.pyx:57-107)."""
+    rows, mask, n_bucket = _bucket_hits(kmers, n_valid, table_kmers,
+                                        starts_tbl, sizes_tbl, modulo,
+                                        table_kmers.shape[0], max_scan)
+    mask = mask & (n_bucket <= hit_cap)[:, None]
+    mask = mask & (table_frequencies[rows] <= freq_cap)
+    flat_mask = mask.reshape(-1)
+    pos = jnp.cumsum(flat_mask.astype(jnp.int64)) - 1
+    n_hits = pos[-1] + 1 if flat_mask.shape[0] else jnp.int64(0)
+    out_idx = jnp.where(flat_mask, pos, max_total)  # overflow -> dropped
+    rows_f = rows.reshape(-1)
+    qi = (jnp.arange(flat_mask.shape[0], dtype=jnp.int64)
+          // jnp.int64(max_scan))
+    out = jnp.zeros((5, max_total + 1), dtype=jnp.uint64)
+    out = out.at[0, out_idx].set(table_nodes[rows_f].astype(jnp.uint64),
+                                 mode="drop")
+    out = out.at[1, out_idx].set(table_ref_offsets[rows_f].astype(jnp.uint64),
+                                 mode="drop")
+    out = out.at[2, out_idx].set(qi.astype(jnp.uint64), mode="drop")
+    out = out.at[3, out_idx].set(table_frequencies[rows_f].astype(jnp.uint64),
+                                 mode="drop")
+    out = out.at[4, out_idx].set(
+        (table_allele_frequencies[rows_f] * 1000).astype(jnp.uint64),
+        mode="drop")
+    return out[:, :max_total], n_hits
+
+
 def _pad_queries(kmers):
     n = len(kmers)
     padded = max(_PAD, -(-n // _PAD) * _PAD)
@@ -144,25 +180,19 @@ class DeviceKmerIndex:
         frequency, 1000*allele_frequency], the CythonKmerIndex.get contract
         (cython_kmer_index.pyx:101-106): queries with more than ``hit_cap``
         rows in their bucket are skipped, as are rows with frequency >
-        ``frequency_cap``."""
+        ``frequency_cap``. Hit compaction runs on device (prefix-sum
+        scatter into a fixed-size matrix; retried bigger on overflow) so
+        only the compact result transfers to host."""
         q, n = _pad_queries(kmers)
-        rows, mask, n_bucket = _bucket_hits(
-            jnp.asarray(q), n, self.table_kmers, self.starts_tbl,
-            self.sizes_tbl, self.modulo, self.table_kmers.shape[0],
-            self.max_scan)
-        rows = np.array(rows[:n])
-        mask = np.array(mask[:n])  # copy: jax->numpy views are read-only
-        n_bucket = np.array(n_bucket[:n])
-        freqs = np.asarray(self.table_frequencies)
-        mask &= (n_bucket <= hit_cap)[:, None]
-        mask &= freqs[rows] <= frequency_cap
-        qi, sc = np.nonzero(mask)
-        r = rows[qi, sc]
-        out = np.zeros((5, len(r)), dtype=np.uint64)
-        out[0] = np.asarray(self.table_nodes)[r]
-        out[1] = np.asarray(self.table_ref_offsets)[r]
-        out[2] = qi
-        out[3] = freqs[r]
-        out[4] = (np.asarray(self.table_allele_frequencies)[r] * 1000).astype(
-            np.uint64)
-        return out
+        max_total = max(1024, 4 * len(q))
+        while True:
+            out, n_hits = _get_batched_kernel(
+                jnp.asarray(q), n, self.table_kmers, self.table_nodes,
+                self.table_ref_offsets, self.table_frequencies,
+                self.table_allele_frequencies, self.starts_tbl,
+                self.sizes_tbl, self.modulo, self.max_scan,
+                jnp.int32(hit_cap), jnp.int32(frequency_cap), max_total)
+            n_hits = int(n_hits)
+            if n_hits <= max_total:
+                return np.asarray(out)[:, :n_hits]
+            max_total = 2 * n_hits
