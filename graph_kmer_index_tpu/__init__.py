@@ -51,6 +51,9 @@ from .models.counters import (  # noqa: E402,F401
     KmerFrequencyIndex,
 )
 from .variants import VcfVariant, VcfVariants  # noqa: E402,F401
+from .graph_builder import (  # noqa: E402,F401
+    build_graph_from_vcf, build_graph_from_files,
+)
 from .unique_variant_kmers import UniqueVariantKmersFinder  # noqa: E402,F401
 from .structural_variants import (  # noqa: E402,F401
     sample_kmers_from_structural_variants,

@@ -337,6 +337,18 @@ def make_unique_variant_kmers_batched(args):
     make_unique_variant_kmers(args)
 
 
+def make_graph(args):
+    """Extra subcommand (not in the reference CLI — the reference relies
+    on the external obgraph package for graph construction)."""
+    from .graph_builder import build_graph_from_files
+    graph, v2n = build_graph_from_files(args.reference_fasta, args.vcf)
+    graph.to_file(args.out_file_name)
+    if args.variant_to_nodes_out:
+        v2n.to_file(args.variant_to_nodes_out)
+    logging.info("Wrote graph (%d nodes) to %s", graph.n_nodes(),
+                 args.out_file_name)
+
+
 def sample_kmers_from_structural_variants_command(args):
     from . import Graph, VariantToNodes
     from .structural_variants import sample_kmers_from_structural_variants
@@ -446,6 +458,13 @@ def run_argument_parser(args):
         s.add_argument("-A", "--align-windows", action="store_true")
         s.add_argument("-S", "--simple", type=bool, default=False)
         s.set_defaults(func=func)
+
+    s = subparsers.add_parser("make_graph")
+    s.add_argument("-R", "--reference-fasta", required=True)
+    s.add_argument("-v", "--vcf", required=True)
+    s.add_argument("-o", "--out-file-name", required=True)
+    s.add_argument("-V", "--variant-to-nodes-out", required=False)
+    s.set_defaults(func=make_graph)
 
     s = subparsers.add_parser("sample_kmers_from_structural_variants")
     s.add_argument("-g", "--graph", required=True)

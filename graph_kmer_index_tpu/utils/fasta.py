@@ -22,6 +22,11 @@ def read_fasta_sequence(file_name: str, reference_name: str | None = None) -> st
     return "".join(sequences[reference_name])
 
 
+def read_fasta_sequences(file_name: str) -> dict:
+    """All records as {name: sequence}."""
+    return dict(iter_fasta_reads(file_name))
+
+
 def iter_fasta_reads(file_name: str):
     """Yield (name, sequence) records."""
     name, parts = None, []
