@@ -223,6 +223,31 @@ def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
     return jax.jit(step)
 
 
+def merge_flat_kmers_all_gather(mesh, shard_arrays, axis: str = "data"):
+    """Merge per-device FlatKmers shards with an all_gather collective.
+
+    The reference merges worker FlatKmers with a host-side
+    ``np.concatenate`` after fork-join (flat_kmers.py:71-90,
+    cli:601-616). On a mesh, each device holds its shard of the four row
+    arrays; one ``all_gather`` over the ``axis`` (ICI) leaves every
+    device with the concatenated arrays, in shard order — bit-identical
+    to the host merge. ``shard_arrays`` = (hashes, nodes, ref_offsets,
+    allele_frequencies), each sharded over ``axis``.
+    """
+    from jax import shard_map
+
+    def gather(h, n, r, a):
+        return (jax.lax.all_gather(h, axis, tiled=True),
+                jax.lax.all_gather(n, axis, tiled=True),
+                jax.lax.all_gather(r, axis, tiled=True),
+                jax.lax.all_gather(a, axis, tiled=True))
+
+    specs = P(axis)
+    fn = shard_map(gather, mesh=mesh, in_specs=(specs,) * 4,
+                   out_specs=(P(),) * 4, check_vma=False)
+    return fn(*shard_arrays)
+
+
 def run_sharded_function(func, n_shards, array_args):
     """Generic data-parallel map over the leading axis of array args with a
     host concatenate — drop-in for the reference's

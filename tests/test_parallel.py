@@ -132,3 +132,28 @@ def test_host_pool_parallel_equals_serial():
     assert np.array_equal(np.asarray(serial._nodes), np.asarray(par._nodes))
     assert np.array_equal(np.asarray(serial._ref_offsets),
                           np.asarray(par._ref_offsets))
+
+
+def test_merge_flat_kmers_all_gather():
+    """all_gather merge == host concatenate (reference
+    FlatKmers.from_multiple_flat_kmers, flat_kmers.py:71-90)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from graph_kmer_index_tpu.parallel.sharded import (
+        merge_flat_kmers_all_gather)
+
+    rng = np.random.default_rng(3)
+    n = 64  # 8 devices x 8 rows
+    h = rng.integers(0, 1 << 62, n).astype(np.uint64)
+    nd = rng.integers(1, 100, n).astype(np.uint32)
+    r = rng.integers(0, 1000, n).astype(np.uint64)
+    a = rng.random(n).astype(np.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    shards = [jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+              for x in (h, nd, r, a)]
+    gh, gn, gr, ga = merge_flat_kmers_all_gather(mesh, shards)
+    assert np.array_equal(np.asarray(gh), h)
+    assert np.array_equal(np.asarray(gn), nd)
+    assert np.array_equal(np.asarray(gr), r)
+    assert np.array_equal(np.asarray(ga), a)
