@@ -337,6 +337,24 @@ def make_unique_variant_kmers_batched(args):
     make_unique_variant_kmers(args)
 
 
+def map_reads(args):
+    """Extra subcommand (the reference delegates read mapping to the
+    external kmer_mapper package): FASTA reads -> window kmers -> node
+    hit counts through the device lookup kernel."""
+    from . import ReadKmers
+    from .models.kmer_index import CollisionFreeKmerIndex
+
+    index = CollisionFreeKmerIndex.from_file(args.kmer_index)
+    kmers = ReadKmers.hash_fasta_file(
+        args.reads, args.kmer_size,
+        include_reverse_complements=args.include_reverse_complement)
+    n_nodes = args.n_nodes or (index.max_node_id() + 1)
+    counts = index.map_kmers(kmers, n_nodes, backend=args.backend)
+    np.save(args.out_file_name, counts)
+    logging.info("Wrote node counts (%d nodes, %d read kmers) to %s",
+                 n_nodes, len(kmers), args.out_file_name)
+
+
 def make_graph(args):
     """Extra subcommand (not in the reference CLI — the reference relies
     on the external obgraph package for graph construction)."""
@@ -458,6 +476,18 @@ def run_argument_parser(args):
         s.add_argument("-A", "--align-windows", action="store_true")
         s.add_argument("-S", "--simple", type=bool, default=False)
         s.set_defaults(func=func)
+
+    s = subparsers.add_parser("map_reads")
+    s.add_argument("-i", "--kmer-index", required=True)
+    s.add_argument("-r", "--reads", required=True)
+    s.add_argument("-k", "--kmer-size", type=int, default=31)
+    s.add_argument("-n", "--n-nodes", type=int, default=0)
+    s.add_argument("-R", "--include-reverse-complement", type=bool,
+                   default=False)
+    s.add_argument("-b", "--backend", default="device",
+                   choices=["device", "native"])
+    s.add_argument("-o", "--out-file-name", required=True)
+    s.set_defaults(func=map_reads)
 
     s = subparsers.add_parser("make_graph")
     s.add_argument("-R", "--reference-fasta", required=True)

@@ -23,6 +23,17 @@ from ..flat_kmers import FlatKmers
 _WORKER_STATE: dict = {}
 
 
+def _accelerator_backend_live() -> bool:
+    """True if a non-CPU jax backend has already been initialized in this
+    process (private-API probe, deliberately non-initializing)."""
+    try:
+        from jax._src import xla_bridge
+        backends = getattr(xla_bridge, "_backends", {})
+        return any(name != "cpu" for name in backends)
+    except Exception:
+        return False
+
+
 def _init_worker(graph, k, critical_paths, position_id, finder_kwargs):
     _WORKER_STATE.update(graph=graph, k=k, critical_paths=critical_paths,
                          position_id=position_id,
@@ -69,6 +80,14 @@ def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
     chunks = list(zip(starts, ends))
     logging.info("find_kmers_parallel: %d paths in %d chunks over %d workers",
                  n_paths, len(chunks), n_workers)
+
+    if n_workers > 1 and _accelerator_backend_live():
+        # fork() after an accelerator backend initialized can deadlock the
+        # child (inherited device state). The safe pattern is pool-before-
+        # first-jax-op; fall back to serial otherwise.
+        logging.warning("accelerator backend already initialized; running "
+                        "worklist serially (fork would be unsafe)")
+        n_workers = 1
 
     if n_workers <= 1:
         _init_worker(graph, k, critical_paths, position_id, finder_kwargs)
