@@ -20,7 +20,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from graph_kmer_index_tpu import CollisionFreeKmerIndex, FlatKmers
-    from graph_kmer_index_tpu.ops.lookup import _node_counts
+    from graph_kmer_index_tpu.ops.lookup import (
+        _node_counts, _node_counts_dense, build_dense_lanes)
 
     rng = np.random.default_rng(0)
     flat = FlatKmers(rng.integers(0, 1 << 62, n_rows).astype(np.uint64),
@@ -41,8 +42,12 @@ def main():
         rng.integers(0, 1 << 62, n_q - n_q // 2).astype(np.uint64)])
     q0 = jnp.asarray(half_hit)
 
+    k0, n0, k1, n1 = build_dense_lanes(dev.table_kmers, dev.table_nodes,
+                                       dev.starts_tbl, dev.sizes_tbl)
+    k0.block_until_ready()
+
     @jax.jit
-    def chain(q, reps):  # traced trip count -> one compile
+    def chain_csr(q, reps):  # traced trip count -> one compile
         def body(i, x):
             counts = _node_counts(x, x.shape[0], dev.table_kmers,
                                   dev.table_nodes, dev.starts_tbl,
@@ -53,13 +58,29 @@ def main():
                 jnp.uint64)
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
-    int(chain(q0, 2))
-    int(chain(q0, 10))
-    t0 = time.perf_counter(); int(chain(q0, 2)); t2 = time.perf_counter() - t0
-    t0 = time.perf_counter(); int(chain(q0, 10)); t10 = time.perf_counter() - t0
-    per = (t10 - t2) / 8
-    print(f"lookup+count: {per*1e3:.2f} ms/batch of {n_q} "
-          f"-> {n_q/per/1e6:.1f} M lookups/s", flush=True)
+    @jax.jit
+    def chain_dense(q, reps):
+        def body(i, x):
+            counts, _ = _node_counts_dense(
+                x, x.shape[0], k0, n0, k1, n1, dev.table_kmers,
+                dev.table_nodes, dev.starts_tbl, dev.sizes_tbl, dev.modulo,
+                n_nodes, dev.max_scan)
+            return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
+                jnp.uint64)
+        return jax.lax.fori_loop(0, reps, body, q).sum()
+
+    for name, chain in (("dense", chain_dense), ("csr", chain_csr)):
+        int(chain(q0, 2))
+        int(chain(q0, 10))
+        t0 = time.perf_counter()
+        int(chain(q0, 2))
+        t2 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(chain(q0, 10))
+        t10 = time.perf_counter() - t0
+        per = (t10 - t2) / 8
+        print(f"lookup+count [{name}]: {per*1e3:.2f} ms/batch of {n_q} "
+              f"-> {n_q/per/1e6:.1f} M lookups/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -63,6 +63,93 @@ def _node_counts(kmers, n_valid, table_kmers, table_nodes, starts_tbl,
     return counts.at[nodes.reshape(-1)].add(mask.reshape(-1).astype(jnp.int32))
 
 
+# -- 2-lane dense bucket layout --------------------------------------------
+#
+# XLA's random gather rate (~60-70M elem/s on v5e at these table sizes)
+# bounds the bucket-scan lookup; the CSR scan pays 2 + 2*max_scan gathers
+# per query. The dense layout stores each bucket's first two rows in
+# modulo-sized lanes so the common case (bucket size <= 2 — virtually all
+# buckets at sane load factors) costs 5 random ops per query. Queries in
+# deeper buckets are COMPACTED (prefix-sum scatter) to a fixed-capacity
+# side batch that goes through the CSR scan; the kernel returns the
+# overflow count so the caller can retry with the full path in the
+# (pathological) case the capacity is exceeded.
+
+_LANE_SENTINEL = (1 << 64) - 1
+
+
+@jax.jit
+def build_dense_lanes(table_kmers, table_nodes, starts_tbl, sizes_tbl):
+    """(k0, n0, k1, n1) modulo-sized lanes; empty slots hold a sentinel
+    kmer that can never match a query (hashes are < 4^31)."""
+    n_rows = table_kmers.shape[0]
+
+    def lane(j):
+        rows = jnp.minimum(starts_tbl + j, n_rows - 1)
+        valid = sizes_tbl > j
+        k = jnp.where(valid, table_kmers[rows], jnp.uint64(_LANE_SENTINEL))
+        nd = jnp.where(valid, table_nodes[rows], 0)
+        return k, nd
+
+    k0, n0 = lane(0)
+    k1, n1 = lane(1)
+    return k0, n0, k1, n1
+
+
+@functools.partial(jax.jit, static_argnums=(11, 12))
+def _node_counts_dense(kmers, n_valid, k0, n0, k1, n1, table_kmers,
+                       table_nodes, starts_tbl, sizes_tbl, modulo, n_nodes,
+                       max_scan):
+    """Node counts via the dense lanes + compacted overflow scan.
+    Returns (counts, n_overflow_dropped): nonzero drop count means the
+    caller must retry with _node_counts."""
+    n_q = kmers.shape[0]
+    overflow_cap = max(1024, n_q // 8)
+    qvalid = jnp.arange(n_q) < n_valid
+    bucket = (kmers % modulo).astype(jnp.int64)
+    sz = sizes_tbl[bucket]
+    simple = (sz <= 2) & qvalid
+
+    h0 = (k0[bucket] == kmers) & simple
+    h1 = (k1[bucket] == kmers) & simple
+    counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+    counts = counts.at[n0[bucket]].add(h0.astype(jnp.int32))
+    counts = counts.at[n1[bucket]].add(h1.astype(jnp.int32))
+
+    # compact overflow queries (bucket deeper than 2)
+    overflow = (sz > 2) & qvalid
+    pos = jnp.cumsum(overflow.astype(jnp.int32)) - 1
+    n_overflow = pos[-1] + 1
+    out_idx = jnp.where(overflow, pos, overflow_cap)
+    oq = jnp.zeros(overflow_cap + 1, dtype=kmers.dtype).at[out_idx].set(
+        kmers, mode="drop")[:overflow_cap]
+    o_counts = _node_counts(oq, jnp.minimum(n_overflow, overflow_cap),
+                            table_kmers, table_nodes, starts_tbl, sizes_tbl,
+                            modulo, n_nodes, max_scan)
+    counts = counts + o_counts
+    return counts, jnp.maximum(0, n_overflow - overflow_cap)
+
+
+@functools.partial(jax.jit, static_argnums=(8,))
+def _has_kmers_dense(kmers, n_valid, k0, k1, table_kmers, starts_tbl,
+                     sizes_tbl, modulo, max_scan):
+    n_q = kmers.shape[0]
+    qvalid = jnp.arange(n_q) < n_valid
+    bucket = (kmers % modulo).astype(jnp.int64)
+    sz = sizes_tbl[bucket]
+    simple = (sz <= 2) & qvalid
+    hit = ((k0[bucket] == kmers) | (k1[bucket] == kmers)) & simple
+    overflow = (sz > 2) & qvalid
+
+    def with_scan(_):
+        _, mask, _ = _bucket_hits(kmers, n_valid, table_kmers, starts_tbl,
+                                  sizes_tbl, modulo, table_kmers.shape[0],
+                                  max_scan)
+        return hit | (jnp.any(mask, axis=1) & overflow)
+
+    return jax.lax.cond(jnp.any(overflow), with_scan, lambda _: hit, 0)
+
+
 @functools.partial(jax.jit, static_argnums=(6,))
 def _has_kmers(kmers, n_valid, table_kmers, starts_tbl, sizes_tbl, modulo,
                max_scan):
@@ -158,19 +245,42 @@ class DeviceKmerIndex:
             max_scan,
         )
 
+    def _lanes(self):
+        if getattr(self, "_dense_lanes", None) is None:
+            self._dense_lanes = build_dense_lanes(
+                self.table_kmers, self.table_nodes, self.starts_tbl,
+                self.sizes_tbl)
+        return self._dense_lanes
+
     def has_kmers(self, kmers: np.ndarray) -> np.ndarray:
         q, n = _pad_queries(kmers)
-        out = _has_kmers(jnp.asarray(q), n, self.table_kmers, self.starts_tbl,
-                         self.sizes_tbl, self.modulo, self.max_scan)
+        if self.max_scan <= 2:
+            k0, n0, k1, n1 = self._lanes()
+            out = _has_kmers_dense(jnp.asarray(q), n, k0, k1,
+                                   self.table_kmers, self.starts_tbl,
+                                   self.sizes_tbl, self.modulo,
+                                   self.max_scan)
+        else:
+            out = _has_kmers(jnp.asarray(q), n, self.table_kmers,
+                             self.starts_tbl, self.sizes_tbl, self.modulo,
+                             self.max_scan)
         return np.asarray(out)[:n]
 
     def map_kmers(self, kmers: np.ndarray, n_nodes: int) -> np.ndarray:
-        """Node hit counts for a read-kmer batch (kmer_mapper contract)."""
+        """Node hit counts for a read-kmer batch (kmer_mapper contract).
+        Fast path: 2-lane dense bucket lookup with compacted overflow
+        scan; falls back to the full CSR scan on overflow-capacity miss."""
         q, n = _pad_queries(kmers)
-        counts = _node_counts(jnp.asarray(q), n, self.table_kmers,
-                              self.table_nodes, self.starts_tbl,
-                              self.sizes_tbl, self.modulo, int(n_nodes),
-                              self.max_scan)
+        k0, n0, k1, n1 = self._lanes()
+        counts, dropped = _node_counts_dense(
+            jnp.asarray(q), n, k0, n0, k1, n1, self.table_kmers,
+            self.table_nodes, self.starts_tbl, self.sizes_tbl, self.modulo,
+            int(n_nodes), self.max_scan)
+        if int(dropped) > 0:
+            counts = _node_counts(jnp.asarray(q), n, self.table_kmers,
+                                  self.table_nodes, self.starts_tbl,
+                                  self.sizes_tbl, self.modulo, int(n_nodes),
+                                  self.max_scan)
         return np.asarray(counts)
 
     def get_batched(self, kmers: np.ndarray, max_hits=10,

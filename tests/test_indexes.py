@@ -196,3 +196,30 @@ def test_critical_paths_roundtrip(tmp_path):
     cgp.to_file(f)
     cgp2 = CriticalGraphPaths.from_file(f)
     assert list(cgp) == list(cgp2)
+
+
+def test_dense_lane_lookup_deep_buckets():
+    """Dense-lane device lookup == scalar path, with modulo 7 forcing
+    bucket depths > 2 (overflow compaction + retry paths)."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    flat = FlatKmers(rng.integers(0, 10000, n).astype(np.uint64),
+                     rng.integers(1, 200, n).astype(np.uint32),
+                     rng.integers(0, 1000, n).astype(np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=7)
+    queries = np.concatenate([
+        np.asarray(flat._hashes[:500], np.uint64),
+        rng.integers(0, 20000, 500).astype(np.uint64)])
+    counts = index.map_kmers(queries, 200)
+    # scalar cross-check
+    expected = np.zeros(200, dtype=np.int64)
+    for q in queries:
+        hits = index.get(int(q), max_hits=10**9)
+        if hits[0] is not None:
+            for node in hits[0]:
+                expected[node] += 1
+    assert np.array_equal(np.asarray(counts), expected)
+    has = index.has_kmers(queries)
+    expected_has = np.array([index.get(int(q), 10**9)[0] is not None
+                             for q in queries])
+    assert np.array_equal(np.asarray(has), expected_has)
