@@ -104,9 +104,18 @@ def _node_counts_dense(kmers, n_valid, k0, n0, k1, n1, table_kmers,
     Returns (counts, n_overflow_dropped): nonzero drop count means the
     caller must retry with _node_counts."""
     n_q = kmers.shape[0]
-    overflow_cap = max(1024, n_q // 8)
+    overflow_cap = max(1024, n_q // 32)
     qvalid = jnp.arange(n_q) < n_valid
     bucket = (kmers % modulo).astype(jnp.int64)
+
+    if max_scan <= 2:  # static: no bucket deeper than the lanes
+        h0 = (k0[bucket] == kmers) & qvalid
+        h1 = (k1[bucket] == kmers) & qvalid
+        counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+        counts = counts.at[n0[bucket]].add(h0.astype(jnp.int32))
+        counts = counts.at[n1[bucket]].add(h1.astype(jnp.int32))
+        return counts, jnp.int32(0)
+
     sz = sizes_tbl[bucket]
     simple = (sz <= 2) & qvalid
 
