@@ -182,7 +182,8 @@ class DenseKmerFinder:
 
         self._finalize()
 
-    def _find_native(self, worklist, seen_points, stop_at_node) -> bool:
+    def _find_native(self, worklist, seen_points, stop_at_node,
+                     early_stop=False) -> bool:
         """Run the C++ span walker; load its span stream into the
         emission buffers. False => caller uses the Python walker."""
         from . import native
@@ -200,7 +201,8 @@ class DenseKmerFinder:
             self._graph, crit, self._k, self._max_variant_nodes,
             worklist=np.array(worklist, dtype=np.int64).reshape(-1, 2),
             seen_points=np.array(seen_points, dtype=np.int64).reshape(-1, 2),
-            stop_at_node=-1 if stop_at_node is None else int(stop_at_node))
+            stop_at_node=-1 if stop_at_node is None else int(stop_at_node),
+            early_stop=early_stop)
         if res is None:
             return False
         tape, ts, nw, s_node, s_off, nl, span_nodes = res
@@ -213,7 +215,8 @@ class DenseKmerFinder:
         self._span_nodes.extend(span_nodes)
         return True
 
-    def find_only_kmers_starting_at_position(self, node, offset):
+    def find_only_kmers_starting_at_position(self, node, offset,
+                                             use_native=None):
         """Early-stop mode: emit the first full window of every DFS branch
         from (node, offset) (reference kmer_finder.py:170-177)."""
         self._early_stop = True
@@ -221,6 +224,14 @@ class DenseKmerFinder:
         self._starting_points = []
         self._starting_points_set = set()
         self._crit_node, self._crit_offset = int(node), int(offset)
+
+        if use_native is None:
+            use_native = self._only_follow_nodes is None
+        if use_native and self._find_native([(int(node), int(offset))], [],
+                                            None, early_stop=True):
+            self._finalize()
+            return
+
         self._reset_branch_state()
         self._search(int(node), int(offset))
         self._finalize()

@@ -84,7 +84,7 @@ def get_lib():
             p(ctypes.c_int32), i32, i32,
             p(ctypes.c_int64), p(ctypes.c_int64), i64,
             p(ctypes.c_int64), p(ctypes.c_int64), i64,
-            i64, p(ctypes.c_int64)]
+            i64, i32, p(ctypes.c_int64)]
         lib.gki_walk_fetch.restype = None
         lib.gki_walk_fetch.argtypes = [
             ctypes.c_void_p, p(ctypes.c_int8), p(ctypes.c_int64),
@@ -189,7 +189,7 @@ def has_kmers(kmers, table_kmers, starts_tbl, sizes_tbl,
 
 
 def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
-         stop_at_node=-1):
+         stop_at_node=-1, early_stop=False):
     """Run the native DenseKmerFinder span walk. Returns the span
     descriptor arrays (tape, span_tape_start, span_n_windows, span_node,
     span_first_offset, span_nodes_len, span_nodes) or None when the
@@ -225,7 +225,7 @@ def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
         _ptr(wl_nodes, ctypes.c_int64), _ptr(wl_offsets, ctypes.c_int64),
         len(wl_nodes),
         _ptr(seen_nodes, ctypes.c_int64), _ptr(seen_offsets, ctypes.c_int64),
-        len(seen_nodes), int(stop_at_node),
+        len(seen_nodes), int(stop_at_node), int(bool(early_stop)),
         _ptr(out_sizes, ctypes.c_int64))
     if not handle or out_sizes[0] < 0:
         return None

@@ -53,6 +53,8 @@ struct Walker {
     Graph g;
     int32_t k;
     int32_t max_variant_nodes;
+    bool early_stop = false;  // emit first full window per branch, stop
+                              // (find_only_kmers_starting_at_position)
 
     // per-branch state (truncated on DFS backtrack)
     std::vector<int32_t> elem_nodes;
@@ -166,8 +168,10 @@ struct Walker {
         }
         treated_add(key, offset, offset);
 
-        if (t >= k - 1)
+        if (t >= k - 1) {
             emit_span(node, offset, 1, 0, t);
+            if (early_stop) return 1;  // "EARLY": stop this branch
+        }
 
         if (!(node == crit_node && offset + 1 == crit_offset)
             && critical_offset_of(node) == offset + 1 ) {
@@ -334,7 +338,8 @@ struct Walker {
     bool run(const int64_t* wl_nodes, const int64_t* wl_offsets,
              int64_t n_wl, const int64_t* seen_nodes,
              const int64_t* seen_offsets, int64_t n_seen,
-             int64_t stop_at_node) {
+             int64_t stop_at_node, int32_t do_early_stop) {
+        early_stop = (do_early_stop != 0);
         for (int64_t i = 0; i < n_seen; ++i)
             seen.insert(pkey((int32_t)seen_nodes[i],
                              (int32_t)seen_offsets[i]));
@@ -353,7 +358,10 @@ struct Walker {
             ne_pos.clear(); ne_bases.clear();
             blk_node.clear(); blk_first.clear();
             int32_t offset = coffset;
-            if (offset >= k - 1) offset -= k - 1;
+            // early-stop searches start at the exact position
+            // (find_only_kmers_starting_at_position calls _search
+            // directly, finder.py:176-186); full find() backs up k-1
+            if (!early_stop && offset >= k - 1) offset -= k - 1;
             if (!search(cnode, offset)) return false;
         }
         return true;
@@ -371,7 +379,7 @@ void* gki_walk_run(
     const int32_t* crit_index, int32_t k, int32_t max_variant_nodes,
     const int64_t* wl_nodes, const int64_t* wl_offsets, int64_t n_wl,
     const int64_t* seen_nodes, const int64_t* seen_offsets, int64_t n_seen,
-    int64_t stop_at_node,
+    int64_t stop_at_node, int32_t early_stop,
     int64_t* out_sizes /* [n_spans, tape_len, span_nodes_len] */) {
     Walker* w = new Walker();
     w->g = Graph{n_nodes, node_sizes, seq_start, sequence, edge_index,
@@ -379,7 +387,7 @@ void* gki_walk_run(
     w->k = k;
     w->max_variant_nodes = max_variant_nodes;
     if (!w->run(wl_nodes, wl_offsets, n_wl, seen_nodes, seen_offsets,
-                n_seen, stop_at_node)) {
+                n_seen, stop_at_node, early_stop)) {
         delete w;
         out_sizes[0] = -1;
         return nullptr;

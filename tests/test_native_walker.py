@@ -68,3 +68,31 @@ def test_native_walker_only_save_one_and_store_filters():
                      only_store_nodes=some_nodes)
     for a, b in zip(py, cc):
         assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("seed,k", [(0, 5), (1, 7)])
+def test_native_early_stop_matches_python(seed, k):
+    """find_only_kmers_starting_at_position: native == python."""
+    graph, v2n = random_snp_graph(2000, 40, seed=seed, indel_fraction=0.3)
+    for ref_node in v2n.ref_nodes[:10]:
+        node = max(1, int(ref_node) - 2)
+        offset = 0
+        outs = []
+        for use_native in (False, True):
+            finder = DenseKmerFinder(graph, k=k, max_variant_nodes=4,
+                                     only_store_nodes={int(ref_node)})
+            finder.find_only_kmers_starting_at_position(
+                node, offset, use_native=use_native)
+            flat = finder.get_flat_kmers(v="1")
+            outs.append((np.asarray(flat._hashes), np.asarray(flat._nodes),
+                         np.asarray(flat._ref_offsets)))
+        for a, b in zip(*outs):
+            assert np.array_equal(a, b)
+        # kmers_found debug structure equality too
+        f_py = DenseKmerFinder(graph, k=k)
+        f_py.find_only_kmers_starting_at_position(node, offset,
+                                                  use_native=False)
+        f_cc = DenseKmerFinder(graph, k=k)
+        f_cc.find_only_kmers_starting_at_position(node, offset,
+                                                  use_native=True)
+        assert f_py.kmers_found == f_cc.kmers_found
