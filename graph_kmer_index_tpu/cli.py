@@ -310,8 +310,7 @@ def make_unique_variant_kmers(args):
                                     dont_encode_chromosomes=True)
     chunks = variants.get_chunks(chunk_size=args.chunk_size)
 
-    all_flat = []
-    for chunk in chunks:
+    def run_chunk(chunk):
         finder = UniqueVariantKmersFinder(
             graph, variant_to_nodes, chunk, args.kmer_size,
             args.max_variant_nodes,
@@ -321,7 +320,10 @@ def make_unique_variant_kmers(args):
             use_dense_kmer_finder=args.use_dense_kmer_finder,
             position_id_index=position_id,
             use_simple=args.simple)
-        all_flat.append(finder.find_unique_kmers())
+        return finder.find_unique_kmers()
+
+    from .parallel.host_pool import map_over_chunks
+    all_flat = map_over_chunks(run_chunk, chunks, args.n_threads)
     merged = FlatKmers.from_multiple_flat_kmers(all_flat)
     merged.to_file(args.out_file_name)
     logging.info("Wrote to %s", args.out_file_name)

@@ -191,7 +191,7 @@ def _hash_kernel(seq_ref, lo_ref, hi_ref, *, k: int, chunk: int, halo: int):
         hi_ref[:] = jnp.zeros((p16.shape[0], chunk), U32)
 
 
-def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 512,
+def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 2048,
                           rows_per_block: int = 8, interpret: bool = False):
     """Pallas TPU version of :func:`sliding_hashes`.
 

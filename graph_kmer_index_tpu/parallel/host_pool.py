@@ -57,6 +57,34 @@ def _run_chunk(chunk):
             np.asarray(flat._allele_frequencies))
 
 
+_MAP_FN = None
+
+
+def _init_map_worker(fn):
+    global _MAP_FN
+    _MAP_FN = fn
+
+
+def _run_map_chunk(chunk):
+    return _MAP_FN(chunk)
+
+
+def map_over_chunks(fn, chunks, n_workers):
+    """Generic fork-pool map over independent work chunks (the reference's
+    chunked_imap over VCF-variant chunks, command_line_interface.py:352-364).
+    Serial when n_workers <= 1 or an accelerator backend is live."""
+    if n_workers > 1 and _accelerator_backend_live():
+        logging.warning("accelerator backend already initialized; mapping "
+                        "chunks serially (fork would be unsafe)")
+        n_workers = 1
+    if n_workers <= 1:
+        return [fn(c) for c in chunks]
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n_workers, initializer=_init_map_worker,
+                  initargs=(fn,)) as pool:
+        return pool.map(_run_map_chunk, chunks)
+
+
 def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
                         position_id=None, chunks_per_worker=20,
                         **finder_kwargs):
