@@ -96,3 +96,20 @@ def test_native_early_stop_matches_python(seed, k):
         f_cc.find_only_kmers_starting_at_position(node, offset,
                                                   use_native=True)
         assert f_py.kmers_found == f_cc.kmers_found
+
+
+def test_native_walker_fuzz():
+    """Broad randomized differential sweep: many seeds, k values, variant
+    caps, indel fractions."""
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        seed = int(rng.integers(0, 1 << 30))
+        k = int(rng.choice([3, 5, 9, 15, 21, 31]))
+        mvn = int(rng.choice([1, 2, 4, 8]))
+        indel = float(rng.choice([0.0, 0.2, 0.7]))
+        graph, _ = random_snp_graph(1500, 25, seed=seed,
+                                    indel_fraction=indel)
+        py = _flat_tuple(graph, k, use_native=False, max_variant_nodes=mvn)
+        cc = _flat_tuple(graph, k, use_native=True, max_variant_nodes=mvn)
+        for a, b, name in zip(py, cc, ("hashes", "nodes", "offsets", "af")):
+            assert np.array_equal(a, b), (trial, seed, k, mvn, indel, name)
