@@ -105,7 +105,10 @@ def create_index(args):
             (n_positions_each * i * args["spacing"],
              n_positions_each * (i + 1) * args["spacing"])
             for i in range(n_jobs)]
-        results = [create_index_single_thread(args, iv) for iv in intervals]
+        from .parallel.host_pool import map_over_chunks
+        results = map_over_chunks(
+            lambda iv: create_index_single_thread(args, iv), intervals,
+            args["threads"])
         kmers = FlatKmers.from_multiple_flat_kmers(results)
     kmers.to_file(args["out_file_name"])
     logging.info("Wrote to %s", args["out_file_name"])
