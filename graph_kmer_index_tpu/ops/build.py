@@ -77,28 +77,35 @@ def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
         return (np.zeros(modulo, np.int64), np.zeros(modulo, np.uint32),
                 [np.asarray(a) for a in row_arrays], np.zeros(0, np.int64))
     kmers_j = jnp.asarray(np.asarray(hashes, dtype=np.uint64))
-    perm = np.asarray(_sort_rows(kmers_j, jnp.arange(n, dtype=jnp.int64),
-                                 int(modulo)))
-    sorted_buckets = jnp.asarray(
-        (np.asarray(hashes, dtype=np.uint64)[perm]
-         % np.uint64(modulo)).astype(np.int64))
+    perm = _sort_rows(kmers_j, jnp.arange(n, dtype=jnp.int64), int(modulo))
+    sorted_buckets = (kmers_j[perm] % jnp.uint64(modulo)).astype(jnp.int64)
     starts, sizes = _bucket_tables(sorted_buckets, int(modulo))
-    rows = [np.asarray(a)[perm] for a in row_arrays]
+    # row reorder happens on device too: the arrays are headed for HBM
+    # anyway (lookup kernels) and a host round-trip of the permutation
+    # costs more than the whole build at scale
+    rows = [jnp.asarray(a)[perm] for a in row_arrays]
     return starts, sizes, rows, perm
 
 
-def frequencies_device(kmers_sorted: np.ndarray,
-                       ref_offsets_sorted: np.ndarray) -> np.ndarray:
+@jax.jit
+def _frequencies_full_device(kmers, ref_offsets):
+    """Fully on-device per-row frequencies: two-key sort by
+    (kmer, ref_offset), segment distinct-pair count, scatter back."""
+    n = kmers.shape[0]
+    sk, sr, sidx = jax.lax.sort(
+        (kmers, ref_offsets.astype(jnp.int64),
+         jnp.arange(n, dtype=jnp.int64)), num_keys=2, is_stable=True)
+    freqs_sorted = _frequencies_device(sk, sr)
+    return jnp.zeros(n, jnp.int32).at[sidx].set(freqs_sorted)
+
+
+def frequencies_device(kmers_sorted, ref_offsets_sorted) -> np.ndarray:
     """Device path for per-row kmer frequencies (distinct ref offsets).
     Input rows in bucket order (any order within kmer); output aligned to
-    input order."""
+    input order. Accepts host or device arrays; runs entirely on device."""
     n = len(kmers_sorted)
     if n == 0:
         return np.zeros(0, dtype=np.uint16)
-    order = np.lexsort((ref_offsets_sorted, kmers_sorted))
-    freqs_sorted = np.asarray(_frequencies_device(
-        jnp.asarray(np.asarray(kmers_sorted, np.uint64)[order]),
-        jnp.asarray(np.asarray(ref_offsets_sorted).astype(np.int64)[order])))
-    out = np.zeros(n, dtype=np.uint16)
-    out[order] = freqs_sorted.astype(np.uint16)
-    return out
+    return _frequencies_full_device(
+        jnp.asarray(kmers_sorted).astype(jnp.uint64),
+        jnp.asarray(ref_offsets_sorted).astype(jnp.int64)).astype(jnp.uint16)
