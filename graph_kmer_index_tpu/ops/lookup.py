@@ -248,23 +248,32 @@ class DeviceKmerIndex:
             jnp.asarray(index._ref_offsets).astype(jnp.int64),
             jnp.asarray(freqs).astype(jnp.int32),
             jnp.asarray(af).astype(jnp.float32),
-            jnp.asarray(index._hashes_to_index).astype(jnp.int64),
+            jnp.asarray(index._hashes_to_index).astype(jnp.int32),
             sizes,
             jnp.uint64(index._modulo),
             max_scan,
         )
 
+    # dense lanes cost modulo * 24 bytes of HBM on top of the base
+    # tables; above this budget the CSR scan path is used instead
+    LANES_BYTE_BUDGET = 2 << 30
+
     def _lanes(self):
         if getattr(self, "_dense_lanes", None) is None:
-            self._dense_lanes = build_dense_lanes(
-                self.table_kmers, self.table_nodes, self.starts_tbl,
-                self.sizes_tbl)
-        return self._dense_lanes
+            modulo_size = int(self.starts_tbl.shape[0])
+            if modulo_size * 24 > self.LANES_BYTE_BUDGET:
+                self._dense_lanes = False
+            else:
+                self._dense_lanes = build_dense_lanes(
+                    self.table_kmers, self.table_nodes, self.starts_tbl,
+                    self.sizes_tbl)
+        return self._dense_lanes or None
 
     def has_kmers(self, kmers: np.ndarray) -> np.ndarray:
         q, n = _pad_queries(kmers)
-        if self.max_scan <= 2:
-            k0, n0, k1, n1 = self._lanes()
+        lanes = self._lanes() if self.max_scan <= 2 else None
+        if lanes is not None:
+            k0, n0, k1, n1 = lanes
             out = _has_kmers_dense(jnp.asarray(q), n, k0, k1,
                                    self.table_kmers, self.starts_tbl,
                                    self.sizes_tbl, self.modulo,
@@ -278,18 +287,22 @@ class DeviceKmerIndex:
     def map_kmers(self, kmers: np.ndarray, n_nodes: int) -> np.ndarray:
         """Node hit counts for a read-kmer batch (kmer_mapper contract).
         Fast path: 2-lane dense bucket lookup with compacted overflow
-        scan; falls back to the full CSR scan on overflow-capacity miss."""
+        scan; CSR scan when the lanes exceed the HBM budget or on
+        overflow-capacity miss."""
         q, n = _pad_queries(kmers)
-        k0, n0, k1, n1 = self._lanes()
-        counts, dropped = _node_counts_dense(
-            jnp.asarray(q), n, k0, n0, k1, n1, self.table_kmers,
-            self.table_nodes, self.starts_tbl, self.sizes_tbl, self.modulo,
-            int(n_nodes), self.max_scan)
-        if int(dropped) > 0:
-            counts = _node_counts(jnp.asarray(q), n, self.table_kmers,
-                                  self.table_nodes, self.starts_tbl,
-                                  self.sizes_tbl, self.modulo, int(n_nodes),
-                                  self.max_scan)
+        lanes = self._lanes()
+        if lanes is not None:
+            k0, n0, k1, n1 = lanes
+            counts, dropped = _node_counts_dense(
+                jnp.asarray(q), n, k0, n0, k1, n1, self.table_kmers,
+                self.table_nodes, self.starts_tbl, self.sizes_tbl,
+                self.modulo, int(n_nodes), self.max_scan)
+            if int(dropped) == 0:
+                return np.asarray(counts)
+        counts = _node_counts(jnp.asarray(q), n, self.table_kmers,
+                              self.table_nodes, self.starts_tbl,
+                              self.sizes_tbl, self.modulo, int(n_nodes),
+                              self.max_scan)
         return np.asarray(counts)
 
     def get_batched(self, kmers: np.ndarray, max_hits=10,
