@@ -55,3 +55,20 @@ def test_device_build_empty():
     dev = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101,
                                                  use_device=True)
     assert dev.get(5)[0] is None
+
+
+def test_skip_singletons_host_and_device():
+    """skip_singletons drops each hash's first occurrence then adds 1 to
+    all frequencies (reference from_flat_kmers semantics)."""
+    flat = _random_flat(2000, seed=9)
+    host = CollisionFreeKmerIndex.from_flat_kmers(
+        flat, modulo=499, skip_singletons=True, use_device=False)
+    dev = CollisionFreeKmerIndex.from_flat_kmers(
+        flat, modulo=499, skip_singletons=True, use_device=True)
+    assert np.array_equal(np.asarray(host._kmers), np.asarray(dev._kmers))
+    assert np.array_equal(np.asarray(host._frequencies),
+                          np.asarray(dev._frequencies))
+    # rows whose hash appeared once are gone entirely
+    u, c = np.unique(np.asarray(flat._hashes), return_counts=True)
+    gone = set(u[c == 1].tolist())
+    assert not (set(np.asarray(host._kmers).tolist()) & gone)
