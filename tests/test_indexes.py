@@ -223,3 +223,17 @@ def test_dense_lane_lookup_deep_buckets():
     expected_has = np.array([index.get(int(q), 10**9)[0] is not None
                              for q in queries])
     assert np.array_equal(np.asarray(has), expected_has)
+
+
+def test_index_bundle(tmp_path):
+    from graph_kmer_index_tpu import IndexBundle
+    flat = FlatKmers(np.array([5, 9], dtype=np.uint64), np.array([1, 2]))
+    idx = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101)
+    bundle = IndexBundle({"KmerIndex": idx, "TrickyVariants": [1, 2, 3]})
+    f = str(tmp_path / "bundle.pkl")
+    bundle.to_file(f)
+    b2 = IndexBundle.from_file(f)
+    assert "KmerIndex" in b2
+    assert list(b2["KmerIndex"].get(5)[0]) == [1]
+    b3 = IndexBundle.from_file(f, skip=["TrickyVariants"])
+    assert "TrickyVariants" not in b3
