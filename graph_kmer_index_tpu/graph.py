@@ -98,13 +98,15 @@ class Graph:
         # ref nodes (u -> d -> v with v immediately after u on the ref path)
         ref_next = {u: v for u, v in zip(linear_ref_nodes, linear_ref_nodes[1:])}
         ref_dummy_mask = np.zeros(n, dtype=bool)
+        preds: dict[int, list[int]] = {}
+        for u, targets in edges.items():
+            for v in targets:
+                preds.setdefault(int(v), []).append(int(u))
         for node in range(n):
             if node_sizes[node] != 0 or linear_ref_mask[node]:
                 continue
-            ins = [u for u in range(n)
-                   if node in edge_targets[edge_index[u]:edge_index[u + 1]]]
             outs = edge_targets[edge_index[node]:edge_index[node + 1]]
-            for u in ins:
+            for u in preds.get(node, ()):
                 if linear_ref_mask[u] and any(
                         ref_next.get(u) == v for v in outs):
                     ref_dummy_mask[node] = True
