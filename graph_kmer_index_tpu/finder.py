@@ -668,7 +668,20 @@ class DenseKmerFinder:
             return np.ones(len(kmers), dtype=bool)
         wl = self._whitelist
         if hasattr(wl, "has_kmers"):
-            mask = np.asarray(wl.has_kmers(kmers.astype(np.uint64)), dtype=bool)
+            kw = {}
+            # host-mode finders (e.g. forked pool workers) must not
+            # initialize an accelerator backend for the whitelist query
+            if self._use_device is False:
+                try:
+                    kw = {"backend": "native"}
+                    mask = np.asarray(wl.has_kmers(
+                        kmers.astype(np.uint64), **kw), dtype=bool)
+                except TypeError:
+                    mask = np.asarray(wl.has_kmers(kmers.astype(np.uint64)),
+                                      dtype=bool)
+            else:
+                mask = np.asarray(wl.has_kmers(kmers.astype(np.uint64)),
+                                  dtype=bool)
         else:
             mask = np.array([int(h) in wl for h in kmers], dtype=bool)
         self._n_skipped_whitelist += int((~mask).sum())
