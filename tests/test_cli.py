@@ -101,3 +101,21 @@ def test_cli_make_from_reference_fasta(fixtures):
 def test_cli_no_args_exits():
     with pytest.raises(SystemExit):
         run_argument_parser([])
+
+
+def test_cli_index_with_whitelist(fixtures):
+    tmp, g, v2n, vcf = fixtures
+    flat = str(tmp / "flat.npz")
+    kindex = str(tmp / "kindex.npz")
+    run_argument_parser(["index", "-g", g, "-k", "5", "-o", flat])
+    run_argument_parser(["make_from_flat", "-f", flat, "-o", kindex,
+                         "-m", "4099"])
+    out = str(tmp / "flat_wl.npz")
+    run_argument_parser(["index", "-g", g, "-k", "5", "-w", kindex,
+                         "-o", out])
+    wl_idx = KmerIndex.from_file(kindex)
+    got = FlatKmers.from_file(out)
+    # every emitted kmer must be in the whitelist index
+    assert len(got._hashes) > 0
+    assert all(bool(h) for h in wl_idx.has_kmers(
+        np.asarray(got._hashes, np.uint64), backend="native"))
