@@ -235,6 +235,34 @@ class CollisionFreeKmerIndex:
                 f += int(rhits[2][0])
         return f
 
+    def get_frequencies(self, kmers, include_reverse_complement=True, k=31):
+        """Vectorized get_frequency over a kmer batch (same semantics:
+        first-hit frequency, plus the revcomp's, computed with the same
+        k=31 default quirk as the scalar path). Native C++ lookup when
+        available, scalar fallback otherwise."""
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        nk = self._native()
+        if nk is None or len(kmers) == 0:
+            return np.array([self.get_frequency(
+                int(h), include_reverse_complement, k) for h in kmers],
+                dtype=np.int64)
+
+        big = 1 << 60
+
+        def first_freqs(qs):
+            hits = nk.get(qs, hit_cap=big, freq_cap=big)
+            out = np.zeros(len(qs), dtype=np.int64)
+            qi = hits[2].astype(np.int64)
+            # reversed write: the FIRST hit per query wins
+            out[qi[::-1]] = hits[3][::-1].astype(np.int64)
+            return out
+
+        freqs = first_freqs(kmers)
+        if include_reverse_complement:
+            freqs = freqs + first_freqs(
+                kmer_hashes_to_reverse_complement_hash(kmers, k))
+        return freqs
+
     def get_nodes_and_ref_offsets_from_multiple_kmers(self, kmers, max_hits=10):
         all_nodes, all_offsets, all_read_offsets, all_freqs = [], [], [], []
         for i, h in enumerate(kmers):

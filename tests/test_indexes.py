@@ -237,3 +237,14 @@ def test_index_bundle(tmp_path):
     assert list(b2["KmerIndex"].get(5)[0]) == [1]
     b3 = IndexBundle.from_file(f, skip=["TrickyVariants"])
     assert "TrickyVariants" not in b3
+
+
+def test_get_frequencies_vectorized_matches_scalar(index):
+    kmers = np.array([1, 2, 3, 4, 5, 999], dtype=np.uint64)
+    vec = index.get_frequencies(kmers)
+    scalar = np.array([index.get_frequency(int(h)) for h in kmers])
+    assert np.array_equal(vec, scalar)
+    # FlatKmers scoring helpers agree with the python loops
+    flat = FlatKmers(kmers, np.arange(6))
+    assert flat.maximum_kmer_frequency(index) == max(
+        0, *[index.get_frequency(int(h)) for h in kmers])
