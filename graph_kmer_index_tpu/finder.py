@@ -167,7 +167,7 @@ class DenseKmerFinder:
                 worklist = worklist + [(first, 0)]
 
         if use_native is None:
-            use_native = self._only_follow_nodes is None
+            use_native = True
         if use_native and self._find_native(worklist, starting_points,
                                             stop_at_node):
             self._finalize()
@@ -202,7 +202,8 @@ class DenseKmerFinder:
             worklist=np.array(worklist, dtype=np.int64).reshape(-1, 2),
             seen_points=np.array(seen_points, dtype=np.int64).reshape(-1, 2),
             stop_at_node=-1 if stop_at_node is None else int(stop_at_node),
-            early_stop=early_stop)
+            early_stop=early_stop,
+            only_follow_nodes=self._only_follow_nodes)
         if res is None:
             return False
         tape, ts, nw, s_node, s_off, nl, span_nodes = res
@@ -226,7 +227,7 @@ class DenseKmerFinder:
         self._crit_node, self._crit_offset = int(node), int(offset)
 
         if use_native is None:
-            use_native = self._only_follow_nodes is None
+            use_native = True
         if use_native and self._find_native([(int(node), int(offset))], [],
                                             None, early_stop=True):
             self._finalize()

@@ -84,7 +84,7 @@ def get_lib():
             p(ctypes.c_int32), i32, i32,
             p(ctypes.c_int64), p(ctypes.c_int64), i64,
             p(ctypes.c_int64), p(ctypes.c_int64), i64,
-            i64, i32, p(ctypes.c_int64)]
+            i64, i32, p(ctypes.c_int64), i64, p(ctypes.c_int64)]
         lib.gki_walk_fetch.restype = None
         lib.gki_walk_fetch.argtypes = [
             ctypes.c_void_p, p(ctypes.c_int8), p(ctypes.c_int64),
@@ -189,7 +189,7 @@ def has_kmers(kmers, table_kmers, starts_tbl, sizes_tbl,
 
 
 def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
-         stop_at_node=-1, early_stop=False):
+         stop_at_node=-1, early_stop=False, only_follow_nodes=None):
     """Run the native DenseKmerFinder span walk. Returns the span
     descriptor arrays (tape, span_tape_start, span_n_windows, span_node,
     span_first_offset, span_nodes_len, span_nodes) or None when the
@@ -216,6 +216,9 @@ def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
     seen_nodes = np.ascontiguousarray(sp[:, 0])
     seen_offsets = np.ascontiguousarray(sp[:, 1])
 
+    follow = np.ascontiguousarray(
+        np.array(sorted(only_follow_nodes), dtype=np.int64)
+        if only_follow_nodes else np.zeros(0, dtype=np.int64))
     out_sizes = np.zeros(3, dtype=np.int64)
     handle = lib.gki_walk_run(
         n, _ptr(node_sizes, ctypes.c_uint32), _ptr(seq_start, ctypes.c_int64),
@@ -226,6 +229,7 @@ def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
         len(wl_nodes),
         _ptr(seen_nodes, ctypes.c_int64), _ptr(seen_offsets, ctypes.c_int64),
         len(seen_nodes), int(stop_at_node), int(bool(early_stop)),
+        _ptr(follow, ctypes.c_int64), len(follow),
         _ptr(out_sizes, ctypes.c_int64))
     if not handle or out_sizes[0] < 0:
         return None

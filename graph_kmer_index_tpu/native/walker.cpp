@@ -55,6 +55,7 @@ struct Walker {
     int32_t max_variant_nodes;
     bool early_stop = false;  // emit first full window per branch, stop
                               // (find_only_kmers_starting_at_position)
+    std::unordered_set<int32_t> only_follow;  // empty = unrestricted
 
     // per-branch state (truncated on DFS backtrack)
     std::vector<int32_t> elem_nodes;
@@ -275,13 +276,24 @@ struct Walker {
                                          start_elem) - blk_first.begin()) - 1;
     }
 
-    // finder.py _next_nodes (only_follow unsupported in native mode)
-    // returns successors in edge order; empty if none / clamp violation
+    // finder.py _next_nodes; returns false on a python-level assertion
     bool next_nodes(int32_t node, std::vector<int32_t>& out) {
         out.clear();
         for (int64_t e = g.edge_index[node]; e < g.edge_index[node + 1]; ++e)
             out.push_back(g.edge_targets[e]);
         if (out.empty()) return true;
+
+        bool force_follow = false;
+        if (!only_follow.empty()) {
+            std::vector<int32_t> restricted;
+            for (int32_t v : out)
+                if (only_follow.count(v)) restricted.push_back(v);
+            if (!restricted.empty()) {
+                out.swap(restricted);
+                force_follow = true;
+            }
+        }
+        if (force_follow) return true;
 
         size_t bb = current_window_block();
         std::vector<int32_t> uniq(blk_node.begin() + bb, blk_node.end());
@@ -338,8 +350,11 @@ struct Walker {
     bool run(const int64_t* wl_nodes, const int64_t* wl_offsets,
              int64_t n_wl, const int64_t* seen_nodes,
              const int64_t* seen_offsets, int64_t n_seen,
-             int64_t stop_at_node, int32_t do_early_stop) {
+             int64_t stop_at_node, int32_t do_early_stop,
+             const int64_t* follow_nodes, int64_t n_follow) {
         early_stop = (do_early_stop != 0);
+        for (int64_t i = 0; i < n_follow; ++i)
+            only_follow.insert((int32_t)follow_nodes[i]);
         for (int64_t i = 0; i < n_seen; ++i)
             seen.insert(pkey((int32_t)seen_nodes[i],
                              (int32_t)seen_offsets[i]));
@@ -380,6 +395,7 @@ void* gki_walk_run(
     const int64_t* wl_nodes, const int64_t* wl_offsets, int64_t n_wl,
     const int64_t* seen_nodes, const int64_t* seen_offsets, int64_t n_seen,
     int64_t stop_at_node, int32_t early_stop,
+    const int64_t* follow_nodes, int64_t n_follow,
     int64_t* out_sizes /* [n_spans, tape_len, span_nodes_len] */) {
     Walker* w = new Walker();
     w->g = Graph{n_nodes, node_sizes, seq_start, sequence, edge_index,
@@ -387,7 +403,7 @@ void* gki_walk_run(
     w->k = k;
     w->max_variant_nodes = max_variant_nodes;
     if (!w->run(wl_nodes, wl_offsets, n_wl, seen_nodes, seen_offsets,
-                n_seen, stop_at_node, early_stop)) {
+                n_seen, stop_at_node, early_stop, follow_nodes, n_follow)) {
         delete w;
         out_sizes[0] = -1;
         return nullptr;

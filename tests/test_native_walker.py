@@ -113,3 +113,24 @@ def test_native_walker_fuzz():
         cc = _flat_tuple(graph, k, use_native=True, max_variant_nodes=mvn)
         for a, b, name in zip(py, cc, ("hashes", "nodes", "offsets", "af")):
             assert np.array_equal(a, b), (trial, seed, k, mvn, indel, name)
+
+
+def test_native_only_follow_nodes():
+    """only_follow_nodes restriction: native == python (the
+    find_kmers_over_variant_node mode, unique_variant_kmers.py:87-95)."""
+    graph, v2n = random_snp_graph(2000, 30, seed=8)
+    for i in range(5):
+        target = int(v2n.var_nodes[i])
+        start = max(1, target - 3)
+        outs = []
+        for use_native in (False, True):
+            finder = DenseKmerFinder(graph, k=7, max_variant_nodes=4,
+                                     only_store_nodes={target},
+                                     only_follow_nodes={target})
+            finder.find_only_kmers_starting_at_position(
+                start, 0, use_native=use_native)
+            flat = finder.get_flat_kmers(v="1")
+            outs.append((np.asarray(flat._hashes), np.asarray(flat._nodes),
+                         np.asarray(flat._ref_offsets)))
+        for a, b in zip(*outs):
+            assert np.array_equal(a, b), (i, target)
