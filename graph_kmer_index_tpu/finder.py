@@ -560,7 +560,75 @@ class DenseKmerFinder:
 
     # -- finalize: batched hashing + row expansion ------------------------------
 
-    def _finalize(self):
+    def _finalize_small(self):
+        """Scalar finalize for tiny searches (the per-candidate early-stop
+        calls inside UniqueVariantKmersFinder): identical semantics to the
+        vectorized path, but plain python loops — below ~32 spans the
+        numpy fixed overhead dominates. Equality with the vector path is
+        pinned by tests (force_path=...)."""
+        k = self._k
+        tape = self._tape.get_nparray()
+        hashes = sliding_window_hashes(
+            np.maximum(tape, 0).astype(np.uint64), k)
+        ts = self._span_tape_start.get_nparray()
+        nw = self._span_n_windows.get_nparray()
+        s_node = self._span_node.get_nparray()
+        s_off = self._span_first_offset.get_nparray()
+        raw_nl = self._span_nodes_len.get_nparray()
+        raw_nodes = self._span_nodes.get_nparray()
+        af_table = self._graph.allele_frequencies
+        n_spans = len(ts)
+
+        win_kmers = np.concatenate(
+            [hashes[ts[sp]: ts[sp] + nw[sp]] for sp in range(n_spans)])
+        ok = self._whitelist_mask(win_kmers)
+
+        out_kmers: list = []
+        out_nodes: list = []
+        out_sn: list = []
+        out_so: list = []
+        out_af: list = []
+        kmers_found: list = []
+        wi = 0
+        pos = 0
+        for sp in range(n_spans):
+            raw = raw_nodes[pos: pos + raw_nl[sp]]
+            pos += raw_nl[sp]
+            af = float(af_table[raw].min())
+            uniq = sorted(set(raw.tolist()))
+            if self._only_save_one_node_per_kmer:
+                uniq = uniq[:1]
+            if self._only_store_nodes is not None:
+                uniq = [v for v in uniq if v in self._only_store_nodes]
+            node_sp = int(s_node[sp])
+            off_sp = int(s_off[sp])
+            for w in range(int(nw[sp])):
+                good = bool(ok[wi])
+                kmer = int(win_kmers[wi])
+                wi += 1
+                if not good:
+                    continue
+                for v in uniq:
+                    out_kmers.append(kmer)
+                    out_nodes.append(int(v))
+                    out_sn.append(node_sp)
+                    out_so.append(off_sp + w)
+                    out_af.append(af)
+                if len(kmers_found) < 500:
+                    kmers_found.append((None, set(uniq), node_sp, kmer))
+
+        self._finalized = (
+            np.array(out_kmers, dtype=np.uint64).astype(np.int64),
+            np.array(out_nodes, dtype=np.int32),
+            np.array(out_sn, dtype=np.int32),
+            np.array(out_so, dtype=np.int64).astype(np.int16),
+            np.array(out_af, dtype=np.float64))
+        self.kmers_found = kmers_found
+
+    # below this span count the scalar finalize path beats numpy overhead
+    _SMALL_FINALIZE_SPANS = 32
+
+    def _finalize(self, force_path=None):
         k = self._k
         tape = self._tape.get_nparray()
         n_spans = len(self._span_tape_start)
@@ -569,6 +637,12 @@ class DenseKmerFinder:
                      np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int16),
                      np.zeros(0, dtype=np.float64))
             self._finalized = empty
+            return
+
+        if force_path == "small" or (force_path is None
+                                     and n_spans <= self._SMALL_FINALIZE_SPANS
+                                     and len(tape) <= 4096):
+            self._finalize_small()
             return
 
         if self._use_device is not None:

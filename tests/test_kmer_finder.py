@@ -364,3 +364,34 @@ def test_device_hashing_path_matches_host():
     k2, n2 = f_dev.get_found_kmers_and_nodes()
     assert np.array_equal(k1, k2)
     assert np.array_equal(n1, n2)
+
+
+def test_small_finalize_path_matches_vector_path():
+    """The scalar finalize for tiny searches == the vectorized finalize,
+    across modes and graphs."""
+    from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        seed = int(rng.integers(0, 1 << 30))
+        graph, v2n = random_snp_graph(400, 6, seed=seed,
+                                      indel_fraction=0.4)
+        for kwargs in ({}, {"only_save_one_node_per_kmer": True},
+                       {"only_store_nodes": {int(v2n.var_nodes[1])}}):
+            outs = []
+            for path in ("small", "vector"):
+                f = DenseKmerFinder(graph, k=5, max_variant_nodes=3,
+                                    **kwargs)
+                f.find_only_kmers_starting_at_position(1, 0)
+                f._finalized = None
+                f._finalize(force_path=path)
+                fl = f.get_flat_kmers(v="1")
+                outs.append((np.asarray(fl._hashes),
+                             np.asarray(fl._nodes),
+                             np.asarray(fl._ref_offsets),
+                             np.asarray(fl._allele_frequencies),
+                             f.kmers_found))
+            for a, b in zip(*outs):
+                if isinstance(a, list):
+                    assert a == b
+                else:
+                    assert np.array_equal(a, b), (trial, kwargs)
