@@ -42,14 +42,40 @@ class NativeKmerIndex:
     def available() -> bool:
         return native.available()
 
+    def _table_ptrs(self):
+        """ctypes pointers for the (immutable) table arrays, built once —
+        per-call marshaling otherwise dominates small-batch lookups."""
+        if getattr(self, "_ptrs", None) is None:
+            import ctypes
+            p = native._ptr
+            self._ptrs = (
+                p(self.table_kmers, ctypes.c_uint64),
+                p(self.table_nodes, ctypes.c_uint32),
+                p(self.table_ref_offsets, ctypes.c_uint64),
+                p(self.table_frequencies, ctypes.c_uint16),
+                p(self.table_allele_frequencies, ctypes.c_float),
+                p(self.starts_tbl, ctypes.c_int64),
+                p(self.sizes_tbl, ctypes.c_uint32),
+            )
+        return self._ptrs
+
     def get(self, kmers, hit_cap=10000, freq_cap=20):
         """(5, n_hits) uint64 [node, ref_offset, query_index, frequency,
         1000*allele_frequency] (cython_kmer_index.pyx:101-106)."""
-        return native.bucket_lookup(
-            kmers, self.table_kmers, self.table_nodes,
-            self.table_ref_offsets, self.table_frequencies,
-            self.table_allele_frequencies, self.starts_tbl, self.sizes_tbl,
-            self.modulo, hit_cap=hit_cap, freq_cap=freq_cap)
+        import ctypes
+        lib = native.get_lib()
+        if lib is None:
+            return None
+        kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+        args = (native._ptr(kmers, ctypes.c_uint64), len(kmers),
+                *self._table_ptrs(), int(self.modulo), int(hit_cap),
+                int(freq_cap))
+        n_hits = lib.gki_bucket_lookup(*args, 1, None, 0)
+        out = np.zeros((5, max(1, n_hits)), dtype=np.uint64)
+        if n_hits > 0:
+            lib.gki_bucket_lookup(*args, 0,
+                                  native._ptr(out, ctypes.c_uint64), n_hits)
+        return out[:, :n_hits]
 
     def map_kmers(self, kmers, n_nodes):
         return native.map_kmers(kmers, self.table_kmers, self.table_nodes,

@@ -199,13 +199,22 @@ def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
     if lib is None:
         return None
     n = graph.n_nodes()
-    node_sizes = np.ascontiguousarray(graph.node_sizes, np.uint32)
-    seq_start = np.ascontiguousarray(graph.seq_start, np.int64)
-    sequence = np.ascontiguousarray(graph.sequence, np.int8)
-    edge_index = np.ascontiguousarray(graph.edge_index, np.int64)
-    edge_targets = np.ascontiguousarray(graph.edge_targets, np.int32)
-    is_ref = np.ascontiguousarray(
-        (graph.linear_ref_mask | graph.ref_dummy_mask).astype(np.uint8))
+    # cache the (immutable) marshaled graph arrays on the graph object —
+    # per-call ascontiguousarray/pointer building dominates small walks
+    cached = getattr(graph, "_native_walk_arrays", None)
+    if cached is None:
+        cached = (
+            np.ascontiguousarray(graph.node_sizes, np.uint32),
+            np.ascontiguousarray(graph.seq_start, np.int64),
+            np.ascontiguousarray(graph.sequence, np.int8),
+            np.ascontiguousarray(graph.edge_index, np.int64),
+            np.ascontiguousarray(graph.edge_targets, np.int32),
+            np.ascontiguousarray(
+                (graph.linear_ref_mask | graph.ref_dummy_mask).astype(
+                    np.uint8)),
+        )
+        graph._native_walk_arrays = cached
+    node_sizes, seq_start, sequence, edge_index, edge_targets, is_ref = cached
     crit = np.ascontiguousarray(crit_index, np.int32)
     assert len(crit) >= n, "crit_index must cover all nodes"
 
