@@ -115,14 +115,18 @@ def main():
         return
 
     import os
-    kernels = os.environ.get("GKI_BENCH_KERNELS", "u32,pallas").split(",")
+    kernels = os.environ.get("GKI_BENCH_KERNELS", "pallas,u32,xla").split(",")
     rates = {}
     for kernel in kernels:
         rate = measure_kernel_subprocess(kernel)
         if rate is not None:
             rates[kernel] = rate
+            break  # fastest-first order; one good measurement suffices
     if not rates:
-        raise RuntimeError("no device hashing kernel completed")
+        # last resort: never leave the driver without a JSON line — run
+        # the XLA kernel in-process (compiles are the usual timeout cause;
+        # a second attempt in a warm process often fits)
+        rates["inproc"] = measure_kernel("u32")
     device_rate = max(rates.values())
     cpu_rate = bench_cpu_reference()
 
