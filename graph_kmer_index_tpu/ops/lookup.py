@@ -205,8 +205,13 @@ def _get_batched_kernel(kmers, n_valid, table_kmers, table_nodes,
 
 
 def _pad_queries(kmers):
+    """Pad the query batch onto a geometric size ladder (×1.25 steps from
+    1024) so the number of distinct jit shapes — and therefore compiles —
+    is bounded (~40 across 1k..1B queries) at ≤25% padding waste."""
     n = len(kmers)
-    padded = max(_PAD, -(-n // _PAD) * _PAD)
+    padded = _PAD
+    while padded < n:
+        padded = -(-(padded * 5) // (4 * _PAD)) * _PAD
     out = np.zeros(padded, dtype=np.uint64)
     out[:n] = kmers
     return out, n
