@@ -645,6 +645,30 @@ class DenseKmerFinder:
             self._finalize_small()
             return
 
+        if (force_path == "native"
+                or (force_path is None and self._whitelist is None
+                    and self._use_device is not True)):
+            from . import native
+            res = native.finalize_rows(
+                tape, k,
+                self._span_tape_start.get_nparray(),
+                self._span_n_windows.get_nparray(),
+                self._span_node.get_nparray(),
+                self._span_first_offset.get_nparray(),
+                self._span_nodes_len.get_nparray(),
+                self._span_nodes.get_nparray(),
+                self._graph.allele_frequencies,
+                only_save_one=self._only_save_one_node_per_kmer,
+                only_store_nodes=self._only_store_nodes)
+            if res is not None:
+                kmers, nodes, start_nodes, start_offsets, af = res
+                self._finalized = (kmers.astype(np.int64), nodes,
+                                   start_nodes, start_offsets, af)
+                # kmers_found is a test/debug aid; the native row path
+                # doesn't populate it (use the python paths for that)
+                self.kmers_found = []
+                return
+
         if self._use_device is not None:
             use_device = self._use_device
         else:

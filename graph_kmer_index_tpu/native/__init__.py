@@ -92,6 +92,17 @@ def get_lib():
             p(ctypes.c_int32), p(ctypes.c_int32)]
         lib.gki_walk_free.restype = None
         lib.gki_walk_free.argtypes = [ctypes.c_void_p]
+        lib.gki_finalize_run.restype = ctypes.c_void_p
+        lib.gki_finalize_run.argtypes = [
+            p(ctypes.c_int8), i64, i32,
+            p(ctypes.c_int64), p(ctypes.c_int32), p(ctypes.c_int32),
+            p(ctypes.c_int32), p(ctypes.c_int32), p(ctypes.c_int32),
+            i64, p(ctypes.c_double), i32, p(ctypes.c_int32), i64,
+            p(ctypes.c_int64)]
+        lib.gki_finalize_fetch.restype = None
+        lib.gki_finalize_fetch.argtypes = [
+            ctypes.c_void_p, p(ctypes.c_uint64), p(ctypes.c_int32),
+            p(ctypes.c_int32), p(ctypes.c_int16), p(ctypes.c_double)]
         _lib = lib
         return _lib
 
@@ -258,6 +269,55 @@ def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
                        _ptr(nl, ctypes.c_int32),
                        _ptr(span_nodes, ctypes.c_int32))
     return tape, ts, nw, s_node, s_off, nl, span_nodes
+
+
+def finalize_rows(tape, k, ts, nw, s_node, s_off, raw_nl, raw_nodes,
+                  af_table, only_save_one=False, only_store_nodes=None):
+    """Native span-stream -> FlatKmers row expansion (no whitelist mask;
+    callers with a whitelist use the python path). Returns
+    (kmers u64, nodes i32, start_nodes i32, start_offsets i16, af f64)
+    or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    tape = np.ascontiguousarray(tape, np.int8)
+    ts = np.ascontiguousarray(ts, np.int64)
+    nw = np.ascontiguousarray(nw, np.int32)
+    s_node = np.ascontiguousarray(s_node, np.int32)
+    s_off = np.ascontiguousarray(s_off, np.int32)
+    raw_nl = np.ascontiguousarray(raw_nl, np.int32)
+    raw_nodes = np.ascontiguousarray(raw_nodes, np.int32)
+    af_table = np.ascontiguousarray(af_table, np.float64)
+    if only_store_nodes is not None:
+        store = np.ascontiguousarray(sorted(only_store_nodes), np.int32)
+        n_store = len(store)
+    else:
+        store = np.zeros(0, np.int32)
+        n_store = -1
+    n_rows = np.zeros(1, np.int64)
+    handle = lib.gki_finalize_run(
+        _ptr(tape, ctypes.c_int8), len(tape), int(k),
+        _ptr(ts, ctypes.c_int64), _ptr(nw, ctypes.c_int32),
+        _ptr(s_node, ctypes.c_int32), _ptr(s_off, ctypes.c_int32),
+        _ptr(raw_nl, ctypes.c_int32), _ptr(raw_nodes, ctypes.c_int32),
+        len(ts), _ptr(af_table, ctypes.c_double),
+        int(bool(only_save_one)), _ptr(store, ctypes.c_int32), n_store,
+        _ptr(n_rows, ctypes.c_int64))
+    if not handle:
+        return None
+    n = int(n_rows[0])
+    kmers = np.empty(n, np.uint64)
+    nodes = np.empty(n, np.int32)
+    start_nodes = np.empty(n, np.int32)
+    start_offsets = np.empty(n, np.int16)
+    af = np.empty(n, np.float64)
+    lib.gki_finalize_fetch(handle, _ptr(kmers, ctypes.c_uint64),
+                           _ptr(nodes, ctypes.c_int32),
+                           _ptr(start_nodes, ctypes.c_int32),
+                           _ptr(start_offsets, ctypes.c_int16),
+                           _ptr(af, ctypes.c_double))
+    return kmers, nodes, start_nodes, start_offsets, af
 
 
 def fasta_encode(text: bytes, max_reads: int | None = None):

@@ -436,3 +436,99 @@ void gki_walk_fetch(void* handle, int8_t* tape, int64_t* span_tape_start,
 void gki_walk_free(void* handle) { delete (Walker*)handle; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native finalize: span stream -> FlatKmers rows (the row-expansion half
+// of finder._finalize, minus whitelist masking which needs index queries).
+// Per span: ascending-unique node set, min allele frequency over the RAW
+// path nodes, only_save_one / only_store filters, one row per
+// (window, node). Bit-identical to the python vector path (fuzz-pinned).
+// ---------------------------------------------------------------------------
+
+namespace {
+struct FinalizeResult {
+    std::vector<uint64_t> kmers;
+    std::vector<int32_t> nodes;
+    std::vector<int32_t> start_nodes;
+    std::vector<int16_t> start_offsets;
+    std::vector<double> af;
+};
+}  // namespace
+
+extern "C" {
+
+void* gki_finalize_run(
+    const int8_t* tape, int64_t n_tape, int32_t k,
+    const int64_t* ts, const int32_t* nw, const int32_t* s_node,
+    const int32_t* s_off, const int32_t* raw_nl, const int32_t* raw_nodes,
+    int64_t n_spans, const double* af_table,
+    int32_t only_save_one, const int32_t* store_filter, int64_t n_store,
+    int64_t* out_n_rows) {
+    // window hashes of the tape (rolling, first-base-LSB)
+    int64_t n_hashes = (n_tape >= k) ? n_tape - k + 1 : 0;
+    std::vector<uint64_t> hashes((size_t)n_hashes);
+    if (n_hashes > 0) {
+        uint64_t h = 0;
+        for (int32_t i = 0; i < k; ++i)
+            h |= ((uint64_t)(uint8_t)tape[i]) << (2 * i);
+        hashes[0] = h;
+        const int32_t top = 2 * (k - 1);
+        for (int64_t i = 1; i < n_hashes; ++i) {
+            h = (h >> 2) | (((uint64_t)(uint8_t)tape[i + k - 1]) << top);
+            hashes[i] = h;
+        }
+    }
+
+    FinalizeResult* r = new FinalizeResult();
+    std::vector<int32_t> uniq;
+    int64_t pos = 0;
+    for (int64_t sp = 0; sp < n_spans; ++sp) {
+        const int32_t* raw = raw_nodes + pos;
+        int32_t nraw = raw_nl[sp];
+        pos += nraw;
+        double af = 1e300;
+        uniq.assign(raw, raw + nraw);
+        for (int32_t i = 0; i < nraw; ++i)
+            af = std::min(af, af_table[raw[i]]);
+        std::sort(uniq.begin(), uniq.end());
+        uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+        if (only_save_one && uniq.size() > 1) uniq.resize(1);
+        if (n_store >= 0) {
+            size_t w = 0;
+            for (int32_t v : uniq)
+                if (std::binary_search(store_filter, store_filter + n_store,
+                                       v))
+                    uniq[w++] = v;
+            uniq.resize(w);
+        }
+        int32_t node_sp = s_node[sp];
+        int32_t off_sp = s_off[sp];
+        for (int32_t w = 0; w < nw[sp]; ++w) {
+            uint64_t kmer = hashes[ts[sp] + w];
+            for (int32_t v : uniq) {
+                r->kmers.push_back(kmer);
+                r->nodes.push_back(v);
+                r->start_nodes.push_back(node_sp);
+                r->start_offsets.push_back((int16_t)(off_sp + w));
+                r->af.push_back(af);
+            }
+        }
+    }
+    *out_n_rows = (int64_t)r->kmers.size();
+    return r;
+}
+
+void gki_finalize_fetch(void* handle, uint64_t* kmers, int32_t* nodes,
+                        int32_t* start_nodes, int16_t* start_offsets,
+                        double* af) {
+    FinalizeResult* r = (FinalizeResult*)handle;
+    memcpy(kmers, r->kmers.data(), r->kmers.size() * 8);
+    memcpy(nodes, r->nodes.data(), r->nodes.size() * 4);
+    memcpy(start_nodes, r->start_nodes.data(), r->start_nodes.size() * 4);
+    memcpy(start_offsets, r->start_offsets.data(),
+           r->start_offsets.size() * 2);
+    memcpy(af, r->af.data(), r->af.size() * 8);
+    delete r;
+}
+
+}  // extern "C"

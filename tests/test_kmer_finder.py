@@ -395,3 +395,32 @@ def test_small_finalize_path_matches_vector_path():
                     assert a == b
                 else:
                     assert np.array_equal(a, b), (trial, kwargs)
+
+
+def test_native_finalize_matches_vector_path():
+    """The C++ row-expansion finalize == the python vector finalize."""
+    from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+    from graph_kmer_index_tpu import native
+    assert native.available(), "native library must build for this test"
+    rng = np.random.default_rng(31337)
+    for trial in range(8):
+        seed = int(rng.integers(0, 1 << 30))
+        graph, v2n = random_snp_graph(3000, 40, seed=seed,
+                                      indel_fraction=0.4)
+        for kwargs in ({}, {"only_save_one_node_per_kmer": True},
+                       {"only_store_nodes": set(
+                           int(v) for v in v2n.var_nodes[:10])}):
+            outs = []
+            for path in ("native", "vector"):
+                f = DenseKmerFinder(graph, k=7, max_variant_nodes=4,
+                                    **kwargs)
+                f.find()
+                f._finalized = None
+                f._finalize(force_path=path)
+                fl = f.get_flat_kmers(v="1")
+                outs.append((np.asarray(fl._hashes).astype(np.uint64),
+                             np.asarray(fl._nodes),
+                             np.asarray(fl._ref_offsets),
+                             np.asarray(fl._allele_frequencies)))
+            for a, b in zip(*outs):
+                assert np.array_equal(a, b), (trial, seed, kwargs)
