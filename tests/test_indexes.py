@@ -248,3 +248,16 @@ def test_get_frequencies_vectorized_matches_scalar(index):
     flat = FlatKmers(kmers, np.arange(6))
     assert flat.maximum_kmer_frequency(index) == max(
         0, *[index.get_frequency(int(h)) for h in kmers])
+
+
+def test_reference_kmer_index_from_linear_reference(tmp_path):
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chr1\nACGTACGTACGTACGTACGT\n")
+    idx = ReferenceKmerIndex.from_linear_reference(str(fa), "chr1", 4)
+    from graph_kmer_index_tpu import sequence_to_kmer_hash
+    between = idx.get_between(1, 4)
+    assert sequence_to_kmer_hash("CGTA") in between
+    f = str(tmp_path / "refidx")
+    idx.to_file(f)
+    idx2 = ReferenceKmerIndex.from_file(f)
+    assert np.array_equal(np.asarray(idx2.kmers), np.asarray(idx.kmers))

@@ -110,3 +110,17 @@ def test_only_add_variant_kmers():
     assert len(flat._hashes) > 0
     for kf in finder.kmers_found:
         assert any(n in (2, 3) for n in kf[1]), kf
+
+
+def test_pruning_skips_nearby_novel_ref_kmers():
+    """pruning drops NOVEL linear-ref kmers within 124 bp of the last
+    added position; previously-added kmers always pass (reference
+    snp_kmer_finder.py:145-149 checks ``hash not in unique_kmers_added``)."""
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT"), size=400))
+    graph = Graph.from_dicts({1: seq}, {}, [1])
+    plain = SnpKmerFinder(graph, k=6).find_kmers()
+    pruned = SnpKmerFinder(graph, k=6, pruning=True).find_kmers()
+    # ~one kmer per 124 bp survives instead of one per position
+    assert len(pruned._hashes) < len(plain._hashes) / 10
