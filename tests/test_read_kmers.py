@@ -36,3 +36,31 @@ def test_hash_fasta_file_revcomp(tmp_path):
                                       include_reverse_complements=True)
     assert list(kmers) == [sequence_to_kmer_hash("ACTG"),
                            sequence_to_kmer_hash("CAGT")]
+
+
+def test_from_fasta_file_generator(tmp_path):
+    """Reference-parity generator API: per-read chained kmers + revcomp."""
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a\nACTGA\n>b\nTTT\n")
+    rk = ReadKmers.from_fasta_file(str(fa), k=3)
+    chunks = [list(c) for c in rk]
+    # 2 forward generators then 2 revcomp generators, chained per read
+    flat = [int(h) for c in chunks for h in c]
+    fwd_a = [sequence_to_kmer_hash(s) for s in ("ACT", "CTG", "TGA")]
+    assert flat[:3] == fwd_a
+
+
+def test_bionumpy_hash_alias():
+    from graph_kmer_index_tpu import bionumpy_hash, letter_sequence_to_numeric
+    seq = letter_sequence_to_numeric("ACTGA")
+    got = bionumpy_hash(seq, 3)
+    assert [int(h) for h in got] == [sequence_to_kmer_hash(s)
+                                     for s in ("ACT", "CTG", "TGA")]
+
+
+def test_profiling_timings():
+    from graph_kmer_index_tpu.utils.profiling import Timings
+    t = Timings()
+    with t.span("a"):
+        pass
+    assert "a" in t.report()
