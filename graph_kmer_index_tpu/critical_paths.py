@@ -77,7 +77,13 @@ class CriticalGraphPaths:
 
                 size = int(node_sizes[current])
                 if depth == 0 and size != 0:
-                    if bp_since_last_join <= k and bp_since_last_join + size >= k:
+                    # NB: strictly < k. The reference uses <= k
+                    # (critical_graph_paths.py:78), so bp == k yields
+                    # offset -1 which silently wraps to 65535 in its
+                    # uint16 array — a garbage duplicate cut point (the
+                    # real one was already emitted at the previous node's
+                    # last base). Newer numpy raises on the wrap.
+                    if bp_since_last_join < k and bp_since_last_join + size >= k:
                         critical_nodes.append(current)
                         critical_offsets.append(k - bp_since_last_join - 1)
 
