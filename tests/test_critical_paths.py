@@ -1,7 +1,7 @@
 """Critical path positions (mirrors reference tests/test_critical_graph_paths.py)."""
 import numpy as np
 
-from graph_kmer_index_tpu import Graph, CriticalGraphPaths
+from graph_kmer_index_tpu import Graph, CriticalGraphPaths, DenseKmerFinder
 
 
 def test_basic():
@@ -83,3 +83,19 @@ def test_is_critical_and_roundtrip(tmp_path):
     c.to_file(f)
     c2 = CriticalGraphPaths.from_file(f)
     assert np.all(c2.nodes == c.nodes) and np.all(c2.offsets == c.offsets)
+
+
+def test_bp_exactly_k_no_bogus_offset():
+    """bp_since_last_join == k must not emit an offset of -1 (the
+    reference wraps it to 65535 in uint16, critical_graph_paths.py:78);
+    the true cut point was already emitted on the previous node."""
+    graph = Graph.from_dicts(
+        {1: "AA", 2: "A", 3: "C", 4: "AAAA", 5: "GGG"},
+        {1: [2, 3], 2: [4], 3: [4], 4: [5]},
+        [1, 2, 4, 5])
+    cgp = CriticalGraphPaths.from_graph(graph, 4)
+    assert list(cgp) == [(4, 3)]
+    # and the finder runs cleanly over it
+    f = DenseKmerFinder(graph, k=4)
+    f.find()
+    assert len(f.get_flat_kmers(v="1")._hashes) > 0
