@@ -1,0 +1,63 @@
+"""Light randomized end-to-end soaks (full 300-500-trial versions are run
+out-of-band; these keep a rotating sample in CI)."""
+import sys
+import pathlib
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import (
+    DenseKmerFinder, CollisionFreeKmerIndex, PositionId,
+    UniqueVariantKmersFinder, VcfVariant, VcfVariants)
+from graph_kmer_index_tpu.graph_builder import build_graph_from_vcf
+from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+
+
+def test_walker_soak_light():
+    rng = np.random.default_rng(20260817)
+    for trial in range(6):
+        seed = int(rng.integers(0, 1 << 30))
+        k = int(rng.choice([3, 7, 15, 31]))
+        graph, _ = random_snp_graph(800, 15, seed=seed,
+                                    indel_fraction=float(rng.choice([0, .5])))
+        outs = []
+        for un in (False, True):
+            f = DenseKmerFinder(graph, k=k,
+                                max_variant_nodes=int(rng.integers(1, 5)))
+            f.find(use_native=un)
+            fl = f.get_flat_kmers(v="1")
+            outs.append((np.asarray(fl._hashes), np.asarray(fl._nodes)))
+        for a, b in zip(*outs):
+            assert np.array_equal(a, b), (trial, seed, k)
+
+
+def test_random_vcf_end_to_end_soak_light():
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        n = int(rng.integers(250, 500))
+        ref = "".join(rng.choice(list("ACGT"), size=n))
+        variants, pos, line = [], 20, 0
+        while pos < n - 30:
+            r = ref[pos]
+            a = "ACGT"[("ACGT".index(r) + 1 + int(rng.integers(0, 3))) % 4]
+            variants.append(VcfVariant("1", pos + 1, r, a,
+                                       vcf_line_number=line))
+            line += 1
+            pos += int(rng.integers(20, 60))
+        vs = VcfVariants(variants)
+        graph, v2n = build_graph_from_vcf({"1": ref}, vs)
+        assert graph.linear_ref_length() == n
+        f = DenseKmerFinder(graph, k=7, max_variant_nodes=4)
+        f.find()
+        idx = CollisionFreeKmerIndex.from_flat_kmers(
+            f.get_flat_kmers(v="1"), modulo=40009)
+        uv = UniqueVariantKmersFinder(
+            graph, v2n, vs, k=7, kmer_index_with_frequencies=idx,
+            use_dense_kmer_finder=True,
+            position_id_index=PositionId.from_graph(graph))
+        sig = uv.find_unique_kmers()
+        sel = set(int(x) for x in np.asarray(sig._nodes))
+        allowed = (set(int(x) for x in np.asarray(v2n.ref_nodes))
+                   | set(int(x) for x in np.asarray(v2n.var_nodes)))
+        assert sel <= allowed
