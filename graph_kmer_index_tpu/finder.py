@@ -560,6 +560,39 @@ class DenseKmerFinder:
 
     # -- finalize: batched hashing + row expansion ------------------------------
 
+    def _rebuild_kmers_found_debug(self, cap=500):
+        """Reconstruct the kmers_found debug list (first ``cap`` windows,
+        python-path semantics) after a native finalize — cheap: only the
+        first few spans are visited."""
+        k = self._k
+        tape = self._tape.get_nparray()
+        ts = self._span_tape_start.get_nparray()
+        nw = self._span_n_windows.get_nparray()
+        s_node = self._span_node.get_nparray()
+        raw_nl = self._span_nodes_len.get_nparray()
+        raw_nodes = self._span_nodes.get_nparray()
+        out: list = []
+        pos = 0
+        for sp in range(len(ts)):
+            raw = raw_nodes[pos: pos + raw_nl[sp]]
+            pos += raw_nl[sp]
+            if len(out) >= cap:
+                break
+            uniq = sorted(set(raw.tolist()))
+            if self._only_save_one_node_per_kmer:
+                uniq = uniq[:1]
+            if self._only_store_nodes is not None:
+                uniq = [v for v in uniq if v in self._only_store_nodes]
+            span_tape = np.maximum(
+                tape[ts[sp]: ts[sp] + k - 1 + nw[sp]], 0).astype(np.uint64)
+            hashes = sliding_window_hashes(span_tape, k)
+            for w in range(int(nw[sp])):
+                if len(out) >= cap:
+                    break
+                out.append((None, set(uniq), int(s_node[sp]),
+                            int(hashes[w])))
+        self.kmers_found = out
+
     def _finalize_small(self):
         """Scalar finalize for tiny searches (the per-candidate early-stop
         calls inside UniqueVariantKmersFinder): identical semantics to the
@@ -664,9 +697,7 @@ class DenseKmerFinder:
                 kmers, nodes, start_nodes, start_offsets, af = res
                 self._finalized = (kmers.astype(np.int64), nodes,
                                    start_nodes, start_offsets, af)
-                # kmers_found is a test/debug aid; the native row path
-                # doesn't populate it (use the python paths for that)
-                self.kmers_found = []
+                self._rebuild_kmers_found_debug()
                 return
 
         if self._use_device is not None:
