@@ -274,7 +274,14 @@ class DeviceKmerIndex:
                     self.sizes_tbl)
         return self._dense_lanes or None
 
+    # queries per device dispatch; bounds the (chunk, max_scan) working set
+    QUERY_CHUNK = 1 << 22
+
     def has_kmers(self, kmers: np.ndarray) -> np.ndarray:
+        if len(kmers) > self.QUERY_CHUNK:
+            return np.concatenate(
+                [self.has_kmers(kmers[i:i + self.QUERY_CHUNK])
+                 for i in range(0, len(kmers), self.QUERY_CHUNK)])
         q, n = _pad_queries(kmers)
         lanes = self._lanes() if self.max_scan <= 2 else None
         if lanes is not None:
@@ -293,7 +300,13 @@ class DeviceKmerIndex:
         """Node hit counts for a read-kmer batch (kmer_mapper contract).
         Fast path: 2-lane dense bucket lookup with compacted overflow
         scan; CSR scan when the lanes exceed the HBM budget or on
-        overflow-capacity miss."""
+        overflow-capacity miss. Very large batches are chunked."""
+        if len(kmers) > self.QUERY_CHUNK:
+            total = np.zeros(n_nodes, dtype=np.int64)
+            for i in range(0, len(kmers), self.QUERY_CHUNK):
+                total += self.map_kmers(kmers[i:i + self.QUERY_CHUNK],
+                                        n_nodes).astype(np.int64)
+            return total
         q, n = _pad_queries(kmers)
         lanes = self._lanes()
         if lanes is not None:

@@ -261,3 +261,29 @@ def test_reference_kmer_index_from_linear_reference(tmp_path):
     idx.to_file(f)
     idx2 = ReferenceKmerIndex.from_file(f)
     assert np.array_equal(np.asarray(idx2.kmers), np.asarray(idx.kmers))
+
+
+def test_map_kmers_chunked_matches_unchunked(index):
+    """Batch chunking must not change counts."""
+    from graph_kmer_index_tpu.ops.lookup import DeviceKmerIndex
+    dev = index._device()
+    old_chunk = DeviceKmerIndex.QUERY_CHUNK
+    rng = np.random.default_rng(5)
+    queries = np.concatenate([
+        np.array([1, 2, 3, 4, 5] * 200, dtype=np.uint64),
+        rng.integers(0, 1000, 500).astype(np.uint64)])
+    try:
+        unchunked = index.map_kmers(queries, 200)
+        DeviceKmerIndex.QUERY_CHUNK = 256  # force chunking
+        chunked = index.map_kmers(queries, 200)
+    finally:
+        DeviceKmerIndex.QUERY_CHUNK = old_chunk
+    assert np.array_equal(np.asarray(unchunked),
+                          np.asarray(chunked).astype(unchunked.dtype))
+    try:
+        DeviceKmerIndex.QUERY_CHUNK = 256
+        has_c = index.has_kmers(queries)
+    finally:
+        DeviceKmerIndex.QUERY_CHUNK = old_chunk
+    assert np.array_equal(np.asarray(index.has_kmers(queries)),
+                          np.asarray(has_c))
