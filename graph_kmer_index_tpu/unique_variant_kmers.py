@@ -36,6 +36,7 @@ class UniqueVariantKmersFinder:
                  use_simple=False):
         self.graph = graph
         self.variant_to_nodes = variant_to_nodes
+        self.reference_kmer_index = None
         self.variants = variants
         self.k = k
         self.flat_kmers_found = []
@@ -83,6 +84,26 @@ class UniqueVariantKmersFinder:
         finder.find_only_kmers_starting_at_position(
             int(start_node), int(start_node_offset))
         return finder.get_flat_kmers(v="1")
+
+    def kmer_is_unique_on_reference_position(self, kmer, reference_position,
+                                             ref_start, ref_end):
+        """True if ``kmer`` does not occur at any other reference position
+        in [ref_start, ref_end) (reference unique_variant_kmers.py:39-47;
+        requires ``self.reference_kmer_index`` to be set)."""
+        reference_kmers = self.reference_kmer_index.get_between(ref_start,
+                                                               ref_end)
+        for i, reference_kmer in enumerate(reference_kmers):
+            pos = ref_start + i
+            if pos != reference_position and reference_kmer == kmer:
+                return False
+        return True
+
+    def find_kmers_over_structural_variant(self, variant, ref_node,
+                                           variant_node):
+        """Search both allele nodes (reference unique_variant_kmers.py
+        :102-105 — NB the reference discards the results too)."""
+        self.find_kmers_over_variant_node(variant, ref_node)
+        self.find_kmers_over_variant_node(variant, variant_node)
 
     def find_kmers_over_variant(self, variant, ref_node, variant_node):
         """Simple mode: kmers over both alleles, no uniqueness search
