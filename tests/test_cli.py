@@ -119,3 +119,31 @@ def test_cli_index_with_whitelist(fixtures):
     assert len(got._hashes) > 0
     assert all(bool(h) for h in wl_idx.has_kmers(
         np.asarray(got._hashes, np.uint64), backend="native"))
+
+
+def test_cli_full_user_journey(tmp_path):
+    """FASTA+VCF -> make_graph -> index -> make_from_flat -> map_reads:
+    the complete switch-from-reference workflow through the CLI."""
+    fa = str(tmp_path / "ref.fa")
+    with open(fa, "w") as f:
+        f.write(">1\nACTGAAATGCCCTGAGATTACAGGCATGAGCCACC\n")
+    vcf = str(tmp_path / "v.vcf")
+    with open(vcf, "w") as f:
+        f.write("##\n#CHROM\tPOS\tID\tREF\tALT\n1\t10\t.\tC\tT\n")
+    g = str(tmp_path / "g.npz")
+    v2n = str(tmp_path / "v2n.npz")
+    run_argument_parser(["make_graph", "-R", fa, "-v", vcf, "-o", g,
+                         "-V", v2n])
+    flat = str(tmp_path / "flat.npz")
+    run_argument_parser(["index", "-g", g, "-k", "7", "-o", flat])
+    kindex = str(tmp_path / "k.npz")
+    run_argument_parser(["make_from_flat", "-f", flat, "-o", kindex,
+                         "-m", "4099"])
+    reads = str(tmp_path / "reads.fa")
+    with open(reads, "w") as f:
+        f.write(">r1\nACTGAAATGTCCTGAG\n>r2\nGGGGGGGG\n")
+    counts = str(tmp_path / "counts.npy")
+    run_argument_parser(["map_reads", "-i", kindex, "-r", reads,
+                         "-k", "7", "-o", counts])
+    c = np.load(counts)
+    assert c.sum() > 0  # ref-derived read kmers hit the index
