@@ -1,0 +1,337 @@
+"""TPU primitive-rate microbenchmarks driving the lookup-kernel design.
+
+Measures the building blocks every candidate lookup design is made of:
+
+- XLA random gather (8B and 16B contiguous records) from an HBM table
+- XLA scatter-add into a counts array
+- jax.lax.sort throughput (u32 and u64 keys + payload)
+- Pallas scalar-loop dynamic gather / read-modify-write within VMEM
+- Pallas scalar-broadcast compare rate (queries x table-tile all-pairs)
+
+Each kernel runs in its own subprocess with a hard timeout (a pathological
+Mosaic compile must not hang the session) and uses chained-differenced
+timing: time a jitted data-dependent fori_loop chain at two lengths and
+difference — the only trustworthy sync on this backend is a scalar fetch.
+
+Usage: python benchmarks/bench_primitives.py [--only NAME]
+"""
+import functools
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+_INTERPRET = bool(os.environ.get("GKI_PALLAS_INTERPRET"))
+_SMALL = bool(os.environ.get("GKI_BENCH_SMALL"))  # smoke-test sizes
+KERNEL_TIMEOUT_S = 420
+REPS = 8
+
+
+def _chain_rate(apply, x0, n_items, reps=REPS):
+    """Items/s for one application of `apply` via chained differencing.
+
+    `apply` must map a jax array to a same-shaped jax array with a data
+    dependence on its input.
+    """
+    import jax
+
+    @jax.jit
+    def chain(x, r):
+        return jax.lax.fori_loop(0, r, lambda i, v: apply(v), x).sum()
+
+    int(chain(x0, 2))
+    int(chain(x0, 2 + reps))
+    t0 = time.perf_counter()
+    int(chain(x0, 2))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    int(chain(x0, 2 + reps))
+    t_long = time.perf_counter() - t0
+    per = max(1e-9, (t_long - t_short) / reps)
+    return n_items / per
+
+
+def k_gather8():
+    import jax.numpy as jnp
+    n_t, n_q = (1 << 26, 1 << 22) if not _SMALL else (1 << 16, 1 << 12)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.integers(0, 1 << 62, n_t).astype(np.uint64))
+    idx0 = jnp.asarray(rng.integers(0, n_t, n_q).astype(np.int32))
+
+    def apply(idx):
+        v = table[idx]
+        return (idx + v.astype(jnp.int32)) % n_t
+    return _chain_rate(apply, idx0, n_q)
+
+
+def k_gather16():
+    import jax.numpy as jnp
+    n_t, n_q = (1 << 25, 1 << 22) if not _SMALL else (1 << 16, 1 << 12)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.integers(0, 1 << 62, (n_t, 2)).astype(np.uint64))
+
+    idx0 = jnp.asarray(rng.integers(0, n_t, n_q).astype(np.int32))
+
+    def apply(idx):
+        v = table[idx]  # (n_q, 2) contiguous 16B records
+        return (idx + (v[:, 0] ^ v[:, 1]).astype(jnp.int32)) % n_t
+    return _chain_rate(apply, idx0, n_q)
+
+
+def k_scatter_add():
+    import jax.numpy as jnp
+    n_c, n_q = (1 << 21, 1 << 22) if not _SMALL else (1 << 12, 1 << 12)
+    rng = np.random.default_rng(0)
+    idx0 = jnp.asarray(rng.integers(0, n_c, n_q).astype(np.int32))
+
+    def apply(idx):
+        counts = jnp.zeros(n_c, jnp.int32).at[idx].add(1)
+        return (idx + counts[idx % n_c]) % n_c
+    return _chain_rate(apply, idx0, n_q)
+
+
+def k_scatter_add_small():
+    """Scatter-add into a tiny (64K) counts array — tests whether the
+    destination working-set size changes the rate."""
+    import jax.numpy as jnp
+    n_c, n_q = (1 << 16, 1 << 22) if not _SMALL else (1 << 10, 1 << 12)
+    rng = np.random.default_rng(0)
+    idx0 = jnp.asarray(rng.integers(0, n_c, n_q).astype(np.int32))
+
+    def apply(idx):
+        counts = jnp.zeros(n_c, jnp.int32).at[idx].add(1)
+        return (idx + counts[idx % n_c]) % n_c
+    return _chain_rate(apply, idx0, n_q)
+
+
+def k_sort_u32():
+    import jax
+    import jax.numpy as jnp
+    n = (1 << 22) if not _SMALL else (1 << 12)
+    rng = np.random.default_rng(0)
+    k0 = jnp.asarray(rng.integers(0, 1 << 31, n).astype(np.uint32))
+    payload = jnp.asarray(np.arange(n, dtype=np.uint32))
+
+    def apply(k):
+        sk, sp = jax.lax.sort((k, payload), num_keys=1)
+        return sk ^ sp
+    return _chain_rate(apply, k0, n)
+
+
+def k_sort_u64():
+    import jax
+    import jax.numpy as jnp
+    n = (1 << 22) if not _SMALL else (1 << 12)
+    rng = np.random.default_rng(0)
+    k0 = jnp.asarray(rng.integers(0, 1 << 62, n).astype(np.uint64))
+    payload = jnp.asarray(np.arange(n, dtype=np.uint32))
+
+    def apply(k):
+        sk, sp = jax.lax.sort((k, payload), num_keys=1)
+        return sk ^ sp.astype(jnp.uint64)
+    return _chain_rate(apply, k0, n)
+
+
+def k_pallas_gather_loop():
+    """Scalar fori_loop of dynamic-index VMEM reads: the feasible rate of
+    'true gather' inside a Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_t = 1 << 12          # table rows (sublane dim)
+    n_q = (1 << 22) if not _SMALL else (1 << 12)
+    block_q = (1 << 13) if not _SMALL else (1 << 10)  # per grid step, SMEM-resident
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.integers(0, 1 << 30, (n_t, 128)).astype(np.int32))
+    idx0 = jnp.asarray(rng.integers(0, n_t, n_q).astype(np.int32))
+
+    def kernel(idx_ref, table_ref, out_ref):
+        def body(i, acc):
+            j = idx_ref[i]
+            return acc + table_ref[j, 0]
+        out_ref[0] = jax.lax.fori_loop(0, block_q, body, jnp.int32(0))
+
+    @jax.jit
+    def run(idx):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_q // block_q,),
+            in_specs=[
+                pl.BlockSpec((block_q,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_t, 128), lambda i: (i - i, i - i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1,), lambda i: (i,),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_q // block_q,), jnp.int32),
+            interpret=_INTERPRET,
+        )(idx, table)
+        return (idx + out[(idx % (n_q // block_q))]) % n_t
+
+    return _chain_rate(run, idx0, n_q)
+
+
+def k_pallas_rmw_loop():
+    """Scalar fori_loop of dynamic-index VMEM read-modify-writes: feasible
+    rate of 'true scatter-add' (e.g. node counts) inside a Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_c = 1 << 12
+    n_q = (1 << 22) if not _SMALL else (1 << 12)
+    block_q = (1 << 13) if not _SMALL else (1 << 10)
+    rng = np.random.default_rng(0)
+    idx0 = jnp.asarray(rng.integers(0, n_c, n_q).astype(np.int32))
+
+    def kernel(idx_ref, counts_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts_ref[...] = jnp.zeros_like(counts_ref)
+
+        def body(i, _):
+            j = idx_ref[i]
+            counts_ref[j, 0] = counts_ref[j, 0] + 1
+            return 0
+        jax.lax.fori_loop(0, block_q, body, jnp.int32(0))
+
+    @jax.jit
+    def run(idx):
+        counts = pl.pallas_call(
+            kernel,
+            grid=(n_q // block_q,),
+            in_specs=[pl.BlockSpec((block_q,), lambda i: (i,),
+                                   memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec((n_c, 128), lambda i: (i - i, i - i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_c, 128), jnp.int32),
+            interpret=_INTERPRET,
+        )(idx)
+        return (idx + counts[idx % n_c, 0]) % n_c
+
+    return _chain_rate(run, idx0, n_q)
+
+
+def k_pallas_bcast_cmp():
+    """Scalar-broadcast all-pairs compare: q-tile (QS,128) vs TILE_T table
+    elements read from SMEM, 2x u32 compare + hit accumulate. The feasible
+    rate of the partition-compare stage of a sort-and-stream lookup."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    QS = 256 if not _SMALL else 8   # query sublanes -> QS*128 queries per tile
+    TILE_T = 512 if not _SMALL else 32  # table elements compared per query tile
+    n_q = (1 << 21) if not _SMALL else (8 * 128 * 2)
+    n_tiles = n_q // (QS * 128)
+    rng = np.random.default_rng(0)
+    qlo0 = jnp.asarray(rng.integers(0, 1 << 31, (n_q // 128, 128)).astype(np.int32))
+    qhi = jnp.asarray(rng.integers(0, 1 << 30, (n_q // 128, 128)).astype(np.int32))
+    tlo = jnp.asarray(rng.integers(0, 1 << 31, TILE_T).astype(np.int32))
+    thi = jnp.asarray(rng.integers(0, 1 << 30, TILE_T).astype(np.int32))
+    tnode = jnp.asarray(rng.integers(0, 1 << 20, TILE_T).astype(np.int32))
+
+    def kernel(tlo_ref, thi_ref, tnode_ref, qlo_ref, qhi_ref,
+               node_ref, cnt_ref):
+        qlo = qlo_ref[:]
+        qhi = qhi_ref[:]
+
+        def body(j, carry):
+            node, cnt = carry
+            m = (qlo == tlo_ref[j]) & (qhi == thi_ref[j])
+            node = jnp.where(m & (cnt == 0), tnode_ref[j], node)
+            cnt = cnt + m.astype(jnp.int32)
+            return node, cnt
+
+        node, cnt = jax.lax.fori_loop(
+            0, TILE_T, body,
+            (jnp.zeros((QS, 128), jnp.int32), jnp.zeros((QS, 128), jnp.int32)))
+        node_ref[:] = node
+        cnt_ref[:] = cnt
+
+    @jax.jit
+    def run(qlo):
+        node, cnt = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((TILE_T,), lambda i: (i - i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TILE_T,), lambda i: (i - i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TILE_T,), lambda i: (i - i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((QS, 128), lambda i: (i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((QS, 128), lambda i: (i, i - i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((QS, 128), lambda i: (i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((QS, 128), lambda i: (i, i - i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_q // 128, 128), jnp.int32),
+                jax.ShapeDtypeStruct((n_q // 128, 128), jnp.int32),
+            ),
+            interpret=_INTERPRET,
+        )(tlo, thi, tnode, qlo, qhi)
+        return qlo ^ node ^ cnt
+
+    return _chain_rate(run, qlo0, n_q)
+
+
+KERNELS = {
+    "gather8": k_gather8,
+    "gather16": k_gather16,
+    "scatter_add": k_scatter_add,
+    "scatter_add_small": k_scatter_add_small,
+    "sort_u32": k_sort_u32,
+    "sort_u64": k_sort_u64,
+    "pallas_gather_loop": k_pallas_gather_loop,
+    "pallas_rmw_loop": k_pallas_rmw_loop,
+    "pallas_bcast_cmp": k_pallas_bcast_cmp,
+}
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        rate = KERNELS[sys.argv[2]]()
+        print(json.dumps({"kernel": sys.argv[2], "rate": rate}), flush=True)
+        return
+
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(KERNELS)
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--only", name],
+                capture_output=True, text=True, timeout=KERNEL_TIMEOUT_S)
+            rate = None
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    rate = json.loads(line)["rate"]
+                    break
+                except (ValueError, KeyError):
+                    continue
+            if rate is None:
+                print(f"{name}: FAILED\n{out.stderr[-2000:]}", flush=True)
+            else:
+                print(f"{name}: {rate/1e6:.1f} M items/s "
+                      f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT after {KERNEL_TIMEOUT_S}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

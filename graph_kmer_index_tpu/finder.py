@@ -363,6 +363,19 @@ class DenseKmerFinder:
         self._ne_bases.extend(bases)
 
         fs = frozenset(self._blk_node.get_nparray().tolist())
+        # the window-completing base must run the same treated check as
+        # _step_base (len(elem_nodes)==k fires it there); earlier bulk
+        # bases can't fire it because m = min(k - len, ...) means only
+        # the last base can bring the path length to k
+        if len(self._elem_nodes) >= k:
+            last = offset + m - 1
+            exempt = (last if (node == self._crit_node
+                               and last == self._crit_offset) else None)
+            if self._treated.first_hit(node, fs, last, last, exempt) is not None:
+                # per-base semantics: the pruned base itself is NOT added
+                if m > 1:
+                    self._treated.add(node, fs, offset, last - 1)
+                return "PRUNE", offset + m
         self._treated.add(node, fs, offset, offset + m - 1)
 
         status = "CONT"

@@ -129,6 +129,7 @@ class CollisionFreeKmerIndex:
         return obj
 
     def set_frequencies(self, skip=False, use_device=False):
+        self._invalidate_query_caches()
         self._frequencies = np.zeros(len(self._kmers), dtype=np.uint16)
         if skip:
             return
@@ -143,9 +144,13 @@ class CollisionFreeKmerIndex:
     def set_frequencies_using_other_index(self, other, multiplier=1,
                                           min_frequency=1):
         """(reference collision_free_kmer_index.py:252-265, vectorized)"""
+        self._invalidate_query_caches()
         unique = np.unique(self._kmers)
-        freqs = np.array([other.get_frequency(int(k)) for k in unique],
-                         dtype=np.int64)
+        if hasattr(other, "get_frequencies"):
+            freqs = np.asarray(other.get_frequencies(unique), dtype=np.int64)
+        else:  # counter-style indexes with only a scalar accessor
+            freqs = np.array([other.get_frequency(int(k)) for k in unique],
+                             dtype=np.int64)
         idx = np.searchsorted(unique, self._kmers)
         self._frequencies = np.maximum(
             min_frequency, freqs[idx] * multiplier).astype(
@@ -156,6 +161,12 @@ class CollisionFreeKmerIndex:
         pass  # reference no-op (collision_free_kmer_index.py:234-235)
 
     # -- maintenance --------------------------------------------------------
+
+    def _invalidate_query_caches(self):
+        """Drop cached device/native views after any table mutation so
+        later batched queries never read stale frequency/dtype arrays."""
+        self._device_index = None
+        self._native_index = None
 
     def copy(self):
         return CollisionFreeKmerIndex(
@@ -176,15 +187,18 @@ class CollisionFreeKmerIndex:
         return int(np.max(self._nodes))
 
     def convert_to_int32(self):
+        self._invalidate_query_caches()
         self._hashes_to_index = self._hashes_to_index.astype(np.int32)
         self._nodes = self._nodes.astype(np.int32)
         self._n_kmers = self._n_kmers.astype(np.int32)
         self._modulo = np.uint64(self._modulo)
 
     def remove_ref_offsets(self):
+        self._invalidate_query_caches()
         self._ref_offsets = np.array([0])
 
     def remove_frequencies(self):
+        self._invalidate_query_caches()
         self._frequencies = np.array([0])
 
     def get_kmers(self):
@@ -263,7 +277,39 @@ class CollisionFreeKmerIndex:
                 kmer_hashes_to_reverse_complement_hash(kmers, k))
         return freqs
 
+    # below this batch size the scalar loop beats a device dispatch
+    _BATCH_QUERY_THRESHOLD = 32
+
     def get_nodes_and_ref_offsets_from_multiple_kmers(self, kmers, max_hits=10):
+        """Batched ``get`` over many kmers (reference
+        collision_free_kmer_index.py:354-376). Backed by the device
+        ``get_batched`` kernel for real batches; python-get semantics are
+        preserved exactly (a query is dropped entirely when its FIRST
+        hit's frequency exceeds ``max_hits``; no caps on other rows)."""
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        if len(kmers) < self._BATCH_QUERY_THRESHOLD:
+            return self._get_from_multiple_kmers_scalar(kmers, max_hits)
+        big = (1 << 31) - 1  # caps are device int32; this disables them
+        out = self._device().get_batched(kmers, hit_cap=big,
+                                         frequency_cap=big)
+        nodes, offs, qi, freqs = (out[0], out[1], out[2].astype(np.int64),
+                                  out[3])
+        if len(qi) == 0:
+            return (np.array([]),) * 4
+        # rows arrive grouped by query in query order; first row of each
+        # group carries the frequency that gates the whole query
+        first = np.ediff1d(qi, to_begin=1) != 0
+        keep_query = np.zeros(len(kmers), dtype=bool)
+        keep_query[qi[first]] = freqs[first] <= max_hits
+        keep = keep_query[qi]
+        freq_dtype = (np.asarray(self._frequencies).dtype
+                      if np.ndim(self._frequencies) else np.uint16)
+        return (nodes[keep].astype(np.asarray(self._nodes).dtype),
+                offs[keep].astype(np.asarray(self._ref_offsets).dtype),
+                qi[keep].astype(np.float64),
+                freqs[keep].astype(freq_dtype))
+
+    def _get_from_multiple_kmers_scalar(self, kmers, max_hits):
         all_nodes, all_offsets, all_read_offsets, all_freqs = [], [], [], []
         for i, h in enumerate(kmers):
             nodes, offs, freqs, _ = self.get(h, max_hits=max_hits)
@@ -279,6 +325,10 @@ class CollisionFreeKmerIndex:
                 np.concatenate(all_read_offsets), np.concatenate(all_freqs))
 
     def get_nodes_from_multiple_kmers(self, kmers, max_hits=10):
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        if len(kmers) >= self._BATCH_QUERY_THRESHOLD:
+            return self.get_nodes_and_ref_offsets_from_multiple_kmers(
+                kmers, max_hits=max_hits)[0]
         out = [self.get(h, max_hits=max_hits)[0] for h in kmers]
         out = [o for o in out if o is not None]
         return np.concatenate(out) if out else np.array([])

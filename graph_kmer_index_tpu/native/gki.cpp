@@ -127,8 +127,11 @@ void gki_has_kmers(
     }
 }
 
-// FASTA streaming: scan a buffer of FASTA text, 2-bit-encode every
+// FASTA/FASTQ streaming: scan a buffer of text, 2-bit-encode every
 // sequence line into `out`, recording per-read (start, length) pairs.
+// FASTQ records are tracked statefully: the line after a '+' separator
+// is a quality line and is skipped even when its first character is not
+// a marker (quality strings routinely start with arbitrary ASCII).
 // Returns number of reads, or -1 if capacity exceeded.
 int64_t gki_fasta_encode(
     const char* text, int64_t n_text,
@@ -137,20 +140,28 @@ int64_t gki_fasta_encode(
     int64_t n_reads = 0;
     int64_t out_pos = 0;
     int64_t i = 0;
+    int skip_quality = 0;  // set after a FASTQ '+' separator line
     while (i < n_text) {
         // line [i, j)
         int64_t j = i;
         while (j < n_text && text[j] != '\n') ++j;
-        if (j > i && text[i] != '>' && text[i] != '@' && text[i] != '+') {
-            int64_t len = j - i;
-            if (text[j - 1] == '\r') --len;
-            if (out_pos + len > out_capacity || n_reads >= max_reads)
-                return -1;
-            gki_encode_ascii(text + i, len, out + out_pos);
-            read_starts[n_reads] = out_pos;
-            read_lens[n_reads] = len;
-            out_pos += len;
-            ++n_reads;
+        if (j > i) {
+            char c0 = text[i];
+            if (skip_quality) {
+                skip_quality = 0;  // quality line: drop regardless of c0
+            } else if (c0 == '+') {
+                skip_quality = 1;
+            } else if (c0 != '>' && c0 != '@') {
+                int64_t len = j - i;
+                if (text[j - 1] == '\r') --len;
+                if (out_pos + len > out_capacity || n_reads >= max_reads)
+                    return -1;
+                gki_encode_ascii(text + i, len, out + out_pos);
+                read_starts[n_reads] = out_pos;
+                read_lens[n_reads] = len;
+                out_pos += len;
+                ++n_reads;
+            }
         }
         i = j + 1;
     }

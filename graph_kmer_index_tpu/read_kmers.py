@@ -99,8 +99,18 @@ class ReadKmers:
             text = f.read()
         encoded = native.fasta_encode(text)
         if encoded is None:  # no native toolchain: python fallback
-            lines = [l.strip() for l in text.decode().splitlines()
-                     if l and not l.startswith((">", "@", "+"))]
+            lines = []
+            skip_quality = False  # FASTQ: line after '+' is quality data
+            for l in text.decode().splitlines():
+                l = l.strip()
+                if not l:
+                    continue
+                if skip_quality:
+                    skip_quality = False
+                elif l.startswith("+"):
+                    skip_quality = True
+                elif not l.startswith((">", "@")):
+                    lines.append(l)
             arrays = [letter_sequence_to_numeric(l).astype(np.int8)
                       for l in lines]
             flat = (np.concatenate(arrays) if arrays

@@ -59,6 +59,7 @@ class VcfVariants:
         opener = gzip.open if str(file_name).endswith(".gz") else open
         variants = []
         n = 0
+        n_multiallelic = 0
         with opener(file_name, "rt") as f:
             for line in f:
                 if line.startswith("#"):
@@ -72,12 +73,28 @@ class VcfVariants:
                         chrom = int(chrom.lstrip("chr"))
                     except ValueError:
                         pass
-                variants.append(VcfVariant(
-                    chrom, int(cols[1]), cols[3], cols[4],
-                    vcf_line_number=n))
-                n += 1
+                # multi-allelic records (ALT "G,T") are split into
+                # bi-allelic variants; symbolic ALTs ("<DEL>", breakends)
+                # are unsupported and skipped with a warning
+                alts = cols[4].split(",")
+                if len(alts) > 1:
+                    n_multiallelic += 1
+                for alt in alts:
+                    if not alt or not alt.replace("*", "").isalpha():
+                        logging.warning(
+                            "skipping unsupported ALT %r at %s:%s",
+                            alt, chrom, cols[1])
+                        continue
+                    variants.append(VcfVariant(
+                        chrom, int(cols[1]), cols[3], alt,
+                        vcf_line_number=n))
+                    n += 1
                 if limit_to_n_lines and n >= limit_to_n_lines:
                     break
+        if n_multiallelic:
+            logging.warning(
+                "split %d multi-allelic VCF records into bi-allelic "
+                "variants", n_multiallelic)
         logging.info("Read %d variants from %s", n, file_name)
         return cls(variants)
 

@@ -68,3 +68,22 @@ def test_from_files(tmp_path):
     assert len(graph.chromosome_start_nodes_array) == 2
     assert len(v2n) == 2
     assert graph.linear_ref_length() == 18
+
+
+def test_multiallelic_vcf_records_split(tmp_path):
+    """ALT 'G,T' must become two bi-allelic variants; symbolic ALTs are
+    skipped with a warning (ADVICE r1 — previously the literal ',' was
+    2-bit encoded into an allele node)."""
+    from graph_kmer_index_tpu.variants import VcfVariants
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "1\t3\t.\tA\tG,T\t.\t.\t.\n"
+        "1\t7\t.\tC\t<DEL>\t.\t.\t.\n"
+        "1\t9\t.\tT\tA\t.\t.\t.\n")
+    variants = VcfVariants.from_vcf(str(vcf))
+    assert [(v.position, v.ref_sequence, v.variant_sequence, v.type)
+            for v in variants] == [
+        (3, "A", "G", "SNP"), (3, "A", "T", "SNP"), (9, "T", "A", "SNP")]
+    assert [v.vcf_line_number for v in variants] == [0, 1, 2]

@@ -287,3 +287,48 @@ def test_map_kmers_chunked_matches_unchunked(index):
         DeviceKmerIndex.QUERY_CHUNK = old_chunk
     assert np.array_equal(np.asarray(index.has_kmers(queries)),
                           np.asarray(has_c))
+
+
+def test_batched_multiple_kmers_matches_scalar(index):
+    """The device-batched get_nodes_and_ref_offsets_from_multiple_kmers
+    must agree exactly with the per-kmer python ``get`` loop, including
+    the drop-query-when-first-hit-frequency-exceeds-max_hits rule."""
+    rng = np.random.default_rng(1)
+    queries = np.concatenate([
+        np.array([1, 1, 2, 3, 4, 5], dtype=np.uint64),
+        rng.integers(0, 50, 60).astype(np.uint64)])
+    for max_hits in (10, 1):
+        want = index._get_from_multiple_kmers_scalar(queries, max_hits)
+        got = index.get_nodes_and_ref_offsets_from_multiple_kmers(
+            queries, max_hits=max_hits)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    got_nodes = index.get_nodes_from_multiple_kmers(queries)
+    np.testing.assert_array_equal(
+        got_nodes, index._get_from_multiple_kmers_scalar(queries, 10)[0])
+
+
+def test_set_frequencies_using_other_index_vectorized(index):
+    other = CollisionFreeKmerIndex.from_flat_kmers(
+        FlatKmers(np.array([1, 1, 2, 5], dtype=np.uint64),
+                  np.array([1, 2, 3, 4]),
+                  np.array([7, 8, 9, 10])), modulo=4)
+    idx2 = index.copy()
+    idx2.set_frequencies_using_other_index(other)
+    # expected: scalar loop semantics
+    expected = np.maximum(1, np.array(
+        [other.get_frequency(int(km)) for km in idx2._kmers]))
+    np.testing.assert_array_equal(np.asarray(idx2._frequencies,
+                                             dtype=np.int64), expected)
+
+
+def test_mutation_invalidates_query_caches(index):
+    dev = index._device()
+    assert index._device_index is dev
+    index.set_frequencies_using_other_index(index)
+    assert index._device_index is None  # stale HBM view dropped
+    # fresh view sees the new frequencies
+    dev2 = index._device()
+    np.testing.assert_array_equal(
+        np.asarray(dev2.table_frequencies),
+        np.asarray(index._frequencies).astype(np.int32))

@@ -64,3 +64,31 @@ def test_profiling_timings():
     with t.span("a"):
         pass
     assert "a" in t.report()
+
+
+def test_hash_fastq_quality_lines_not_encoded(tmp_path):
+    """FASTQ quality lines (which rarely start with a marker character)
+    must not be 2-bit encoded as reads — one record, one read (ADVICE r1).
+    Covers both the native gki_fasta_encode path and the python fallback."""
+    fq = tmp_path / "reads.fq"
+    # quality line deliberately starts with a non-marker char and contains
+    # ACGT-looking letters that would hash "successfully" if mis-parsed
+    fq.write_text("@r1\nACTGACTG\n+\nFFGGACGT\n@r2\nTTTTT\n+r2\nIIIII\n")
+    k = 3
+    expected = []
+    for read in ("ACTGACTG", "TTTTT"):
+        expected += [sequence_to_kmer_hash(read[i:i + k])
+                     for i in range(len(read) - k + 1)]
+    for use_native in (True, False):
+        if use_native:
+            from graph_kmer_index_tpu import native
+            if not native.available():
+                continue
+            kmers = ReadKmers.hash_fasta_file(str(fq), k, use_device=False)
+        else:
+            import unittest.mock as mock
+            with mock.patch("graph_kmer_index_tpu.native.fasta_encode",
+                            return_value=None):
+                kmers = ReadKmers.hash_fasta_file(str(fq), k,
+                                                  use_device=False)
+        assert list(kmers) == expected
