@@ -30,25 +30,27 @@ KERNEL_TIMEOUT_S = 420
 REPS = 8
 
 
-def _chain_rate(apply, x0, n_items, reps=REPS):
+def _chain_rate(apply, x0, n_items, consts=(), reps=REPS):
     """Items/s for one application of `apply` via chained differencing.
 
-    `apply` must map a jax array to a same-shaped jax array with a data
-    dependence on its input.
+    `apply(x, *consts)` must return a same-shaped array with a data
+    dependence on x. Large arrays must go through `consts` — closing
+    over them would embed them as constants in the compile request,
+    which this backend's remote-compile helper rejects (HTTP 413).
     """
     import jax
 
     @jax.jit
-    def chain(x, r):
-        return jax.lax.fori_loop(0, r, lambda i, v: apply(v), x).sum()
+    def chain(x, r, *cs):
+        return jax.lax.fori_loop(0, r, lambda i, v: apply(v, *cs), x).sum()
 
-    int(chain(x0, 2))
-    int(chain(x0, 2 + reps))
+    int(chain(x0, 2, *consts))
+    int(chain(x0, 2 + reps, *consts))
     t0 = time.perf_counter()
-    int(chain(x0, 2))
+    int(chain(x0, 2, *consts))
     t_short = time.perf_counter() - t0
     t0 = time.perf_counter()
-    int(chain(x0, 2 + reps))
+    int(chain(x0, 2 + reps, *consts))
     t_long = time.perf_counter() - t0
     per = max(1e-9, (t_long - t_short) / reps)
     return n_items / per
@@ -61,10 +63,10 @@ def k_gather8():
     table = jnp.asarray(rng.integers(0, 1 << 62, n_t).astype(np.uint64))
     idx0 = jnp.asarray(rng.integers(0, n_t, n_q).astype(np.int32))
 
-    def apply(idx):
+    def apply(idx, table):
         v = table[idx]
         return (idx + v.astype(jnp.int32)) % n_t
-    return _chain_rate(apply, idx0, n_q)
+    return _chain_rate(apply, idx0, n_q, consts=(table,))
 
 
 def k_gather16():
@@ -75,10 +77,10 @@ def k_gather16():
 
     idx0 = jnp.asarray(rng.integers(0, n_t, n_q).astype(np.int32))
 
-    def apply(idx):
+    def apply(idx, table):
         v = table[idx]  # (n_q, 2) contiguous 16B records
         return (idx + (v[:, 0] ^ v[:, 1]).astype(jnp.int32)) % n_t
-    return _chain_rate(apply, idx0, n_q)
+    return _chain_rate(apply, idx0, n_q, consts=(table,))
 
 
 def k_scatter_add():
@@ -115,10 +117,10 @@ def k_sort_u32():
     k0 = jnp.asarray(rng.integers(0, 1 << 31, n).astype(np.uint32))
     payload = jnp.asarray(np.arange(n, dtype=np.uint32))
 
-    def apply(k):
+    def apply(k, payload):
         sk, sp = jax.lax.sort((k, payload), num_keys=1)
         return sk ^ sp
-    return _chain_rate(apply, k0, n)
+    return _chain_rate(apply, k0, n, consts=(payload,))
 
 
 def k_sort_u64():
@@ -129,10 +131,10 @@ def k_sort_u64():
     k0 = jnp.asarray(rng.integers(0, 1 << 62, n).astype(np.uint64))
     payload = jnp.asarray(np.arange(n, dtype=np.uint32))
 
-    def apply(k):
+    def apply(k, payload):
         sk, sp = jax.lax.sort((k, payload), num_keys=1)
         return sk ^ sp.astype(jnp.uint64)
-    return _chain_rate(apply, k0, n)
+    return _chain_rate(apply, k0, n, consts=(payload,))
 
 
 def k_pallas_gather_loop():
@@ -157,7 +159,7 @@ def k_pallas_gather_loop():
         out_ref[0] = jax.lax.fori_loop(0, block_q, body, jnp.int32(0))
 
     @jax.jit
-    def run(idx):
+    def run(idx, table):
         out = pl.pallas_call(
             kernel,
             grid=(n_q // block_q,),
@@ -174,7 +176,7 @@ def k_pallas_gather_loop():
         )(idx, table)
         return (idx + out[(idx % (n_q // block_q))]) % n_t
 
-    return _chain_rate(run, idx0, n_q)
+    return _chain_rate(run, idx0, n_q, consts=(table,))
 
 
 def k_pallas_rmw_loop():
@@ -258,7 +260,7 @@ def k_pallas_bcast_cmp():
         cnt_ref[:] = cnt
 
     @jax.jit
-    def run(qlo):
+    def run(qlo, qhi, tlo, thi, tnode):
         node, cnt = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -288,7 +290,7 @@ def k_pallas_bcast_cmp():
         )(tlo, thi, tnode, qlo, qhi)
         return qlo ^ node ^ cnt
 
-    return _chain_rate(run, qlo0, n_q)
+    return _chain_rate(run, qlo0, n_q, consts=(qhi, tlo, thi, tnode))
 
 
 KERNELS = {

@@ -124,3 +124,55 @@ def test_pruning_skips_nearby_novel_ref_kmers():
     pruned = SnpKmerFinder(graph, k=6, pruning=True).find_kmers()
     # ~one kmer per 124 bp survives instead of one per position
     assert len(pruned._hashes) < len(plain._hashes) / 10
+
+
+def test_sweep_matches_branch_walk_random_graphs():
+    """The vectorized fast path must be bit-identical (rows AND order) to
+    forcing every position through the branch walk."""
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        # build a simple alternating ref/SNP-or-indel graph
+        seqs, edges, linear = {}, {}, []
+        nid = 1
+        tail = None
+        for seg in range(int(rng.integers(2, 10))):
+            seqs[nid] = "".join(rng.choice(list("acgt"),
+                                           size=int(rng.integers(1, 12))))
+            linear.append(nid)
+            if tail is not None:
+                for t in tail:
+                    edges.setdefault(t, []).append(nid)
+            seg_node = nid
+            nid += 1
+            if rng.random() < 0.75 and seg < 8:
+                ref_arm, var_arm = nid, nid + 1
+                seqs[ref_arm] = str(rng.choice(list("acgt")))
+                seqs[var_arm] = ("" if rng.random() < 0.3
+                                 else str(rng.choice(list("acgt"))))
+                edges[seg_node] = [ref_arm, var_arm]
+                linear.append(ref_arm)
+                tail = [ref_arm, var_arm]
+                nid += 2
+            else:
+                tail = [seg_node]
+        graph = Graph.from_dicts(seqs, edges, linear)
+        for k, spacing in ((4, None), (6, 2), (3, 1)):
+            kwargs = dict(k=k, spacing=spacing)
+            if trial % 3 == 0:
+                kwargs["include_reverse_complements"] = True
+            if trial % 5 == 0:
+                kwargs["max_frequency"] = 2
+            if trial % 7 == 0:
+                kwargs["pruning"] = True
+            fast = SnpKmerFinder(graph, **kwargs)
+            flat_fast = fast.find_kmers()
+            slow = SnpKmerFinder(graph, **kwargs)
+            flat_slow = slow.find_kmers(_force_branch_walk=True)
+            np.testing.assert_array_equal(flat_fast._hashes,
+                                          flat_slow._hashes)
+            np.testing.assert_array_equal(flat_fast._nodes, flat_slow._nodes)
+            np.testing.assert_array_equal(flat_fast._ref_offsets,
+                                          flat_slow._ref_offsets)
+            np.testing.assert_array_equal(flat_fast._allele_frequencies,
+                                          flat_slow._allele_frequencies)
+            assert fast.kmers_found == slow.kmers_found
