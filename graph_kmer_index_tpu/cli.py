@@ -323,6 +323,8 @@ def make_unique_variant_kmers(args):
             use_dense_kmer_finder=args.use_dense_kmer_finder,
             position_id_index=position_id,
             use_simple=args.simple)
+        if getattr(args, "_batched", False):
+            return finder.find_unique_kmers_batched()
         return finder.find_unique_kmers()
 
     from .parallel.host_pool import map_over_chunks
@@ -334,11 +336,14 @@ def make_unique_variant_kmers(args):
 
 def make_unique_variant_kmers_batched(args):
     """Replacement for the reference's external C++ ``kivs`` path
-    (make_unique_variant_kmers_kivs, cli:391-426): batched per-variant
-    signature selection using the dense finder + frequency ranking."""
-    args.use_dense_kmer_finder = True
+    (make_unique_variant_kmers_kivs, cli:391-426): candidate windows for
+    all variants built as dense arrays, one hashing kernel pass, one
+    batched frequency lookup, argmin selection per variant
+    (UniqueVariantKmersFinder.find_unique_kmers_batched)."""
+    args.use_dense_kmer_finder = False
     args.do_not_choose_lowest_frequency_kmers = False
     args.simple = False
+    args._batched = True
     make_unique_variant_kmers(args)
 
 

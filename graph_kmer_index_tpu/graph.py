@@ -272,6 +272,22 @@ class Graph:
     def linear_ref_length(self):
         return int(self._ref_index()[1][-1])
 
+    def linear_ref_sequence(self):
+        """(ref_nodes_in_order, cumulative_offsets, concatenated numeric
+        reference bases), cached — the bulk-sweep view of the linear
+        reference used by SnpKmerFinder and the batched variant-signature
+        selector."""
+        if getattr(self, "_ref_seq_cache", None) is None:
+            ref_nodes, cum = self._ref_index()
+            ref_nodes = np.asarray(ref_nodes)
+            parts = [self.sequence[self.seq_start[v]:
+                                   self.seq_start[v] + self.node_sizes[v]]
+                     for v in ref_nodes]
+            refseq = (np.concatenate(parts) if parts
+                      else np.zeros(0, dtype=np.int8))
+            self._ref_seq_cache = (ref_nodes, cum, refseq)
+        return self._ref_seq_cache
+
     def get_node_at_ref_offset(self, ref_offset):
         nodes, cum = self._ref_index()
         i = np.searchsorted(cum, ref_offset, side="right") - 1

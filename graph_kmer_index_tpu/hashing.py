@@ -110,15 +110,24 @@ def kmer_hashes_to_complement_hashes(hashes: np.ndarray, k: int) -> np.ndarray:
     return np.sum(comp * reverse_power_array(k), axis=1, dtype=_U64)
 
 
+_M2 = _U64(0x3333333333333333)
+_M4 = _U64(0x0F0F0F0F0F0F0F0F)
+
+
 def kmer_hashes_to_reverse_complement_hash(hashes: np.ndarray, k: int) -> np.ndarray:
     """Reverse complement in hash space (reference kmer_hashing.py:24-28).
 
-    Complement bases are re-encoded with ``power_array`` (big-endian), which
-    reverses base order.
-    """
+    Computed entirely in packed form — complement is XOR with the all-ones
+    base mask (each 2-bit field b^3 == 3-b), reversal is a 2-bit-group
+    bit-reversal (swap ladder + byteswap) followed by a shift — instead of
+    the reference's decode-to-(n,k)-bases round trip. Identical results
+    (pinned by the hashing round-trip tests)."""
     assert k <= 31
-    comp = kmer_hashes_to_complement_bases(np.asarray(hashes, dtype=_U64), k)
-    return np.sum(comp * power_array(k), axis=1, dtype=_U64)
+    x = np.asarray(hashes, dtype=_U64) ^ _U64((1 << (2 * k)) - 1)
+    x = ((x >> _U64(2)) & _M2) | ((x & _M2) << _U64(2))
+    x = ((x >> _U64(4)) & _M4) | ((x & _M4) << _U64(4))
+    x = x.byteswap()
+    return x >> _U64(64 - 2 * k)
 
 
 def kmer_hash_to_reverse_complement_hash(hash_, k: int) -> int:

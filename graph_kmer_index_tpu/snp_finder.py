@@ -37,6 +37,29 @@ from .hashing import (letter_sequence_to_numeric, numeric_to_letter_sequence,
 from .read_kmers import ReadKmers, reverse_complement_string
 
 
+def linear_ref_specials(graph):
+    """Sorted ref offsets near which a k-window cannot be treated as a
+    plain linear-reference window: ends of ref nodes that fork, dead-end
+    (chromosome tails), bridge into anything but the next ref node, or
+    are zero-length — plus the end of the reference itself. Cached on the
+    graph (graph-static)."""
+    cached = getattr(graph, "_specials_cache", None)
+    if cached is not None:
+        return cached
+    ref_nodes, cum, refseq = graph.linear_ref_sequence()
+    specials = [len(refseq)]
+    for i, u in enumerate(ref_nodes):
+        edges = graph.get_edges(u)
+        if (len(edges) != 1
+                or i + 1 >= len(ref_nodes)
+                or int(edges[0]) != int(ref_nodes[i + 1])
+                or graph.get_node_size(int(u)) == 0
+                or graph.get_node_size(int(ref_nodes[i + 1])) == 0):
+            specials.append(int(cum[i + 1]))
+    graph._specials_cache = np.unique(np.asarray(specials, dtype=np.int64))
+    return graph._specials_cache
+
+
 class SnpKmerFinder:
     """Simple kmer finder that only supports SNP graphs (+ indel dummies)."""
 
@@ -313,12 +336,7 @@ class SnpKmerFinder:
         tails), bridge into anything but the next ref node, or are
         zero-length — plus the end of the reference itself."""
         g = self.graph
-        ref_nodes, cum = g._ref_index()
-        ref_nodes = np.asarray(ref_nodes)
-        parts = [g.sequence[g.seq_start[v]:g.seq_start[v] + g.node_sizes[v]]
-                 for v in ref_nodes]
-        refseq = (np.concatenate(parts) if parts
-                  else np.zeros(0, dtype=np.int8))
+        ref_nodes, cum, refseq = g.linear_ref_sequence()
         ref_len = len(refseq)
 
         use_device = ref_len >= (1 << 20)
@@ -331,17 +349,7 @@ class SnpKmerFinder:
         else:
             hashes = sliding_window_hashes(refseq.astype(np.uint64), self.k)
 
-        specials = [ref_len]
-        for i, u in enumerate(ref_nodes):
-            edges = g.get_edges(u)
-            end = int(cum[i + 1])
-            if (len(edges) != 1
-                    or i + 1 >= len(ref_nodes)
-                    or int(edges[0]) != int(ref_nodes[i + 1])
-                    or g.get_node_size(int(u)) == 0
-                    or g.get_node_size(int(ref_nodes[i + 1])) == 0):
-                specials.append(end)
-        specials = np.unique(np.asarray(specials, dtype=np.int64))
+        specials = linear_ref_specials(g)
         af_ref = g.allele_frequencies[ref_nodes]
         return ref_nodes, cum, refseq, hashes, specials, af_ref
 

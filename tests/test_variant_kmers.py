@@ -87,3 +87,66 @@ def test_simple_mode(graph, variant_to_nodes, variants, k,
     # every variant node must receive kmers in simple mode
     for node in (2, 3, 5, 6):
         assert node in set(np.asarray(flat._nodes).tolist())
+
+
+def _random_vcf_case(rng, n_bases=700, clustered=False):
+    from graph_kmer_index_tpu.variants import VcfVariant, VcfVariants
+    ref = "".join(rng.choice(list("ACGT"), size=n_bases))
+    variants = []
+    pos = 40
+    n = 0
+    while pos < n_bases - 60:
+        refb = ref[pos - 1]
+        r = rng.random()
+        if r < 0.55:
+            alt = str(rng.choice([b for b in "ACGT" if b != refb]))
+            v = VcfVariant("1", pos, refb, alt, vcf_line_number=n)
+        elif r < 0.78:
+            ins = "".join(rng.choice(list("ACGT"),
+                                     size=int(rng.integers(1, 4))))
+            v = VcfVariant("1", pos, refb, refb + ins, vcf_line_number=n)
+        else:
+            dl = int(rng.integers(1, 4))
+            v = VcfVariant("1", pos, ref[pos - 1:pos + dl], refb,
+                           vcf_line_number=n)
+        variants.append(v)
+        n += 1
+        step = int(rng.integers(4, 25)) if clustered \
+            else int(rng.integers(18, 70))
+        pos += step
+    return ref, VcfVariants(variants)
+
+
+def test_batched_signatures_match_per_variant_path():
+    """find_unique_kmers_batched must be bit-identical to the per-variant
+    find_unique_kmers (SnpKmerFinder mode) on random VCFs — isolated
+    bubbles take the vectorized path, clusters/edges the fallback."""
+    from graph_kmer_index_tpu.graph_builder import build_graph_from_vcf
+    from graph_kmer_index_tpu import SnpKmerFinder
+    rng = np.random.default_rng(11)
+    kk = 15
+    n_vectorized = 0
+    for trial in range(8):
+        ref, variants = _random_vcf_case(rng, clustered=trial % 2 == 1)
+        graph, v2n = build_graph_from_vcf({"1": ref}, variants)
+        base_flat = SnpKmerFinder(graph, k=kk).find_kmers()
+        freq_index = KmerIndex.from_flat_kmers(base_flat, modulo=4099)
+
+        def make(finder_cls=UniqueVariantKmersFinder):
+            return finder_cls(graph, v2n, variants, k=kk,
+                              kmer_index_with_frequencies=freq_index)
+
+        a = make()
+        flat_a = a.find_unique_kmers()
+        b = make()
+        flat_b = b.find_unique_kmers_batched()
+        n_vectorized += int(np.count_nonzero(
+            b._batched_geometry(list(variants))["eligible"]))
+        for attr in ("_hashes", "_nodes", "_ref_offsets",
+                     "_allele_frequencies"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(flat_a, attr)),
+                np.asarray(getattr(flat_b, attr)), err_msg=attr)
+        assert a.n_failed_variants == b.n_failed_variants
+        assert a._nodes_found == b._nodes_found
+    assert n_vectorized > 20, "vectorized path barely exercised"
