@@ -1,5 +1,5 @@
 """Device lookup throughput: the KAGE read-mapping hot path
-(kmers -> bucket scan -> node counts; replaces CythonKmerIndex /
+(kmers -> node counts / membership; replaces CythonKmerIndex /
 kmer_mapper). Chained-differenced timing (see bench.py) — the only
 trustworthy sync on this backend is a scalar fetch.
 
@@ -21,7 +21,7 @@ def main():
     import jax.numpy as jnp
     from graph_kmer_index_tpu import CollisionFreeKmerIndex, FlatKmers
     from graph_kmer_index_tpu.ops.lookup import (
-        _node_counts, _node_counts_dense, build_dense_lanes)
+        _node_counts, _node_counts_packed, _has_kmers_packed)
 
     rng = np.random.default_rng(0)
     flat = FlatKmers(rng.integers(0, 1 << 62, n_rows).astype(np.uint64),
@@ -34,7 +34,11 @@ def main():
     print(f"build: {time.perf_counter()-t:.2f}s "
           f"(n_rows={n_rows}, modulo={modulo})", flush=True)
     dev = index._device()
-    print("max bucket size:", dev.max_scan, flush=True)
+    t = time.perf_counter()
+    rec, ks, ns, modulo2, max_sz = dev._packed()
+    rec.block_until_ready()
+    print(f"packed build: {time.perf_counter()-t:.2f}s "
+          f"(modulo2={modulo2}, max bucket={max_sz})", flush=True)
 
     n_nodes = 1 << 20
     half_hit = np.concatenate([
@@ -42,34 +46,37 @@ def main():
         rng.integers(0, 1 << 62, n_q - n_q // 2).astype(np.uint64)])
     q0 = jnp.asarray(half_hit)
 
-    k0, n0, k1, n1 = build_dense_lanes(dev.table_kmers, dev.table_nodes,
-                                       dev.starts_tbl, dev.sizes_tbl)
-    k0.block_until_ready()
+    @jax.jit
+    def chain_counts_packed(q, reps):
+        def body(i, x):
+            counts, _ = _node_counts_packed(x, x.shape[0], rec, ks, ns,
+                                            modulo2, n_nodes, max_sz)
+            return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
+                jnp.uint64)
+        return jax.lax.fori_loop(0, reps, body, q).sum()
 
     @jax.jit
-    def chain_csr(q, reps):  # traced trip count -> one compile
+    def chain_has_packed(q, reps):
+        def body(i, x):
+            hit, _ = _has_kmers_packed(x, x.shape[0], rec, ks, modulo2,
+                                       max_sz)
+            return x ^ hit.astype(jnp.uint64)
+        return jax.lax.fori_loop(0, reps, body, q).sum()
+
+    @jax.jit
+    def chain_csr(q, reps):
         def body(i, x):
             counts = _node_counts(x, x.shape[0], dev.table_kmers,
                                   dev.table_nodes, dev.starts_tbl,
                                   dev.sizes_tbl, dev.modulo, n_nodes,
                                   dev.max_scan)
-            # force dependence of next queries on this lookup
             return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
                 jnp.uint64)
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
-    @jax.jit
-    def chain_dense(q, reps):
-        def body(i, x):
-            counts, _ = _node_counts_dense(
-                x, x.shape[0], k0, n0, k1, n1, dev.table_kmers,
-                dev.table_nodes, dev.starts_tbl, dev.sizes_tbl, dev.modulo,
-                n_nodes, dev.max_scan)
-            return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
-                jnp.uint64)
-        return jax.lax.fori_loop(0, reps, body, q).sum()
-
-    for name, chain in (("dense", chain_dense), ("csr", chain_csr)):
+    for name, chain in (("counts/packed", chain_counts_packed),
+                        ("member/packed", chain_has_packed),
+                        ("counts/csr", chain_csr)):
         int(chain(q0, 2))
         int(chain(q0, 10))
         t0 = time.perf_counter()
@@ -79,7 +86,7 @@ def main():
         int(chain(q0, 10))
         t10 = time.perf_counter() - t0
         per = (t10 - t2) / 8
-        print(f"lookup+count [{name}]: {per*1e3:.2f} ms/batch of {n_q} "
+        print(f"lookup [{name}]: {per*1e3:.2f} ms/batch of {n_q} "
               f"-> {n_q/per/1e6:.1f} M lookups/s", flush=True)
 
 

@@ -63,100 +63,183 @@ def _node_counts(kmers, n_valid, table_kmers, table_nodes, starts_tbl,
     return counts.at[nodes.reshape(-1)].add(mask.reshape(-1).astype(jnp.int32))
 
 
-# -- 2-lane dense bucket layout --------------------------------------------
+# -- packed-record internal-modulo layout -----------------------------------
 #
-# XLA's random gather rate (~60-70M elem/s on v5e at these table sizes)
-# bounds the bucket-scan lookup; the CSR scan pays 2 + 2*max_scan gathers
-# per query. The dense layout stores each bucket's first two rows in
-# modulo-sized lanes so the common case (bucket size <= 2 — virtually all
-# buckets at sane load factors) costs 5 random ops per query. Queries in
-# deeper buckets are COMPACTED (prefix-sum scatter) to a fixed-capacity
-# side batch that goes through the CSR scan; the kernel returns the
-# overflow count so the caller can retry with the full path in the
-# (pathological) case the capacity is exceeded.
+# Measured on this chip (benchmarks/bench_primitives.py, v5e): random
+# gather of contiguous 16-32B records ~100M/s, 8B gather ~78M/s,
+# scatter-add ~72M/s, device sort ~600M/s. The fastest exact lookup is
+# therefore ONE gather of a packed 32-byte record per query — NOT the
+# reference's bucket-pointer chase (cython_kmer_index.pyx:57-72), which
+# costs 2 + 2*bucket_size dependent random reads.
+#
+# The record table lives under an INTERNAL modulo (next prime >= 2x the
+# row count, load factor <= 0.5) decoupled from the reference's on-disk
+# modulo — same query results, ~3x less HBM than modulo-sized lanes at
+# the production table. Record for bucket b: [k0, node0|size<<32, k1,
+# node1-or-start]: buckets of size <= 2 resolve from the record alone;
+# deeper buckets (rare at this load factor: the record's 4th lane then
+# holds the bucket's start row) are compacted by prefix-sum to a
+# fixed-capacity side batch scanned CSR-style against the
+# internally-sorted rows.
 
-_LANE_SENTINEL = (1 << 64) - 1
-
-
-@jax.jit
-def build_dense_lanes(table_kmers, table_nodes, starts_tbl, sizes_tbl):
-    """(k0, n0, k1, n1) modulo-sized lanes; empty slots hold a sentinel
-    kmer that can never match a query (hashes are < 4^31)."""
-    n_rows = table_kmers.shape[0]
-
-    def lane(j):
-        rows = jnp.minimum(starts_tbl + j, n_rows - 1)
-        valid = sizes_tbl > j
-        k = jnp.where(valid, table_kmers[rows], jnp.uint64(_LANE_SENTINEL))
-        nd = jnp.where(valid, table_nodes[rows], 0)
-        return k, nd
-
-    k0, n0 = lane(0)
-    k1, n1 = lane(1)
-    return k0, n0, k1, n1
+_EMPTY = (1 << 64) - 1  # never matches a query: hashes are < 4^62
 
 
-@functools.partial(jax.jit, static_argnums=(11, 12))
-def _node_counts_dense(kmers, n_valid, k0, n0, k1, n1, table_kmers,
-                       table_nodes, starts_tbl, sizes_tbl, modulo, n_nodes,
-                       max_scan):
-    """Node counts via the dense lanes + compacted overflow scan.
-    Returns (counts, n_overflow_dropped): nonzero drop count means the
-    caller must retry with _node_counts."""
+def _is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def internal_modulo(n_rows: int) -> int:
+    """Next prime >= max(67, 2*n_rows + 1): load factor <= 0.5 keeps
+    buckets of size > 2 (the compacted slow path) rare."""
+    m = max(67, 2 * n_rows + 1)
+    while not _is_prime(m):
+        m += 1
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _build_packed(kmers, nodes, modulo2):
+    """Sort rows by internal bucket and build the (modulo2, 4) uint64
+    record table. Returns (records, kmers_sorted, nodes_sorted, max_size)."""
+    n = kmers.shape[0]
+    bucket = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    bs, perm = jax.lax.sort_key_val(bucket, idx, is_stable=True)
+    ks = kmers[perm]
+    ns = nodes[perm].astype(jnp.uint32)
+
+    is_first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
+    is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
+        & ~is_first
+    sizes_tbl = jnp.zeros(modulo2, jnp.int32).at[bs].add(1, mode="drop")
+    sz_row = sizes_tbl[bs]
+
+    rec = jnp.zeros((modulo2, 4), jnp.uint64)
+    rec = rec.at[:, 0].set(jnp.uint64(_EMPTY))
+    rec = rec.at[:, 2].set(jnp.uint64(_EMPTY))
+    t_first = jnp.where(is_first, bs, modulo2)
+    rec = rec.at[t_first, 0].set(ks, mode="drop")
+    rec = rec.at[t_first, 1].set(
+        ns.astype(jnp.uint64) | (sz_row.astype(jnp.uint64) << jnp.uint64(32)),
+        mode="drop")
+    t_second = jnp.where(is_second & (sz_row == 2), bs, modulo2)
+    rec = rec.at[t_second, 2].set(ks, mode="drop")
+    rec = rec.at[t_second, 3].set(ns.astype(jnp.uint64), mode="drop")
+    t_deep = jnp.where(is_first & (sz_row > 2), bs, modulo2)
+    rec = rec.at[t_deep, 3].set(idx.astype(jnp.uint64), mode="drop")
+    return rec, ks, ns, jnp.max(sizes_tbl)
+
+
+def _packed_decode(records, kmers, n_valid, modulo2):
+    """Shared head of the packed queries: one 32B-record gather."""
     n_q = kmers.shape[0]
-    overflow_cap = max(1024, n_q // 32)
     qvalid = jnp.arange(n_q) < n_valid
-    bucket = (kmers % modulo).astype(jnp.int64)
+    b = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
+    r = records[b]  # (n_q, 4): THE one random memory access per query
+    k0, m0, k1, r3 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    sz = (m0 >> jnp.uint64(32)).astype(jnp.int32)
+    n0 = (m0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+    hit0 = (k0 == kmers) & qvalid
+    hit1 = (k1 == kmers) & qvalid
+    deep = (sz > 2) & qvalid
+    return qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep
 
-    if max_scan <= 2:  # static: no bucket deeper than the lanes
-        h0 = (k0[bucket] == kmers) & qvalid
-        h1 = (k1[bucket] == kmers) & qvalid
-        counts = jnp.zeros(n_nodes, dtype=jnp.int32)
-        counts = counts.at[n0[bucket]].add(h0.astype(jnp.int32))
-        counts = counts.at[n1[bucket]].add(h1.astype(jnp.int32))
+
+def _compact_overflow(kmers, deep, r3, sz, overflow_cap):
+    """Prefix-sum compaction of deep-bucket queries into fixed-capacity
+    (kmers, starts, sizes, n_overflow) side arrays."""
+    pos = jnp.cumsum(deep.astype(jnp.int32)) - 1
+    n_overflow = jnp.where(deep.shape[0] > 0, pos[-1] + 1, 0)
+    out_idx = jnp.where(deep, pos, overflow_cap)
+    oq = jnp.zeros(overflow_cap + 1, kmers.dtype).at[out_idx].set(
+        kmers, mode="drop")[:overflow_cap]
+    ostart = jnp.zeros(overflow_cap + 1, jnp.int64).at[out_idx].set(
+        r3.astype(jnp.int64), mode="drop")[:overflow_cap]
+    osz = jnp.zeros(overflow_cap + 1, jnp.int32).at[out_idx].set(
+        sz, mode="drop")[:overflow_cap]
+    oi = jnp.zeros(overflow_cap + 1, jnp.int64).at[out_idx].set(
+        jnp.arange(deep.shape[0], dtype=jnp.int64), mode="drop")[:overflow_cap]
+    return oq, ostart, osz, oi, n_overflow
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
+                        modulo2, n_nodes, max_scan):
+    """Node counts from the packed layout. Returns (counts,
+    n_overflow_dropped); nonzero drop count means retry via the caller's
+    CSR path (pathological: >1/32 of queries in deep buckets)."""
+    n_q = kmers.shape[0]
+    qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
+        records, kmers, n_valid, modulo2)
+    # deep-bucket queries are counted exclusively by the overflow scan
+    # (their record lanes duplicate the bucket's first rows)
+    hit0 = hit0 & ~deep
+    hit1 = hit1 & ~deep
+    counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+    counts = counts.at[jnp.where(hit0, n0, n_nodes)].add(1, mode="drop")
+    counts = counts.at[jnp.where(hit1, r3.astype(jnp.int32), n_nodes)].add(
+        1, mode="drop")
+    if max_scan <= 2:
         return counts, jnp.int32(0)
 
-    sz = sizes_tbl[bucket]
-    simple = (sz <= 2) & qvalid
-
-    h0 = (k0[bucket] == kmers) & simple
-    h1 = (k1[bucket] == kmers) & simple
-    counts = jnp.zeros(n_nodes, dtype=jnp.int32)
-    counts = counts.at[n0[bucket]].add(h0.astype(jnp.int32))
-    counts = counts.at[n1[bucket]].add(h1.astype(jnp.int32))
-
-    # compact overflow queries (bucket deeper than 2)
-    overflow = (sz > 2) & qvalid
-    pos = jnp.cumsum(overflow.astype(jnp.int32)) - 1
-    n_overflow = pos[-1] + 1
-    out_idx = jnp.where(overflow, pos, overflow_cap)
-    oq = jnp.zeros(overflow_cap + 1, dtype=kmers.dtype).at[out_idx].set(
-        kmers, mode="drop")[:overflow_cap]
-    o_counts = _node_counts(oq, jnp.minimum(n_overflow, overflow_cap),
-                            table_kmers, table_nodes, starts_tbl, sizes_tbl,
-                            modulo, n_nodes, max_scan)
-    counts = counts + o_counts
+    overflow_cap = max(1024, n_q // 32)
+    oq, ostart, osz, _oi, n_overflow = _compact_overflow(
+        kmers, deep, r3, sz, overflow_cap)
+    scan = jnp.arange(max_scan, dtype=jnp.int64)
+    rows = jnp.minimum(ostart[:, None] + scan[None, :],
+                       kmers_i.shape[0] - 1)
+    ovalid = jnp.arange(overflow_cap) < jnp.minimum(n_overflow, overflow_cap)
+    mask = ((scan[None, :] < osz[:, None]) & (kmers_i[rows] == oq[:, None])
+            & ovalid[:, None])
+    onodes = jnp.where(mask, nodes_i[rows].astype(jnp.int32), n_nodes)
+    counts = counts.at[onodes.reshape(-1)].add(1, mode="drop")
     return counts, jnp.maximum(0, n_overflow - overflow_cap)
 
 
-@functools.partial(jax.jit, static_argnums=(8,))
-def _has_kmers_dense(kmers, n_valid, k0, k1, table_kmers, starts_tbl,
-                     sizes_tbl, modulo, max_scan):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _has_kmers_packed(kmers, n_valid, records, kmers_i, modulo2, max_scan):
+    """Membership from the packed layout: one gather per query; deep
+    buckets resolved by a compacted scan. Returns (hits,
+    n_overflow_dropped) — retry via CSR on a nonzero drop count."""
     n_q = kmers.shape[0]
-    qvalid = jnp.arange(n_q) < n_valid
-    bucket = (kmers % modulo).astype(jnp.int64)
-    sz = sizes_tbl[bucket]
-    simple = (sz <= 2) & qvalid
-    hit = ((k0[bucket] == kmers) | (k1[bucket] == kmers)) & simple
-    overflow = (sz > 2) & qvalid
+    qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
+        records, kmers, n_valid, modulo2)
+    hit = hit0 | hit1
+    if max_scan <= 2:
+        return hit, jnp.int32(0)
 
-    def with_scan(_):
-        _, mask, _ = _bucket_hits(kmers, n_valid, table_kmers, starts_tbl,
-                                  sizes_tbl, modulo, table_kmers.shape[0],
-                                  max_scan)
-        return hit | (jnp.any(mask, axis=1) & overflow)
-
-    return jax.lax.cond(jnp.any(overflow), with_scan, lambda _: hit, 0)
+    overflow_cap = max(1024, n_q // 32)
+    oq, ostart, osz, oi, n_overflow = _compact_overflow(
+        kmers, deep, r3, sz, overflow_cap)
+    scan = jnp.arange(max_scan, dtype=jnp.int64)
+    rows = jnp.minimum(ostart[:, None] + scan[None, :],
+                       kmers_i.shape[0] - 1)
+    ovalid = jnp.arange(overflow_cap) < jnp.minimum(n_overflow, overflow_cap)
+    mask = ((scan[None, :] < osz[:, None]) & (kmers_i[rows] == oq[:, None])
+            & ovalid[:, None])
+    ohit = jnp.any(mask, axis=1)
+    hit = hit.at[jnp.where(ovalid & ohit, oi, n_q)].set(True, mode="drop")
+    return hit, jnp.maximum(0, n_overflow - overflow_cap)
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
@@ -259,20 +342,24 @@ class DeviceKmerIndex:
             max_scan,
         )
 
-    # dense lanes cost modulo * 24 bytes of HBM on top of the base
-    # tables; above this budget the CSR scan path is used instead
-    LANES_BYTE_BUDGET = 2 << 30
+    # the packed record table costs internal_modulo * 32 bytes of HBM
+    # (~= n_rows * 64B at load factor 0.5); above this budget the CSR
+    # scan path is used instead
+    PACKED_BYTE_BUDGET = 8 << 30
 
-    def _lanes(self):
-        if getattr(self, "_dense_lanes", None) is None:
-            modulo_size = int(self.starts_tbl.shape[0])
-            if modulo_size * 24 > self.LANES_BYTE_BUDGET:
-                self._dense_lanes = False
+    def _packed(self):
+        """(records, kmers_sorted, nodes_sorted, modulo2, max_scan2),
+        built lazily on device; None when over the HBM budget."""
+        if getattr(self, "_packed_tables", None) is None:
+            n = int(self.table_kmers.shape[0])
+            modulo2 = internal_modulo(n)
+            if modulo2 * 32 > self.PACKED_BYTE_BUDGET:
+                self._packed_tables = False
             else:
-                self._dense_lanes = build_dense_lanes(
-                    self.table_kmers, self.table_nodes, self.starts_tbl,
-                    self.sizes_tbl)
-        return self._dense_lanes or None
+                rec, ks, ns, max_sz = _build_packed(
+                    self.table_kmers, self.table_nodes, modulo2)
+                self._packed_tables = (rec, ks, ns, modulo2, int(max_sz))
+        return self._packed_tables or None
 
     # queries per device dispatch; bounds the (chunk, max_scan) working set
     QUERY_CHUNK = 1 << 22
@@ -283,24 +370,23 @@ class DeviceKmerIndex:
                 [self.has_kmers(kmers[i:i + self.QUERY_CHUNK])
                  for i in range(0, len(kmers), self.QUERY_CHUNK)])
         q, n = _pad_queries(kmers)
-        lanes = self._lanes() if self.max_scan <= 2 else None
-        if lanes is not None:
-            k0, n0, k1, n1 = lanes
-            out = _has_kmers_dense(jnp.asarray(q), n, k0, k1,
-                                   self.table_kmers, self.starts_tbl,
-                                   self.sizes_tbl, self.modulo,
-                                   self.max_scan)
-        else:
-            out = _has_kmers(jnp.asarray(q), n, self.table_kmers,
-                             self.starts_tbl, self.sizes_tbl, self.modulo,
-                             self.max_scan)
+        packed = self._packed()
+        if packed is not None:
+            rec, ks, ns, modulo2, max_sz = packed
+            out, dropped = _has_kmers_packed(jnp.asarray(q), n, rec, ks,
+                                             modulo2, max_sz)
+            if int(dropped) == 0:
+                return np.asarray(out)[:n]
+        out = _has_kmers(jnp.asarray(q), n, self.table_kmers,
+                         self.starts_tbl, self.sizes_tbl, self.modulo,
+                         self.max_scan)
         return np.asarray(out)[:n]
 
     def map_kmers(self, kmers: np.ndarray, n_nodes: int) -> np.ndarray:
         """Node hit counts for a read-kmer batch (kmer_mapper contract).
-        Fast path: 2-lane dense bucket lookup with compacted overflow
-        scan; CSR scan when the lanes exceed the HBM budget or on
-        overflow-capacity miss. Very large batches are chunked."""
+        Fast path: one packed-record gather per query + compacted
+        deep-bucket scan; CSR scan when the records exceed the HBM budget
+        or on overflow-capacity miss. Very large batches are chunked."""
         if len(kmers) > self.QUERY_CHUNK:
             total = np.zeros(n_nodes, dtype=np.int64)
             for i in range(0, len(kmers), self.QUERY_CHUNK):
@@ -308,13 +394,12 @@ class DeviceKmerIndex:
                                         n_nodes).astype(np.int64)
             return total
         q, n = _pad_queries(kmers)
-        lanes = self._lanes()
-        if lanes is not None:
-            k0, n0, k1, n1 = lanes
-            counts, dropped = _node_counts_dense(
-                jnp.asarray(q), n, k0, n0, k1, n1, self.table_kmers,
-                self.table_nodes, self.starts_tbl, self.sizes_tbl,
-                self.modulo, int(n_nodes), self.max_scan)
+        packed = self._packed()
+        if packed is not None:
+            rec, ks, ns, modulo2, max_sz = packed
+            counts, dropped = _node_counts_packed(
+                jnp.asarray(q), n, rec, ks, ns, modulo2, int(n_nodes),
+                max_sz)
             if int(dropped) == 0:
                 return np.asarray(counts)
         counts = _node_counts(jnp.asarray(q), n, self.table_kmers,

@@ -198,9 +198,9 @@ def test_critical_paths_roundtrip(tmp_path):
     assert list(cgp) == list(cgp2)
 
 
-def test_dense_lane_lookup_deep_buckets():
-    """Dense-lane device lookup == scalar path, with modulo 7 forcing
-    bucket depths > 2 (overflow compaction + retry paths)."""
+def test_packed_lookup_deep_buckets():
+    """Packed-record device lookup == scalar path, with repeated kmers
+    forcing internal-bucket depths > 2 (compacted-overflow scan path)."""
     rng = np.random.default_rng(11)
     n = 3000
     flat = FlatKmers(rng.integers(0, 10000, n).astype(np.uint64),
@@ -332,3 +332,32 @@ def test_mutation_invalidates_query_caches(index):
     np.testing.assert_array_equal(
         np.asarray(dev2.table_frequencies),
         np.asarray(index._frequencies).astype(np.int32))
+
+
+def test_packed_lookup_overflow_retry():
+    """A batch where >1/32 of queries land in deep buckets exceeds the
+    compaction capacity; the caller must retry via the CSR scan and still
+    return exact counts."""
+    rng = np.random.default_rng(5)
+    # 60 distinct kmers, each stored on 5 nodes -> every bucket deep
+    kmers = np.repeat(np.arange(100, 160, dtype=np.uint64), 5)
+    nodes = rng.integers(1, 50, len(kmers)).astype(np.uint32)
+    flat = FlatKmers(kmers, nodes,
+                     np.arange(len(kmers), dtype=np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101)
+    queries = rng.choice(np.arange(100, 160, dtype=np.uint64), 50000)
+    dev = index._device()
+    packed = dev._packed()
+    assert packed is not None and packed[4] > 2  # deep buckets exist
+    counts = index.map_kmers(queries, 50)
+    expected = np.zeros(50, dtype=np.int64)
+    import collections
+    qc = collections.Counter(queries.tolist())
+    for q, cnt in qc.items():
+        hits = index.get(int(q), max_hits=10**9)
+        if hits[0] is not None:
+            for node in hits[0]:
+                expected[node] += cnt
+    assert np.array_equal(np.asarray(counts, dtype=np.int64), expected)
+    has = index.has_kmers(queries)
+    assert bool(np.all(has))
