@@ -301,46 +301,71 @@ def _pad_queries(kmers):
 
 
 class DeviceKmerIndex:
-    """Device-resident view of a CollisionFreeKmerIndex."""
+    """Device-resident view of a CollisionFreeKmerIndex.
 
-    def __init__(self, table_kmers, table_nodes, table_ref_offsets,
-                 table_frequencies, table_allele_frequencies,
-                 starts_tbl, sizes_tbl, modulo, max_scan):
-        self.table_kmers = table_kmers
-        self.table_nodes = table_nodes
-        self.table_ref_offsets = table_ref_offsets
-        self.table_frequencies = table_frequencies
-        self.table_allele_frequencies = table_allele_frequencies
-        self.starts_tbl = starts_tbl
-        self.sizes_tbl = sizes_tbl
-        self.modulo = modulo
-        self.max_scan = max_scan
+    Arrays transfer to HBM LAZILY, per query path: the packed map/has
+    path needs only (kmers, nodes); the reference-modulo bucket tables
+    (modulo-sized — 3.6+ GB at the production modulo) and the full row
+    arrays transfer only when the CSR fallback or ``get_batched``
+    actually reads them. At 66M rows the eager transfer plus the packed
+    build used to exceed a v5e's 16 GB HBM.
+    """
+
+    _LAZY = {
+        "table_kmers": ("_kmers", jnp.uint64),
+        "table_nodes": ("_nodes", jnp.int32),
+        "table_ref_offsets": ("_ref_offsets", jnp.int64),
+        "table_frequencies": ("_frequencies", jnp.int32),
+        "table_allele_frequencies": ("_allele_frequencies", jnp.float32),
+        "starts_tbl": ("_hashes_to_index", jnp.int32),
+        "sizes_tbl": ("_n_kmers", jnp.int32),
+    }
+
+    def __init__(self, host_index):
+        self._host = host_index
+        self._cache = {}
+        self.modulo = jnp.uint64(host_index._modulo)
+        self._max_scan = None
+
+    def __getattr__(self, name):
+        spec = DeviceKmerIndex._LAZY.get(name)
+        if spec is None:
+            raise AttributeError(name)
+        if name not in self._cache:
+            attr, dtype = spec
+            value = getattr(self._host, attr)
+            if name == "table_frequencies":
+                n = len(self._host._kmers)
+                if np.ndim(value) == 0 or np.shape(value)[0] != n:
+                    value = np.zeros(n, dtype=np.uint16)
+            if name == "table_allele_frequencies":
+                n = len(self._host._kmers)
+                if (value is None or np.ndim(value) == 0
+                        or np.shape(value)[0] != n):
+                    value = np.zeros(n, dtype=np.float32)
+            self._cache[name] = jnp.asarray(value).astype(dtype)
+        return self._cache[name]
+
+    @property
+    def max_scan(self):
+        if self._max_scan is None:
+            sizes = self._host._n_kmers
+            if np.shape(sizes)[0] == 0:
+                self._max_scan = 1
+            elif isinstance(sizes, jnp.ndarray):
+                # device-built tables: reduce on device, fetch the scalar
+                # (a 452M-element host fetch through this tunnel is ~6 min)
+                self._max_scan = max(1, int(jnp.max(sizes)))
+            else:
+                self._max_scan = max(1, int(np.max(sizes)))
+        return self._max_scan
 
     @classmethod
     def from_host_index(cls, index):
-        """Device view; index arrays may be numpy (transferred once) or
-        already-device jax arrays (zero copy — the device-build path
-        leaves the modulo-sized bucket tables in HBM)."""
-        sizes = jnp.asarray(index._n_kmers).astype(jnp.int32)
-        max_scan = max(1, int(jnp.max(sizes))) if sizes.shape[0] else 1
-        n = len(index._kmers)
-        freqs = index._frequencies
-        if np.ndim(freqs) == 0 or np.shape(freqs)[0] != n:
-            freqs = np.zeros(n, dtype=np.uint16)
-        af = index._allele_frequencies
-        if af is None or np.ndim(af) == 0 or np.shape(af)[0] != n:
-            af = np.zeros(n, dtype=np.float32)
-        return cls(
-            jnp.asarray(index._kmers).astype(jnp.uint64),
-            jnp.asarray(index._nodes).astype(jnp.int32),
-            jnp.asarray(index._ref_offsets).astype(jnp.int64),
-            jnp.asarray(freqs).astype(jnp.int32),
-            jnp.asarray(af).astype(jnp.float32),
-            jnp.asarray(index._hashes_to_index).astype(jnp.int32),
-            sizes,
-            jnp.uint64(index._modulo),
-            max_scan,
-        )
+        """Device view; index arrays may be numpy (transferred on first
+        use) or already-device jax arrays (zero copy — the device-build
+        path leaves the modulo-sized bucket tables in HBM)."""
+        return cls(index)
 
     # the packed record table costs internal_modulo * 32 bytes of HBM
     # (~= n_rows * 64B at load factor 0.5); above this budget the CSR

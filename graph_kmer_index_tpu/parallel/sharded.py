@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import data_mesh
 from ..ops.lookup import _has_kmers, _node_counts
@@ -249,17 +249,29 @@ def merge_flat_kmers_all_gather(mesh, shard_arrays, axis: str = "data"):
 
 
 def run_sharded_function(func, n_shards, array_args):
-    """Generic data-parallel map over the leading axis of array args with a
-    host concatenate — drop-in for the reference's
-    run_numpy_based_function_in_parallel (shared_mem.py:123-176). ``func``
-    must be a jax-traceable function of the sliced args."""
+    """Data-parallel map over the leading axis of the array args — the
+    reference's ``run_numpy_based_function_in_parallel``
+    (shared_mem.py:123-176) with mesh devices in place of forked
+    processes. Array args are sharded over a 1-D device mesh and ``func``
+    (jax-traceable, output row-aligned with its input rows, like the
+    reference's slice-into-shared-memory contract) runs on every device's
+    shard simultaneously under shard_map; results concatenate in shard
+    order. ``n_shards`` caps the device count used."""
     lengths = {len(a) for a in array_args if isinstance(a, np.ndarray)}
     assert len(lengths) == 1, "array args must share leading length"
     n = lengths.pop()
-    bounds = np.linspace(0, n, n_shards + 1).astype(int)
-    outs = []
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        sliced = [x[a:b] if isinstance(x, np.ndarray) else x
-                  for x in array_args]
-        outs.append(np.asarray(func(*sliced)))
-    return np.concatenate(outs)
+    devs = jax.devices()[:max(1, min(int(n_shards), len(jax.devices())))]
+    d = len(devs)
+    pad = (-n) % d
+    padded = [np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+              if pad and isinstance(x, np.ndarray) else x
+              for x in array_args]
+
+    from jax import shard_map
+    mesh = Mesh(np.array(devs), ("data",))
+    in_specs = tuple(P("data") if isinstance(x, np.ndarray) else P()
+                     for x in array_args)
+    fn = shard_map(func, mesh=mesh, in_specs=in_specs,
+                   out_specs=P("data"), check_vma=False)
+    out = np.asarray(jax.jit(fn)(*padded))
+    return out[:n]

@@ -361,3 +361,42 @@ def test_packed_lookup_overflow_retry():
     assert np.array_equal(np.asarray(counts, dtype=np.int64), expected)
     has = index.has_kmers(queries)
     assert bool(np.all(has))
+
+
+def test_index_bundle_npz_format(tmp_path):
+    """Bundles are one self-describing npz (shared_memory_wrapper-style
+    decomposition, reference index_bundle.py:15-19): hierarchical
+    Name/prop keys + manifest; a KmerIndex round-trips queryable and
+    VariantToNodes reconstructs to its class."""
+    from graph_kmer_index_tpu import IndexBundle
+    from graph_kmer_index_tpu.graph import VariantToNodes
+    flat = FlatKmers(np.array([5, 9], dtype=np.uint64), np.array([1, 2]))
+    idx = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101)
+    v2n = VariantToNodes(np.array([2, 4]), np.array([3, 5]))
+    bundle = IndexBundle({"KmerIndex": idx, "VariantToNodes": v2n,
+                          "TrickyVariants": np.array([0, 1, 0])})
+    out = bundle.to_file(str(tmp_path / "bundle"))
+    assert out.endswith(".npz")
+    # the file is a plain npz with hierarchical keys — inspectable
+    # without this package
+    raw = np.load(out)
+    assert "KmerIndex/_kmers" in raw.files and "__manifest__" in raw.files
+    b2 = IndexBundle.from_file(str(tmp_path / "bundle"))
+    assert list(b2["KmerIndex"].get(5)[0]) == [1]
+    assert isinstance(b2["VariantToNodes"], VariantToNodes)
+    assert list(b2["VariantToNodes"].ref_nodes) == [2, 4]
+    np.testing.assert_array_equal(b2["TrickyVariants"], [0, 1, 0])
+
+
+def test_index_bundle_foreign_npz(tmp_path):
+    """A foreign hierarchically-keyed npz (no manifest) still loads: known
+    classes reconstructed by property match, unknown groups exposed as
+    namespaces."""
+    from graph_kmer_index_tpu import IndexBundle
+    np.savez(str(tmp_path / "foreign.npz"),
+             **{"VariantToNodes/ref_nodes": np.array([1, 2]),
+                "VariantToNodes/var_nodes": np.array([3, 4]),
+                "Mystery/data": np.array([7.0])})
+    b = IndexBundle.from_file(str(tmp_path / "foreign.npz"))
+    assert list(b["VariantToNodes"].ref_nodes) == [1, 2]
+    assert b["Mystery"].data[0] == 7.0

@@ -4,6 +4,8 @@ Each case mirrors a reference test (tests/test_kmer_finder.py) — same
 graphs, same expected kmers/nodes/offsets, including the exact global row
 order of test_case1.
 """
+import sys
+
 import numpy as np
 import pytest
 
@@ -428,3 +430,82 @@ def test_native_finalize_matches_vector_path():
                     assert a == b, (trial, seed, kwargs)
                 else:
                     assert np.array_equal(a, b), (trial, seed, kwargs)
+
+
+def _load_reference():
+    """The actual reference implementation, run in-process through
+    benchmarks/reference_harness.py (obgraph/Bio/npstructures stubbed
+    with API-compatible pieces of this package)."""
+    import pathlib
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "benchmarks"))
+    from reference_harness import load_reference
+    return load_reference()
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference"),
+                    reason="reference checkout not available")
+def test_case2_matches_reference_exactly():
+    """Port of reference tests/test_kmer_finder.py:397-405 (a smoke test
+    there), strengthened to full-row bit-equality against the actual
+    reference implementation, at several k."""
+    ref = _load_reference()
+    seqs = {0: "AGTAGA", 1: "G", 2: "CT", 3: "A", 4: "CTA", 5: "G",
+            6: "A", 7: "TCATA"}
+    edges = {0: [1, 2], 1: [3], 2: [3], 3: [4], 4: [5, 6], 5: [7],
+             6: [7], 7: []}
+    linear = [0, 1, 3, 4, 5, 7]
+    for k in (3, 4, 5):
+        graph = Graph.from_dicts(seqs, edges, linear)
+        ours = DenseKmerFinder(graph, k=k)
+        ours.find()
+        flat = ours.get_flat_kmers(v="1")
+        graph2 = Graph.from_dicts(seqs, edges, linear)
+        theirs = ref.DenseKmerFinder(graph2, k=k)
+        theirs.find()
+        rflat = theirs.get_flat_kmers(v="1")
+        np.testing.assert_array_equal(np.asarray(flat._hashes),
+                                      np.asarray(rflat._hashes), err_msg=str(k))
+        np.testing.assert_array_equal(np.asarray(flat._nodes),
+                                      np.asarray(rflat._nodes))
+        np.testing.assert_array_equal(np.asarray(flat._ref_offsets),
+                                      np.asarray(rflat._ref_offsets))
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference"),
+                    reason="reference checkout not available")
+def test_hard_shapes_match_reference_exactly():
+    """Full-row bit-equality vs the actual reference on the hard shapes:
+    nested bubbles and adjacent dummy nodes, incl. k=31."""
+    ref = _load_reference()
+    shapes = [
+        # nested bubble
+        ({1: "ACTGACTGACTGACTGACTG", 2: "A", 3: "GTTG", 4: "C", 5: "T",
+          6: "GG", 7: "CCCTACTGTTTAGTCAAAAA"},
+         {1: [2, 3], 2: [6], 3: [4, 5], 4: [6], 5: [6], 6: [7]},
+         [1, 2, 6, 7]),
+        # adjacent dummies
+        ({1: "ACTGACTGACTGACTGACTG", 2: "", 3: "A", 4: "TTTT", 5: "",
+          6: "G", 7: "CCCTACTGTTTAGTCAAAAA"},
+         {1: [2, 3], 2: [4], 3: [4], 4: [5, 6], 5: [7], 6: [7]},
+         [1, 3, 4, 6, 7]),
+    ]
+    for seqs, edges, linear in shapes:
+        for k in (5, 31):
+            ours = DenseKmerFinder(Graph.from_dicts(seqs, edges, linear), k=k)
+            ours.find()
+            flat = ours.get_flat_kmers(v="1")
+            theirs = ref.DenseKmerFinder(
+                Graph.from_dicts(seqs, edges, linear), k=k)
+            theirs.find()
+            rflat = theirs.get_flat_kmers(v="1")
+            np.testing.assert_array_equal(np.asarray(flat._hashes),
+                                          np.asarray(rflat._hashes))
+            np.testing.assert_array_equal(np.asarray(flat._nodes),
+                                          np.asarray(rflat._nodes))
+            np.testing.assert_array_equal(np.asarray(flat._ref_offsets),
+                                          np.asarray(rflat._ref_offsets))

@@ -69,6 +69,20 @@ def test_run_sharded_function():
     assert np.array_equal(out, x * 2 + 1)
 
 
+def test_run_sharded_function_actually_distributes():
+    """Each device must receive only its shard (not the full array): a
+    shard-shape-dependent function proves the split, and non-array args
+    broadcast. Uneven lengths exercise the pad/trim path."""
+    import jax
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "virtual mesh missing"
+    x = np.arange(999, dtype=np.float64)  # uneven: pads to 1000/8
+    out = run_sharded_function(
+        lambda a, s: a * a.shape[0] + s, 8, [x, 5.0])
+    expected = x * ((999 + ((-999) % n_dev)) // n_dev) + 5.0
+    assert np.array_equal(out, expected)
+
+
 def test_table_sharded_count_step_matches_single_device():
     """2-D (data x table) mesh pipeline == single-device lookup, for every
     viable mesh shape on 8 virtual devices."""
