@@ -50,6 +50,7 @@ from .collision_free_kmer_index import KmerIndex2, CounterKmerIndex
 from .read_kmers import ReadKmers
 from .kmer_finder import DenseKmerFinder
 from .critical_graph_paths import CriticalGraphPaths
+from . import unique_variant_kmers
 """
 
 
