@@ -45,12 +45,22 @@ def measure_kernel(kernel: str) -> float:
     import jax
     import jax.numpy as jnp
     from graph_kmer_index_tpu.ops.encode import (
-        sliding_hashes, sliding_hashes_pallas, sliding_hashes_u32)
+        sliding_hashes, sliding_hashes_pallas, sliding_hashes_pallas_p16,
+        sliding_hashes_u32)
 
     rng = np.random.default_rng(0)
     seq = jnp.asarray(rng.integers(0, 4, N_DEVICE).astype(np.int32))
 
     def apply(s):
+        if kernel.startswith("p16"):
+            # roofline variant: int8 input, one u32/lane output; the
+            # (lo, hi) derivation fuses into the consumer xor here
+            opts = {}
+            if ":" in kernel:
+                _, rows, chunk = kernel.split(":")
+                opts = dict(rows_per_block=int(rows), chunk=int(chunk))
+            lo, hi = sliding_hashes_pallas_p16(s, K, **opts)
+            return (lo ^ hi).astype(jnp.int32)
         if kernel == "pallas":
             lo, hi = sliding_hashes_pallas(s, K)
             return (lo ^ hi).astype(jnp.int32)
@@ -115,7 +125,8 @@ def main():
         return
 
     import os
-    kernels = os.environ.get("GKI_BENCH_KERNELS", "pallas,u32,xla").split(",")
+    kernels = os.environ.get("GKI_BENCH_KERNELS",
+                             "p16,pallas,u32,xla").split(",")
     rates = {}
     for kernel in kernels:
         rate = measure_kernel_subprocess(kernel)

@@ -245,3 +245,93 @@ def sliding_hashes_pallas(seq: jax.Array, k: int, *, chunk: int = 2048,
 def combine_u32_pair(lo: jax.Array, hi: jax.Array) -> jax.Array:
     """(lo, hi) uint32 lanes -> uint64 hash (requires x64)."""
     return lo.astype(U64) | (hi.astype(U64) << U64(32))
+
+
+# ---------------------------------------------------------------------------
+# Roofline variant: emit only P16 (the 16-base packing) per position.
+#
+# hash(i) = P16[i] | (P16[i+16] & mask) << 32 for k > 16, so the full
+# 62-bit hash stream is derivable from ONE u32 per position with a slice
+# + mask that XLA fuses into the consumer. With int8 input this drops
+# kernel traffic from 12 to 5 bytes/base (in 1B + out 4B), moving the
+# HBM-bandwidth speed-of-light from ~68G to ~160G kmers/s/chip.
+# ---------------------------------------------------------------------------
+
+def _hash_kernel_p16(seq_ref, p16_ref, *, m: int, chunk: int, halo: int):
+    """seq_ref: (ROWS, chunk + halo) int8; p16_ref: (ROWS, chunk) uint32
+    packing ``m`` bases per column (m = min(k, 16))."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    width = chunk + halo
+    p = seq_ref[:].astype(U32)
+    levels = {1: p}
+    span = 1
+    while span * 2 <= m:
+        prev = levels[span]
+        levels[span * 2] = prev | (
+            pltpu.roll(prev, shift=jnp.int32((-span) % width), axis=1)
+            << U32(2 * span))
+        span *= 2
+    acc = None
+    offset = 0
+    for bit in sorted(levels.keys(), reverse=True):
+        if offset + bit <= m:
+            part = levels[bit]
+            shifted = (part if offset == 0 else
+                       pltpu.roll(part, shift=jnp.int32((-offset) % width),
+                                  axis=1) << U32(2 * offset))
+            acc = shifted if acc is None else (acc | shifted)
+            offset += bit
+    p16_ref[:] = acc[:, :chunk]
+
+
+def sliding_p16_pallas(seq: jax.Array, k: int, *, chunk: int = 2048,
+                       rows_per_block: int = 32, interpret: bool = False):
+    """P_{min(k,16)}[i] for every position, as uint32 (int8 input path)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert 1 <= k <= 31
+    m = min(k, 16)
+    n = seq.shape[0]
+    halo = 128
+    n_chunks = max(1, -(-n // chunk))
+    padded = (n_chunks + 1) * chunk
+    x = jnp.zeros(padded, jnp.int8).at[:n].set(seq.astype(jnp.int8))
+    base = x[: n_chunks * chunk].reshape(n_chunks, chunk)
+    nxt = x[chunk: (n_chunks + 1) * chunk].reshape(n_chunks, chunk)[:, :halo]
+    rows = jnp.concatenate([base, nxt], axis=1)
+
+    grid = (-(-n_chunks // rows_per_block),)
+    rows = jnp.pad(rows, ((0, grid[0] * rows_per_block - n_chunks), (0, 0)))
+
+    p16 = pl.pallas_call(
+        functools.partial(_hash_kernel_p16, m=m, chunk=chunk, halo=halo),
+        grid=grid,
+        in_specs=[pl.BlockSpec((rows_per_block, chunk + halo),
+                               lambda i: (i, i - i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows_per_block, chunk), lambda i: (i, i - i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * rows_per_block, chunk),
+                                       U32),
+        interpret=interpret,
+    )(rows)
+    return p16.reshape(-1)[:n]
+
+
+def p16_to_lanes(p16: jax.Array, k: int):
+    """Derive the (lo, hi) u32 hash lanes from the P16 stream (fused into
+    the consumer by XLA; the kernel itself only materializes P16)."""
+    n = p16.shape[0]
+    if k <= 16:
+        return p16, jnp.zeros(n, U32)
+    ext = jnp.concatenate([p16, jnp.zeros(16, U32)])
+    hi = ext[16:16 + n] & U32((1 << (2 * (k - 16))) - 1)
+    return p16, hi
+
+
+def sliding_hashes_pallas_p16(seq: jax.Array, k: int, **kw):
+    """(lo, hi) lanes via the P16 kernel + fused derivation — same
+    contract as :func:`sliding_hashes_pallas`."""
+    return p16_to_lanes(sliding_p16_pallas(seq, k, **kw), k)

@@ -43,3 +43,17 @@ def test_encode_ascii_device():
     raw = np.frombuffer(b"ACGTacgtNnMm", dtype=np.uint8)
     out = np.asarray(encode_ascii(jnp.asarray(raw)))
     assert out.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 0, 0, 0, 0]
+
+
+@pytest.mark.parametrize("k", [5, 16, 21, 31])
+def test_p16_kernel_matches_numpy(k):
+    """The P16 roofline kernel + fused lane derivation must equal the
+    XLA sliding hashes bit-exactly."""
+    from graph_kmer_index_tpu.ops.encode import (
+        sliding_hashes_pallas_p16, combine_u32_pair)
+    rng = np.random.default_rng(3)
+    seq = rng.integers(0, 4, 4099).astype(np.int32)
+    want = np.asarray(sliding_hashes(jnp.asarray(seq), k))
+    lo, hi = sliding_hashes_pallas_p16(jnp.asarray(seq), k, interpret=True)
+    got = np.asarray(combine_u32_pair(lo, hi))
+    np.testing.assert_array_equal(got, want)

@@ -61,3 +61,46 @@ def test_random_vcf_end_to_end_soak_light():
         allowed = (set(int(x) for x in np.asarray(v2n.ref_nodes))
                    | set(int(x) for x in np.asarray(v2n.var_nodes)))
         assert sel <= allowed
+
+
+def test_reference_differential_soak():
+    """Random SNP/indel graphs: full-row bit-equality of our
+    DenseKmerFinder and SnpKmerFinder against the ACTUAL reference
+    implementation (loaded in-process via benchmarks/reference_harness)."""
+    import os
+    import pytest
+    if not os.path.exists("/root/reference"):
+        pytest.skip("reference checkout not available")
+    import pathlib
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "benchmarks"))
+    from reference_harness import load_reference
+    ref = load_reference()
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        seed = int(rng.integers(0, 1 << 30))
+        k = int(rng.choice([4, 7, 31]))
+        graph, _ = random_snp_graph(
+            400, 10, seed=seed,
+            indel_fraction=float(rng.choice([0, 0.5])))
+        ours = DenseKmerFinder(graph, k=k, max_variant_nodes=4)
+        ours.find()
+        flat = ours.get_flat_kmers(v="1")
+        theirs = ref.DenseKmerFinder(graph, k=k, max_variant_nodes=4)
+        theirs.find()
+        rflat = theirs.get_flat_kmers(v="1")
+        for attr in ("_hashes", "_nodes", "_ref_offsets"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(flat, attr)),
+                np.asarray(getattr(rflat, attr)),
+                err_msg=f"dense trial={trial} seed={seed} k={k} {attr}")
+
+        from graph_kmer_index_tpu import SnpKmerFinder
+        ours_s = SnpKmerFinder(graph, k=k).find_kmers()
+        theirs_s = ref.SnpKmerFinder(graph, k=k).find_kmers()
+        for attr in ("_hashes", "_nodes", "_ref_offsets"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ours_s, attr)),
+                np.asarray(getattr(theirs_s, attr)),
+                err_msg=f"snp trial={trial} seed={seed} k={k} {attr}")
