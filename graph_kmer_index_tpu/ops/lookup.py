@@ -206,64 +206,83 @@ def _compact_overflow(kmers, deep, r3, sz, overflow_cap):
     return oq, ostart, osz, oi, n_overflow
 
 
+# buckets deeper than this are 'ultra' (repeat kmers like poly-A on real
+# genomes): they skip the on-device scan — whose (cap, max_scan) matrix
+# must stay bounded — and resolve on host, deduplicated per unique kmer
+SCAN_CAP = 256
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
                         modulo2, n_nodes, max_scan):
-    """Node counts from the packed layout. Returns (counts,
-    n_overflow_dropped); nonzero drop count means retry via the caller's
-    CSR path (pathological: >1/32 of queries in deep buckets)."""
+    """Node counts from the packed layout. Returns (counts, host_mask):
+    queries flagged in host_mask contributed NOTHING to counts and must
+    be resolved by the caller (ultra-deep buckets always; deep buckets
+    only in the pathological case that >1/32 of the batch is deep, when
+    the whole compacted scan is discarded rather than truncated)."""
     n_q = kmers.shape[0]
     qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
         records, kmers, n_valid, modulo2)
+    ultra = (sz > SCAN_CAP) & qvalid
+    deep = deep & ~ultra
     # deep-bucket queries are counted exclusively by the overflow scan
     # (their record lanes duplicate the bucket's first rows)
-    hit0 = hit0 & ~deep
-    hit1 = hit1 & ~deep
+    hit0 = hit0 & ~deep & ~ultra
+    hit1 = hit1 & ~deep & ~ultra
     counts = jnp.zeros(n_nodes, dtype=jnp.int32)
     counts = counts.at[jnp.where(hit0, n0, n_nodes)].add(1, mode="drop")
     counts = counts.at[jnp.where(hit1, r3.astype(jnp.int32), n_nodes)].add(
         1, mode="drop")
     if max_scan <= 2:
-        return counts, jnp.int32(0)
+        return counts, ultra
 
     overflow_cap = max(1024, n_q // 32)
     oq, ostart, osz, _oi, n_overflow = _compact_overflow(
         kmers, deep, r3, sz, overflow_cap)
-    scan = jnp.arange(max_scan, dtype=jnp.int64)
+    exceeded = n_overflow > overflow_cap
+    scan = jnp.arange(min(max_scan, SCAN_CAP), dtype=jnp.int64)
     rows = jnp.minimum(ostart[:, None] + scan[None, :],
                        kmers_i.shape[0] - 1)
-    ovalid = jnp.arange(overflow_cap) < jnp.minimum(n_overflow, overflow_cap)
+    ovalid = (jnp.arange(overflow_cap)
+              < jnp.minimum(n_overflow, overflow_cap))
     mask = ((scan[None, :] < osz[:, None]) & (kmers_i[rows] == oq[:, None])
-            & ovalid[:, None])
+            & ovalid[:, None] & ~exceeded)
     onodes = jnp.where(mask, nodes_i[rows].astype(jnp.int32), n_nodes)
     counts = counts.at[onodes.reshape(-1)].add(1, mode="drop")
-    return counts, jnp.maximum(0, n_overflow - overflow_cap)
+    return counts, ultra | (deep & exceeded)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _has_kmers_packed(kmers, n_valid, records, kmers_i, modulo2, max_scan):
     """Membership from the packed layout: one gather per query; deep
-    buckets resolved by a compacted scan. Returns (hits,
-    n_overflow_dropped) — retry via CSR on a nonzero drop count."""
+    buckets resolved by a compacted scan. Returns (hits, host_mask) —
+    host_mask queries are unresolved (ultra-deep lane misses, or all
+    deep queries when the compaction capacity is exceeded). A lane hit
+    is always definitive."""
     n_q = kmers.shape[0]
     qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
         records, kmers, n_valid, modulo2)
     hit = hit0 | hit1
+    ultra = (sz > SCAN_CAP) & qvalid & ~hit
+    deep = deep & ~ultra
     if max_scan <= 2:
-        return hit, jnp.int32(0)
+        return hit, ultra
 
     overflow_cap = max(1024, n_q // 32)
     oq, ostart, osz, oi, n_overflow = _compact_overflow(
         kmers, deep, r3, sz, overflow_cap)
-    scan = jnp.arange(max_scan, dtype=jnp.int64)
+    exceeded = n_overflow > overflow_cap
+    scan = jnp.arange(min(max_scan, SCAN_CAP), dtype=jnp.int64)
     rows = jnp.minimum(ostart[:, None] + scan[None, :],
                        kmers_i.shape[0] - 1)
-    ovalid = jnp.arange(overflow_cap) < jnp.minimum(n_overflow, overflow_cap)
+    ovalid = (jnp.arange(overflow_cap)
+              < jnp.minimum(n_overflow, overflow_cap))
     mask = ((scan[None, :] < osz[:, None]) & (kmers_i[rows] == oq[:, None])
-            & ovalid[:, None])
+            & ovalid[:, None] & ~exceeded)
     ohit = jnp.any(mask, axis=1)
-    hit = hit.at[jnp.where(ovalid & ohit, oi, n_q)].set(True, mode="drop")
-    return hit, jnp.maximum(0, n_overflow - overflow_cap)
+    hit = hit.at[jnp.where(ovalid & ohit & ~exceeded, oi, n_q)].set(
+        True, mode="drop")
+    return hit, ultra | (deep & exceeded)
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
@@ -413,19 +432,52 @@ class DeviceKmerIndex:
     # queries per device dispatch; bounds the (chunk, max_scan) working set
     QUERY_CHUNK = 1 << 22
 
+    def _ultra_rows(self, q):
+        """Yield (kmer, multiplicity, bucket_nodes_matching) for each
+        unique ultra-deep-bucket query — one bounded-chunk device scan
+        per unique kmer (repeat kmers like poly-A dedup to a handful)."""
+        import jax
+        rec, ks, ns, modulo2, _ = self._packed()
+        n_rows = int(ks.shape[0])
+        chunk = min(4096, n_rows)
+        uniq, mult = np.unique(np.asarray(q, dtype=np.uint64),
+                               return_counts=True)
+        for kq, m in zip(uniq.tolist(), mult.tolist()):
+            b = int(kq) % modulo2
+            meta = np.asarray(rec[b])
+            sz = int(int(meta[1]) >> 32)
+            start = int(meta[3])
+            matches = []
+            for off in range(0, sz, chunk):
+                ln = min(chunk, sz - off)
+                s0 = min(start + off, max(0, n_rows - chunk))
+                delta = (start + off) - s0
+                kk = np.asarray(jax.lax.dynamic_slice(ks, (s0,), (chunk,)))
+                nn = np.asarray(jax.lax.dynamic_slice(ns, (s0,), (chunk,)))
+                sel = kk[delta:delta + ln] == kq
+                matches.append(nn[delta:delta + ln][sel])
+            yield kq, m, (np.concatenate(matches) if matches
+                          else np.zeros(0, np.uint32))
+
     def has_kmers(self, kmers: np.ndarray) -> np.ndarray:
         if len(kmers) > self.QUERY_CHUNK:
             return np.concatenate(
                 [self.has_kmers(kmers[i:i + self.QUERY_CHUNK])
                  for i in range(0, len(kmers), self.QUERY_CHUNK)])
+        kmers = np.asarray(kmers, dtype=np.uint64)
         q, n = _pad_queries(kmers)
         packed = self._packed()
         if packed is not None:
             rec, ks, ns, modulo2, max_sz = packed
-            out, dropped = _has_kmers_packed(jnp.asarray(q), n, rec, ks,
-                                             modulo2, max_sz)
-            if int(dropped) == 0:
-                return np.asarray(out)[:n]
+            out, host_mask = _has_kmers_packed(jnp.asarray(q), n, rec,
+                                               ks, modulo2, max_sz)
+            res = np.array(np.asarray(out)[:n])
+            um = np.asarray(host_mask)[:n]
+            if um.any():
+                present = {kq for kq, _m, nodes in
+                           self._ultra_rows(kmers[um]) if len(nodes)}
+                res[um] = np.array([int(x) in present for x in kmers[um]])
+            return res
         out = _has_kmers(jnp.asarray(q), n, self.table_kmers,
                          self.starts_tbl, self.sizes_tbl, self.modulo,
                          self.max_scan)
@@ -434,7 +486,8 @@ class DeviceKmerIndex:
     def map_kmers(self, kmers: np.ndarray, n_nodes: int) -> np.ndarray:
         """Node hit counts for a read-kmer batch (kmer_mapper contract).
         Fast path: one packed-record gather per query + compacted
-        deep-bucket scan; CSR scan when the records exceed the HBM budget
+        deep-bucket scan; ultra-deep buckets (> SCAN_CAP rows) resolve
+        per unique kmer; CSR scan when the records exceed the HBM budget
         or on overflow-capacity miss. Very large batches are chunked."""
         if len(kmers) > self.QUERY_CHUNK:
             total = np.zeros(n_nodes, dtype=np.int64)
@@ -442,15 +495,20 @@ class DeviceKmerIndex:
                 total += self.map_kmers(kmers[i:i + self.QUERY_CHUNK],
                                         n_nodes).astype(np.int64)
             return total
+        kmers = np.asarray(kmers, dtype=np.uint64)
         q, n = _pad_queries(kmers)
         packed = self._packed()
         if packed is not None:
             rec, ks, ns, modulo2, max_sz = packed
-            counts, dropped = _node_counts_packed(
+            counts, host_mask = _node_counts_packed(
                 jnp.asarray(q), n, rec, ks, ns, modulo2, int(n_nodes),
                 max_sz)
-            if int(dropped) == 0:
-                return np.asarray(counts)
+            res = np.asarray(counts).astype(np.int64)
+            um = np.asarray(host_mask)[:n]
+            if um.any():
+                for _kq, m, nodes in self._ultra_rows(kmers[um]):
+                    np.add.at(res, nodes.astype(np.int64), m)
+            return res
         counts = _node_counts(jnp.asarray(q), n, self.table_kmers,
                               self.table_nodes, self.starts_tbl,
                               self.sizes_tbl, self.modulo, int(n_nodes),

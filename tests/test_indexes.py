@@ -334,10 +334,10 @@ def test_mutation_invalidates_query_caches(index):
         np.asarray(index._frequencies).astype(np.int32))
 
 
-def test_packed_lookup_overflow_retry():
+def test_packed_lookup_overflow_host_path():
     """A batch where >1/32 of queries land in deep buckets exceeds the
-    compaction capacity; the caller must retry via the CSR scan and still
-    return exact counts."""
+    compaction capacity; those queries resolve through the deduplicated
+    host path and counts stay exact."""
     rng = np.random.default_rng(5)
     # 60 distinct kmers, each stored on 5 nodes -> every bucket deep
     kmers = np.repeat(np.arange(100, 160, dtype=np.uint64), 5)
@@ -400,3 +400,31 @@ def test_index_bundle_foreign_npz(tmp_path):
     b = IndexBundle.from_file(str(tmp_path / "foreign.npz"))
     assert list(b["VariantToNodes"].ref_nodes) == [1, 2]
     assert b["Mystery"].data[0] == 7.0
+
+
+def test_packed_lookup_ultra_deep_buckets():
+    """Buckets deeper than SCAN_CAP (repeat kmers like poly-A) must
+    bypass the on-device scan entirely and still produce exact counts
+    and membership."""
+    from graph_kmer_index_tpu.ops.lookup import SCAN_CAP
+    rng = np.random.default_rng(9)
+    depth = SCAN_CAP + 50
+    kmers = np.concatenate([
+        np.full(depth, 7, dtype=np.uint64),          # one ultra kmer
+        np.arange(100, 1100, dtype=np.uint64)])      # normal rows
+    nodes = np.concatenate([
+        rng.integers(1, 40, depth),
+        rng.integers(1, 40, 1000)]).astype(np.uint32)
+    flat = FlatKmers(kmers, nodes, np.arange(len(kmers), dtype=np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=4099)
+    queries = np.array([7, 7, 150, 99999, 7], dtype=np.uint64)
+    counts = index.map_kmers(queries, 40)
+    expected = np.zeros(40, dtype=np.int64)
+    for q in queries:
+        hits = index.get(int(q), max_hits=10**9)
+        if hits[0] is not None:
+            for node in hits[0]:
+                expected[node] += 1
+    assert np.array_equal(np.asarray(counts, dtype=np.int64), expected)
+    has = index.has_kmers(queries)
+    assert list(has) == [True, True, True, False, True]
