@@ -223,6 +223,176 @@ def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
     return jax.jit(step)
 
 
+class PackedTableShards:
+    """Bucket-range shards of the packed-record layout (ops.lookup): each
+    table shard owns a contiguous INTERNAL-modulo bucket range as a
+    (m2_local, 4) record slice plus its contiguous row segment, lane 3 of
+    deep records re-based to shard-local row offsets. The multi-chip
+    mirror of the single-chip one-gather-per-query path."""
+
+    def __init__(self, records, row_kmers, row_nodes, m2_local, modulo2,
+                 max_scan, n_table):
+        self.records = records        # (n_table, m2_local, 4) uint64
+        self.row_kmers = row_kmers    # (n_table, rmax) uint64
+        self.row_nodes = row_nodes    # (n_table, rmax) int32
+        self.m2_local = m2_local
+        self.modulo2 = modulo2
+        self.max_scan = max_scan
+        self.n_table = n_table
+
+    @classmethod
+    def from_index(cls, index, n_table: int):
+        from ..ops.lookup import internal_modulo, SCAN_CAP, _EMPTY
+
+        kmers = np.asarray(index._kmers, dtype=np.uint64)
+        nodes = np.asarray(index._nodes, dtype=np.int32)
+        n = len(kmers)
+        modulo2 = internal_modulo(n)
+        bucket = (kmers % np.uint64(modulo2)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        bs, ks, ns = bucket[order], kmers[order], nodes[order]
+
+        first = np.ediff1d(bs, to_begin=1) != 0
+        second = np.concatenate([[False], first[:-1]]) & ~first
+        sizes_at = np.zeros(modulo2, np.int64)
+        np.add.at(sizes_at, bs, 1)
+        sz_row = sizes_at[bs]
+        max_scan = int(sz_row.max()) if n else 1
+        if max_scan > SCAN_CAP:
+            raise ValueError(
+                "table has buckets deeper than SCAN_CAP; use the CSR "
+                "TableShards for this index")
+
+        rec = np.zeros((modulo2, 4), np.uint64)
+        rec[:, 0] = np.uint64(_EMPTY)
+        rec[:, 2] = np.uint64(_EMPTY)
+        idx = np.arange(n, dtype=np.int64)
+        fb = bs[first]
+        rec[fb, 0] = ks[first]
+        rec[fb, 1] = (ns[first].astype(np.uint64)
+                      | (sz_row[first].astype(np.uint64) << np.uint64(32)))
+        sb = bs[second & (sz_row == 2)]
+        rec[sb, 2] = ks[second & (sz_row == 2)]
+        rec[sb, 3] = ns[second & (sz_row == 2)].astype(np.uint64)
+        db = bs[first & (sz_row > 2)]
+        rec[db, 3] = idx[first & (sz_row > 2)].astype(np.uint64)
+
+        m2_local = -(-modulo2 // n_table)
+        rec_p = np.zeros((m2_local * n_table, 4), np.uint64)
+        rec_p[:, 0] = np.uint64(_EMPTY)
+        rec_p[:, 2] = np.uint64(_EMPTY)
+        rec_p[:modulo2] = rec
+        rec_p = rec_p.reshape(n_table, m2_local, 4)
+
+        # shard row segments: rows are sorted by bucket, so each shard's
+        # rows are contiguous [lo, hi)
+        cut = np.searchsorted(bs, np.arange(1, n_table) * m2_local)
+        lo = np.concatenate([[0], cut])
+        hi = np.concatenate([cut, [n]])
+        rmax = max(1, int((hi - lo).max()))
+        row_kmers = np.zeros((n_table, rmax), np.uint64)
+        row_nodes = np.zeros((n_table, rmax), np.int32)
+        for t in range(n_table):
+            row_kmers[t, :hi[t] - lo[t]] = ks[lo[t]:hi[t]]
+            row_nodes[t, :hi[t] - lo[t]] = ns[lo[t]:hi[t]]
+            # re-base deep-record row starts to shard-local offsets
+            sl = rec_p[t]
+            deep = (sl[:, 1] >> np.uint64(32)).astype(np.int64) > 2
+            sl[deep, 3] = sl[deep, 3] - np.uint64(lo[t])
+        return cls(rec_p, row_kmers, row_nodes, m2_local, modulo2,
+                   max_scan, n_table)
+
+
+def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
+                           k: int, data_axis: str = "data",
+                           table_axis: str = "table"):
+    """The packed-record mirror of :func:`make_count_step`: one record
+    gather per (query, owning shard), compacted deep-bucket scan, psum
+    over both axes. Raises at call time (via the returned overflow count)
+    if the deep-query compaction capacity is exceeded."""
+    from jax import shard_map
+    from ..ops.encode import sliding_hashes
+
+    m2_local = shards.m2_local
+    max_scan = shards.max_scan
+    modulo2 = shards.modulo2
+
+    def local_step(reads, records, row_kmers, row_nodes):
+        records = records[0]
+        row_kmers, row_nodes = row_kmers[0], row_nodes[0]
+        t_idx = jax.lax.axis_index(table_axis).astype(jnp.int64)
+
+        r_loc, L = reads.shape
+        n_q = r_loc * L
+        flat = reads.reshape(-1)
+        hashes = sliding_hashes(flat, k)
+        pos = jnp.arange(n_q) % L
+        valid = pos <= L - k
+        kmers = jnp.where(valid, hashes, jnp.uint64(0))
+
+        bucket = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
+        owner = bucket // m2_local
+        mine = (owner == t_idx) & valid
+        lb = jnp.clip(bucket - t_idx * m2_local, 0, m2_local - 1)
+        r = records[lb]
+        k0, m0, k1, r3 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+        sz = (m0 >> jnp.uint64(32)).astype(jnp.int32)
+        n0 = (m0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+        deep = (sz > 2) & mine
+        hit0 = (k0 == kmers) & mine & ~deep
+        hit1 = (k1 == kmers) & mine & ~deep
+        counts = jnp.zeros(n_nodes, jnp.int32)
+        counts = counts.at[jnp.where(hit0, n0, n_nodes)].add(1, mode="drop")
+        counts = counts.at[
+            jnp.where(hit1, r3.astype(jnp.int32), n_nodes)].add(
+                1, mode="drop")
+
+        dropped = jnp.int32(0)
+        if max_scan > 2:
+            cap = max(1024, n_q // 8)
+            pos_c = jnp.cumsum(deep.astype(jnp.int32)) - 1
+            n_over = pos_c[-1] + 1
+            out_idx = jnp.where(deep, pos_c, cap)
+            oq = jnp.zeros(cap + 1, kmers.dtype).at[out_idx].set(
+                kmers, mode="drop")[:cap]
+            ostart = jnp.zeros(cap + 1, jnp.int64).at[out_idx].set(
+                r3.astype(jnp.int64), mode="drop")[:cap]
+            osz = jnp.zeros(cap + 1, jnp.int32).at[out_idx].set(
+                sz, mode="drop")[:cap]
+            scan = jnp.arange(max_scan, dtype=jnp.int64)
+            rows = jnp.minimum(ostart[:, None] + scan[None, :],
+                               row_kmers.shape[0] - 1)
+            ovalid = jnp.arange(cap) < jnp.minimum(n_over, cap)
+            mask = ((scan[None, :] < osz[:, None])
+                    & (row_kmers[rows] == oq[:, None]) & ovalid[:, None])
+            onodes = jnp.where(mask, row_nodes[rows], n_nodes)
+            counts = counts.at[onodes.reshape(-1)].add(1, mode="drop")
+            dropped = jnp.maximum(0, n_over - cap)
+
+        counts = jax.lax.psum(counts, (data_axis, table_axis))
+        dropped = jax.lax.psum(dropped, (data_axis, table_axis))
+        return counts, dropped
+
+    P_ = P
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P_(data_axis, None), P_(table_axis, None, None),
+                  P_(table_axis, None), P_(table_axis, None)),
+        out_specs=(P_(), P_()),
+    )
+    jitted = jax.jit(step)
+
+    def run(reads, records, row_kmers, row_nodes):
+        counts, dropped = jitted(reads, records, row_kmers, row_nodes)
+        if int(dropped) > 0:
+            raise RuntimeError(
+                "packed sharded lookup: deep-query compaction capacity "
+                "exceeded; use the CSR step for this batch")
+        return counts
+
+    return run
+
+
 def merge_flat_kmers_all_gather(mesh, shard_arrays, axis: str = "data"):
     """Merge per-device FlatKmers shards with an all_gather collective.
 

@@ -171,3 +171,43 @@ def test_merge_flat_kmers_all_gather():
     assert np.array_equal(np.asarray(gn), nd)
     assert np.array_equal(np.asarray(gr), r)
     assert np.array_equal(np.asarray(ga), a)
+
+
+def test_packed_table_sharded_count_step_matches_single_device():
+    """Packed-record 2-D (data x table) mesh pipeline == single-device
+    lookup, for every viable mesh shape on 8 virtual devices."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+    from graph_kmer_index_tpu.parallel.sharded import (
+        PackedTableShards, make_count_step_packed)
+
+    k = 5
+    graph, flat, index = _toy_index()
+    n_nodes = graph.n_nodes()
+    rng = np.random.default_rng(2)
+    ref_seq = np.concatenate([graph.get_numeric_node_sequence(v)
+                              for v in [1, 2, 4]])
+    reads = np.stack([
+        np.resize(np.roll(ref_seq, -int(s)), 16) for s in
+        rng.integers(0, len(ref_seq), 8)]).astype(np.int32)
+
+    hashes = np.asarray(sliding_hashes(jnp.asarray(reads.reshape(-1)), k))
+    pos = np.arange(reads.size) % reads.shape[1]
+    valid = pos <= reads.shape[1] - k
+    expected = index.map_kmers(hashes[valid].astype(np.uint64), n_nodes)
+
+    for n_data, n_table in ((4, 2), (2, 4), (8, 1), (1, 8)):
+        devices = np.asarray(jax.devices()[:8]).reshape(n_data, n_table)
+        mesh = Mesh(devices, ("data", "table"))
+        shards = PackedTableShards.from_index(index, n_table)
+        step = make_count_step_packed(mesh, shards, n_nodes, k)
+        reads_j = jax.device_put(jnp.asarray(reads),
+                                 NamedSharding(mesh, P("data", None)))
+        targs = [jax.device_put(jnp.asarray(a),
+                                NamedSharding(mesh, spec))
+                 for a, spec in ((shards.records, P("table", None, None)),
+                                 (shards.row_kmers, P("table", None)),
+                                 (shards.row_nodes, P("table", None)))]
+        got = np.asarray(step(reads_j, *targs))
+        assert np.array_equal(got, expected), (n_data, n_table)
