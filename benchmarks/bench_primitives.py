@@ -293,8 +293,39 @@ def k_pallas_bcast_cmp():
     return _chain_rate(run, qlo0, n_q, consts=(qhi, tlo, thi, tnode))
 
 
+def k_gather32():
+    import jax.numpy as jnp
+    n_t, n_q = (1 << 24, 1 << 22) if not _SMALL else (1 << 14, 1 << 12)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.integers(0, 1 << 62, (n_t, 4)).astype(np.uint64))
+    idx0 = jnp.asarray(rng.integers(0, n_t, n_q).astype(np.int32))
+
+    def apply(idx, table):
+        v = table[idx]  # (n_q, 4) contiguous 32B records
+        return (idx + (v[:, 0] ^ v[:, 1] ^ v[:, 2] ^ v[:, 3]).astype(
+            jnp.int32)) % n_t
+    return _chain_rate(apply, idx0, n_q, consts=(table,))
+
+
+def k_scatter_add_sorted():
+    """Scatter-add with monotonically sorted indices + the
+    indices_are_sorted hint — does XLA exploit it?"""
+    import jax.numpy as jnp
+    n_c, n_q = (1 << 21, 1 << 22) if not _SMALL else (1 << 12, 1 << 12)
+    rng = np.random.default_rng(0)
+    idx0 = jnp.asarray(np.sort(rng.integers(0, n_c, n_q)).astype(np.int32))
+
+    def apply(idx):
+        counts = jnp.zeros(n_c, jnp.int32).at[idx].add(
+            1, indices_are_sorted=True)
+        return (idx + counts[jnp.clip(idx, 0, n_c - 1)]) % n_c
+    return _chain_rate(apply, idx0, n_q)
+
+
 KERNELS = {
     "gather8": k_gather8,
+    "gather32": k_gather32,
+    "scatter_add_sorted": k_scatter_add_sorted,
     "gather16": k_gather16,
     "scatter_add": k_scatter_add,
     "scatter_add_small": k_scatter_add_small,
