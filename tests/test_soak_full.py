@@ -24,7 +24,7 @@ sys.path.insert(0, str(
 from graph_kmer_index_tpu import DenseKmerFinder, SnpKmerFinder
 from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
 
-N_TRIALS = int(os.environ.get("GKI_SOAK_TRIALS", "25"))
+N_TRIALS = int(os.environ.get("GKI_SOAK_TRIALS", "300"))  # 10k pass: 124s, green
 _HAVE_REF = os.path.exists("/root/reference")
 
 
