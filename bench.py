@@ -52,6 +52,16 @@ def measure_kernel(kernel: str) -> float:
     seq = jnp.asarray(rng.integers(0, 4, N_DEVICE).astype(np.int32))
 
     def apply(s):
+        if kernel.startswith("p16raw"):
+            # kernel-only rate: the (lo, hi) derivation is a fused
+            # slice+mask the real consumers absorb into their own reads
+            from graph_kmer_index_tpu.ops.encode import sliding_p16_pallas
+            opts = {}
+            if ":" in kernel:
+                _, rows, chunk = kernel.split(":")
+                opts = dict(rows_per_block=int(rows), chunk=int(chunk))
+            p16 = sliding_p16_pallas(s, K, **opts)
+            return (p16 & 3).astype(jnp.int32)
         if kernel.startswith("p16"):
             # roofline variant: int8 input, one u32/lane output; the
             # (lo, hi) derivation fuses into the consumer xor here
