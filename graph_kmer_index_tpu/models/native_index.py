@@ -77,11 +77,40 @@ class NativeKmerIndex:
                                   native._ptr(out, ctypes.c_uint64), n_hits)
         return out[:, :n_hits]
 
+    # host records cost 64B/row; above this budget keep the bucket chase
+    PACKED_BYTE_BUDGET = 16 << 30
+
+    def _packed(self):
+        """Host packed-record tables (same layout as ops/lookup.py): one
+        cache miss per query plus a prefetch pipeline, ~2-3x the
+        bucket-pointer chase."""
+        if getattr(self, "_packed_np", None) is None:
+            from ..ops.lookup import internal_modulo
+            n = len(self.table_kmers)
+            modulo2 = internal_modulo(n)
+            if modulo2 * 32 > self.PACKED_BYTE_BUDGET:
+                self._packed_np = False
+            else:
+                built = native.build_packed(self.table_kmers,
+                                            self.table_nodes, modulo2)
+                self._packed_np = (False if built is None
+                                   else (*built, modulo2))
+        return self._packed_np or None
+
     def map_kmers(self, kmers, n_nodes):
+        p = self._packed()
+        if p is not None:
+            rec, rows_k, rows_n, modulo2 = p
+            return native.packed_map_kmers(kmers, rec, rows_k, rows_n,
+                                           modulo2, int(n_nodes))
         return native.map_kmers(kmers, self.table_kmers, self.table_nodes,
                                 self.starts_tbl, self.sizes_tbl, self.modulo,
                                 int(n_nodes))
 
     def has_kmers(self, kmers):
+        p = self._packed()
+        if p is not None:
+            rec, rows_k, rows_n, modulo2 = p
+            return native.packed_has_kmers(kmers, rec, rows_k, modulo2)
         return native.has_kmers(kmers, self.table_kmers, self.starts_tbl,
                                 self.sizes_tbl, self.modulo)

@@ -103,6 +103,20 @@ def get_lib():
         lib.gki_finalize_fetch.argtypes = [
             ctypes.c_void_p, p(ctypes.c_uint64), p(ctypes.c_int32),
             p(ctypes.c_int32), p(ctypes.c_int16), p(ctypes.c_double)]
+        lib.gki_build_packed.restype = None
+        lib.gki_build_packed.argtypes = [
+            p(ctypes.c_uint64), p(ctypes.c_uint32), i64, u64,
+            p(ctypes.c_uint64), p(ctypes.c_uint64), p(ctypes.c_uint32),
+            p(ctypes.c_int64)]
+        lib.gki_packed_map_kmers.restype = None
+        lib.gki_packed_map_kmers.argtypes = [
+            p(ctypes.c_uint64), i64, p(ctypes.c_uint64),
+            p(ctypes.c_uint64), p(ctypes.c_uint32), u64,
+            p(ctypes.c_int64), i64]
+        lib.gki_packed_has_kmers.restype = None
+        lib.gki_packed_has_kmers.argtypes = [
+            p(ctypes.c_uint64), i64, p(ctypes.c_uint64),
+            p(ctypes.c_uint64), u64, p(ctypes.c_uint8)]
         _lib = lib
         return _lib
 
@@ -338,3 +352,48 @@ def fasta_encode(text: bytes, max_reads: int | None = None):
         return None
     total = int(starts[n_reads - 1] + lens[n_reads - 1]) if n_reads else 0
     return out[:total], starts[:n_reads], lens[:n_reads]
+
+
+def build_packed(kmers: np.ndarray, nodes: np.ndarray, modulo2: int):
+    """(records, rows_kmers, rows_nodes) packed layout (see ops/lookup.py
+    for the record format), or None without the native toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, np.uint64)
+    nodes = np.ascontiguousarray(nodes, np.uint32)
+    n = len(kmers)
+    rec = np.empty(4 * modulo2, dtype=np.uint64)
+    rows_k = np.empty(n, dtype=np.uint64)
+    rows_n = np.empty(n, dtype=np.uint32)
+    scratch = np.empty(modulo2 + 1, dtype=np.int64)
+    lib.gki_build_packed(_ptr(kmers, ctypes.c_uint64),
+                         _ptr(nodes, ctypes.c_uint32), n, modulo2,
+                         _ptr(rec, ctypes.c_uint64),
+                         _ptr(rows_k, ctypes.c_uint64),
+                         _ptr(rows_n, ctypes.c_uint32),
+                         _ptr(scratch, ctypes.c_int64))
+    return rec, rows_k, rows_n
+
+
+def packed_map_kmers(kmers, rec, rows_k, rows_n, modulo2, n_nodes):
+    lib = get_lib()
+    kmers = np.ascontiguousarray(kmers, np.uint64)
+    counts = np.zeros(n_nodes, dtype=np.int64)
+    lib.gki_packed_map_kmers(_ptr(kmers, ctypes.c_uint64), len(kmers),
+                             _ptr(rec, ctypes.c_uint64),
+                             _ptr(rows_k, ctypes.c_uint64),
+                             _ptr(rows_n, ctypes.c_uint32), modulo2,
+                             _ptr(counts, ctypes.c_int64), n_nodes)
+    return counts
+
+
+def packed_has_kmers(kmers, rec, rows_k, modulo2):
+    lib = get_lib()
+    kmers = np.ascontiguousarray(kmers, np.uint64)
+    out = np.zeros(len(kmers), dtype=np.uint8)
+    lib.gki_packed_has_kmers(_ptr(kmers, ctypes.c_uint64), len(kmers),
+                             _ptr(rec, ctypes.c_uint64),
+                             _ptr(rows_k, ctypes.c_uint64), modulo2,
+                             _ptr(out, ctypes.c_uint8))
+    return out.astype(bool)

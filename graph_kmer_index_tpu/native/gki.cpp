@@ -168,4 +168,108 @@ int64_t gki_fasta_encode(
     return n_reads;
 }
 
+
+// ---------------------------------------------------------------------------
+// Packed-record lookup (host mirror of ops/lookup.py): one 32-byte
+// record per internal-modulo bucket [k0, node0|size<<32, k1,
+// node1-or-start]. One cache miss per query for buckets of size <= 2
+// (vs 2-3 dependent misses for the bucket-pointer chase), hidden
+// further by a software-prefetch pipeline.
+// ---------------------------------------------------------------------------
+
+static const uint64_t GKI_EMPTY = ~0ULL;
+
+// Counting-sort rows by internal bucket and fill the record table.
+// rec must hold 4*modulo2 u64 (caller-allocated); rows_kmers/rows_nodes
+// hold the bucket-sorted rows; scratch must hold modulo2+1 i64.
+void gki_build_packed(
+    const uint64_t* kmers, const uint32_t* nodes, int64_t n,
+    uint64_t modulo2, uint64_t* rec,
+    uint64_t* rows_kmers, uint32_t* rows_nodes, int64_t* scratch) {
+    int64_t* counts = scratch;  // modulo2 + 1
+    for (uint64_t b = 0; b <= modulo2; ++b) counts[b] = 0;
+    for (int64_t i = 0; i < n; ++i) ++counts[kmers[i] % modulo2 + 1];
+    for (uint64_t b = 0; b < modulo2; ++b) counts[b + 1] += counts[b];
+    // stable scatter into bucket order
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t b = kmers[i] % modulo2;
+        int64_t pos = counts[b]++;
+        rows_kmers[pos] = kmers[i];
+        rows_nodes[pos] = nodes[i];
+    }
+    // counts[b] now = end offset of bucket b; start = end of b-1
+    for (uint64_t b = 0; b < modulo2; ++b) {
+        int64_t start = b ? counts[b - 1] : 0;
+        int64_t sz = counts[b] - start;
+        uint64_t* r = rec + 4 * b;
+        if (sz == 0) {
+            r[0] = GKI_EMPTY; r[1] = 0; r[2] = GKI_EMPTY; r[3] = 0;
+            continue;
+        }
+        r[0] = rows_kmers[start];
+        r[1] = (uint64_t)rows_nodes[start] | ((uint64_t)sz << 32);
+        if (sz == 2) {
+            r[2] = rows_kmers[start + 1];
+            r[3] = (uint64_t)rows_nodes[start + 1];
+        } else {
+            r[2] = GKI_EMPTY;
+            r[3] = (uint64_t)start;  // deep: scan start row
+        }
+    }
+}
+
+// map_kmers on the packed layout with a prefetch pipeline.
+void gki_packed_map_kmers(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* rec, const uint64_t* rows_kmers,
+    const uint32_t* rows_nodes, uint64_t modulo2,
+    int64_t* counts, int64_t n_nodes) {
+    const int64_t AHEAD = 16;
+    for (int64_t q = 0; q < n_kmers; ++q) {
+        if (q + AHEAD < n_kmers)
+            __builtin_prefetch(rec + 4 * (kmers[q + AHEAD] % modulo2));
+        uint64_t kmer = kmers[q];
+        const uint64_t* r = rec + 4 * (kmer % modulo2);
+        int64_t sz = (int64_t)(r[1] >> 32);
+        if (sz <= 2) {
+            if (r[0] == kmer) {
+                int64_t node = (int64_t)(r[1] & 0xFFFFFFFFULL);
+                if (node < n_nodes) ++counts[node];
+            }
+            if (sz == 2 && r[2] == kmer) {
+                int64_t node = (int64_t)r[3];
+                if (node < n_nodes) ++counts[node];
+            }
+        } else {
+            int64_t start = (int64_t)r[3];
+            for (int64_t i = start; i < start + sz; ++i)
+                if (rows_kmers[i] == kmer && rows_nodes[i] < n_nodes)
+                    ++counts[rows_nodes[i]];
+        }
+    }
+}
+
+// membership on the packed layout.
+void gki_packed_has_kmers(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* rec, const uint64_t* rows_kmers,
+    uint64_t modulo2, uint8_t* out) {
+    const int64_t AHEAD = 16;
+    for (int64_t q = 0; q < n_kmers; ++q) {
+        if (q + AHEAD < n_kmers)
+            __builtin_prefetch(rec + 4 * (kmers[q + AHEAD] % modulo2));
+        uint64_t kmer = kmers[q];
+        const uint64_t* r = rec + 4 * (kmer % modulo2);
+        int64_t sz = (int64_t)(r[1] >> 32);
+        uint8_t hit = (r[0] == kmer) | (r[2] == kmer);
+        if (!hit && sz > 2) {
+            int64_t start = (int64_t)r[3];
+            for (int64_t i = start; i < start + sz && !hit; ++i)
+                hit = (rows_kmers[i] == kmer);
+        }
+        out[q] = hit;
+    }
+}
+
 }  // extern "C"
+
