@@ -159,7 +159,10 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     rec = rec.at[t_second + 1].set(ns.astype(jnp.uint64), mode="drop")
     t_deep = jnp.where(is_first & (sz_row > 2), 4 * bs + 3, oob)
     rec = rec.at[t_deep].set(idx.astype(jnp.uint64), mode="drop")
-    return rec.reshape(modulo2, 4)
+    # the record buffer stays FLAT: a (modulo2, 4) device array gets
+    # tile-padded to 128 lanes on TPU (32x the memory — 32 GB at the
+    # production table); queries gather contiguous 4-element slices
+    return rec
 
 
 def _build_packed(kmers, nodes, modulo2):
@@ -175,11 +178,18 @@ def _build_packed(kmers, nodes, modulo2):
 
 
 def _packed_decode(records, kmers, n_valid, modulo2):
-    """Shared head of the packed queries: one 32B-record gather."""
+    """Shared head of the packed queries: one 32B-record gather (a
+    contiguous 4-element slice of the FLAT record buffer per query)."""
     n_q = kmers.shape[0]
     qvalid = jnp.arange(n_q) < n_valid
     b = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
-    r = records[b]  # (n_q, 4): THE one random memory access per query
+    r = jax.lax.gather(
+        records, (4 * b)[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(4,),
+        mode=jax.lax.GatherScatterMode.CLIP)
     k0, m0, k1, r3 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
     sz = (m0 >> jnp.uint64(32)).astype(jnp.int32)
     n0 = (m0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
@@ -444,7 +454,7 @@ class DeviceKmerIndex:
                                return_counts=True)
         for kq, m in zip(uniq.tolist(), mult.tolist()):
             b = int(kq) % modulo2
-            meta = np.asarray(rec[b])
+            meta = np.asarray(rec[4 * b:4 * b + 4])
             sz = int(int(meta[1]) >> 32)
             start = int(meta[3])
             matches = []
