@@ -146,9 +146,12 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
         & ~is_first
     oob = jnp.int64(4 * modulo2)
-    # lanes 0/2 default to the EMPTY sentinel, lanes 1/3 to 0
-    rec = jnp.tile(jnp.array([_EMPTY, 0, _EMPTY, 0], dtype=jnp.uint64),
-                   modulo2)
+    # lanes 0/2 default to the EMPTY sentinel, lanes 1/3 to 0. NB: built
+    # from a 1-D iota parity — jnp.tile of a 4-element pattern lowers
+    # through a (modulo2, 4) broadcast that TPU tile-pads 32x
+    lane = jax.lax.iota(jnp.uint32, 4 * modulo2)
+    rec = jnp.where((lane & jnp.uint32(1)) == 0, jnp.uint64(_EMPTY),
+                    jnp.uint64(0))
     t_first = jnp.where(is_first, 4 * bs, oob)
     rec = rec.at[t_first].set(ks, mode="drop")
     rec = rec.at[t_first + 1].set(
