@@ -146,16 +146,17 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
         & ~is_first
     oob = jnp.int64(4 * modulo2)
-    # lanes 0/2 default to the EMPTY sentinel, lanes 1/3 to 0. NB: built
-    # from a 1-D iota parity — jnp.tile of a 4-element pattern lowers
-    # through a (modulo2, 4) broadcast that TPU tile-pads 32x
-    lane = jax.lax.iota(jnp.uint32, 4 * modulo2)
-    rec = jnp.where((lane & jnp.uint32(1)) == 0, jnp.uint64(_EMPTY),
-                    jnp.uint64(0))
+    # every lane defaults to the EMPTY sentinel (a scalar broadcast, the
+    # only whole-buffer init XLA materializes cheaply — per-lane patterns
+    # constant-fold or tile-pad); the size field is stored COMPLEMENTED
+    # so an untouched record reads size 0
+    rec = jnp.full(4 * modulo2, jnp.uint64(_EMPTY))
     t_first = jnp.where(is_first, 4 * bs, oob)
     rec = rec.at[t_first].set(ks, mode="drop")
     rec = rec.at[t_first + 1].set(
-        ns.astype(jnp.uint64) | (sz_row.astype(jnp.uint64) << jnp.uint64(32)),
+        ns.astype(jnp.uint64)
+        | ((~sz_row.astype(jnp.uint64) & jnp.uint64(0xFFFFFFFF))
+           << jnp.uint64(32)),
         mode="drop")
     t_second = jnp.where(is_second & (sz_row == 2), 4 * bs + 2, oob)
     rec = rec.at[t_second].set(ks, mode="drop")
@@ -194,7 +195,8 @@ def _packed_decode(records, kmers, n_valid, modulo2):
         slice_sizes=(4,),
         mode=jax.lax.GatherScatterMode.CLIP)
     k0, m0, k1, r3 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
-    sz = (m0 >> jnp.uint64(32)).astype(jnp.int32)
+    # size field is stored complemented (EMPTY default reads as 0)
+    sz = (~(m0 >> jnp.uint64(32)) & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
     n0 = (m0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
     hit0 = (k0 == kmers) & qvalid
     hit1 = (k1 == kmers) & qvalid
@@ -458,7 +460,7 @@ class DeviceKmerIndex:
         for kq, m in zip(uniq.tolist(), mult.tolist()):
             b = int(kq) % modulo2
             meta = np.asarray(rec[4 * b:4 * b + 4])
-            sz = int(int(meta[1]) >> 32)
+            sz = int(~(int(meta[1]) >> 32) & 0xFFFFFFFF)
             start = int(meta[3])
             matches = []
             for off in range(0, sz, chunk):
