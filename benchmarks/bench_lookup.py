@@ -46,8 +46,11 @@ def main():
         rng.integers(0, 1 << 62, n_q - n_q // 2).astype(np.uint64)])
     q0 = jnp.asarray(half_hit)
 
+    # NB: the device tables are passed as ARGUMENTS — closing over them
+    # bakes GB-scale constants into the compile request (HTTP 413 on
+    # this backend's remote compile helper)
     @jax.jit
-    def chain_counts_packed(q, reps):
+    def chain_counts_packed(q, reps, rec, ks, ns):
         def body(i, x):
             counts, _ = _node_counts_packed(x, x.shape[0], rec, ks, ns,
                                             modulo2, n_nodes, max_sz)
@@ -56,7 +59,7 @@ def main():
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
     @jax.jit
-    def chain_has_packed(q, reps):
+    def chain_has_packed(q, reps, rec, ks, ns):
         def body(i, x):
             hit, _ = _has_kmers_packed(x, x.shape[0], rec, ks, modulo2,
                                        max_sz)
@@ -64,26 +67,28 @@ def main():
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
     @jax.jit
-    def chain_csr(q, reps):
+    def chain_csr(q, reps, tk, tn, st, sz):
         def body(i, x):
-            counts = _node_counts(x, x.shape[0], dev.table_kmers,
-                                  dev.table_nodes, dev.starts_tbl,
-                                  dev.sizes_tbl, dev.modulo, n_nodes,
-                                  dev.max_scan)
+            counts = _node_counts(x, x.shape[0], tk, tn, st, sz,
+                                  dev.modulo, n_nodes, dev.max_scan)
             return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
                 jnp.uint64)
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
-    for name, chain in (("counts/packed", chain_counts_packed),
-                        ("member/packed", chain_has_packed),
-                        ("counts/csr", chain_csr)):
-        int(chain(q0, 2))
-        int(chain(q0, 10))
+    runs = [("counts/packed", chain_counts_packed, (rec, ks, ns)),
+            ("member/packed", chain_has_packed, (rec, ks, ns))]
+    if "--csr" in sys.argv:
+        runs.append(("counts/csr", chain_csr,
+                     (dev.table_kmers, dev.table_nodes, dev.starts_tbl,
+                      dev.sizes_tbl)))
+    for name, chain, args in runs:
+        int(chain(q0, 2, *args))
+        int(chain(q0, 10, *args))
         t0 = time.perf_counter()
-        int(chain(q0, 2))
+        int(chain(q0, 2, *args))
         t2 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        int(chain(q0, 10))
+        int(chain(q0, 10, *args))
         t10 = time.perf_counter() - t0
         per = (t10 - t2) / 8
         print(f"lookup [{name}]: {per*1e3:.2f} ms/batch of {n_q} "
