@@ -169,6 +169,19 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     return rec
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _packed_reshape(rec_flat, modulo2):
+    """STANDALONE reshape of the flat record buffer to (modulo2, 4).
+
+    Run as its own jit on purpose: a standalone program's output gets
+    the default device layout (the same compact layout host-transferred
+    arrays get, where row gathers run at ~100M/s) — whereas inside the
+    build program the scatter custom-call's 2-D output is assigned a
+    (8,128)-tiled layout that pads the 4-lane minor dim 32x (32 GB at
+    the production table)."""
+    return rec_flat.reshape(modulo2, 4)
+
+
 def _build_packed(kmers, nodes, modulo2):
     """Sorted rows + (modulo2, 4) record table, built in stages so sort
     temporaries free before the record buffer allocates."""
@@ -176,24 +189,23 @@ def _build_packed(kmers, nodes, modulo2):
     jax.block_until_ready(ks)
     sz_row, max_sz = _packed_sizes(bs, modulo2)
     max_sz = int(max_sz)
-    rec = _packed_records(bs, ks, ns, sz_row, modulo2)
+    rec_flat = _packed_records(bs, ks, ns, sz_row, modulo2)
+    jax.block_until_ready(rec_flat)
+    rec = _packed_reshape(rec_flat, modulo2)
     jax.block_until_ready(rec)
     return rec, ks, ns, max_sz
 
 
 def _packed_decode(records, kmers, n_valid, modulo2):
-    """Shared head of the packed queries: one 32B-record gather (a
-    contiguous 4-element slice of the FLAT record buffer per query)."""
+    """Shared head of the packed queries: one 32B-record (row) gather.
+    ``records`` is (modulo2, 4) with the default (transfer-style) layout
+    — an explicit 1-D slice gather lowers to a serialized loop (~3M/s),
+    and a scatter-built 2-D buffer would be 128-lane tile-padded; see
+    _build_packed for how the layout is obtained."""
     n_q = kmers.shape[0]
     qvalid = jnp.arange(n_q) < n_valid
     b = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
-    r = jax.lax.gather(
-        records, (4 * b)[:, None],
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(),
-            start_index_map=(0,)),
-        slice_sizes=(4,),
-        mode=jax.lax.GatherScatterMode.CLIP)
+    r = records[b]  # (n_q, 4): THE one random memory access per query
     k0, m0, k1, r3 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
     # size field is stored complemented (EMPTY default reads as 0)
     sz = (~(m0 >> jnp.uint64(32)) & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
@@ -459,7 +471,7 @@ class DeviceKmerIndex:
                                return_counts=True)
         for kq, m in zip(uniq.tolist(), mult.tolist()):
             b = int(kq) % modulo2
-            meta = np.asarray(rec[4 * b:4 * b + 4])
+            meta = np.asarray(rec[b])
             sz = int(~(int(meta[1]) >> 32) & 0xFFFFFFFF)
             start = int(meta[3])
             matches = []
