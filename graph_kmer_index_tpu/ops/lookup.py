@@ -136,54 +136,49 @@ def _packed_sizes(bs, modulo2):
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def _packed_records(bs, ks, ns, sz_row, modulo2):
-    """Stage 3: the flat 4-lane record buffer (scatter chain on one
-    buffer; staging keeps peak HBM at ~records + row arrays, which is
-    what lets the production table (66M rows -> 4.2 GB of records) build
-    on a 16 GB chip)."""
+    """Stage 3: the flat 8-lane uint32 record buffer.
+
+    Record for bucket b, lanes [8b..8b+8): [k0_lo, k0_hi, node0, ~size,
+    k1_lo, k1_hi, node1_or_start, spare]. All-uint32 on purpose: uint64
+    on this TPU is emulated (X64Combine), and any 2-D uint64 buffer
+    produced in-program gets a (8,128)-tiled layout that pads a narrow
+    minor dim 32x (32 GB at the production table). The size lane is
+    stored complemented so the all-ones EMPTY default reads as size 0,
+    and the sentinel kmer lanes can never match a query (hashes < 4^31).
+    Staging (see _build_packed) keeps peak HBM at ~records + row arrays."""
     n = bs.shape[0]
     idx = jnp.arange(n, dtype=jnp.int64)
     is_first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
     is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
         & ~is_first
-    oob = jnp.int64(4 * modulo2)
-    # every lane defaults to the EMPTY sentinel (a scalar broadcast, the
-    # only whole-buffer init XLA materializes cheaply — per-lane patterns
-    # constant-fold or tile-pad); the size field is stored COMPLEMENTED
-    # so an untouched record reads size 0
-    rec = jnp.full(4 * modulo2, jnp.uint64(_EMPTY))
-    t_first = jnp.where(is_first, 4 * bs, oob)
-    rec = rec.at[t_first].set(ks, mode="drop")
-    rec = rec.at[t_first + 1].set(
-        ns.astype(jnp.uint64)
-        | ((~sz_row.astype(jnp.uint64) & jnp.uint64(0xFFFFFFFF))
-           << jnp.uint64(32)),
-        mode="drop")
-    t_second = jnp.where(is_second & (sz_row == 2), 4 * bs + 2, oob)
-    rec = rec.at[t_second].set(ks, mode="drop")
-    rec = rec.at[t_second + 1].set(ns.astype(jnp.uint64), mode="drop")
-    t_deep = jnp.where(is_first & (sz_row > 2), 4 * bs + 3, oob)
-    rec = rec.at[t_deep].set(idx.astype(jnp.uint64), mode="drop")
-    # the record buffer stays FLAT: a (modulo2, 4) device array gets
-    # tile-padded to 128 lanes on TPU (32x the memory — 32 GB at the
-    # production table); queries gather contiguous 4-element slices
+    oob = jnp.int64(8 * modulo2)
+    ks_lo = (ks & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    ks_hi = (ks >> jnp.uint64(32)).astype(jnp.uint32)
+    rec = jnp.full(8 * modulo2, jnp.uint32(0xFFFFFFFF))
+    t_first = jnp.where(is_first, 8 * bs, oob)
+    rec = rec.at[t_first].set(ks_lo, mode="drop")
+    rec = rec.at[t_first + 1].set(ks_hi, mode="drop")
+    rec = rec.at[t_first + 2].set(ns, mode="drop")
+    rec = rec.at[t_first + 3].set(
+        ~sz_row.astype(jnp.uint32), mode="drop")
+    t_second = jnp.where(is_second & (sz_row == 2), 8 * bs + 4, oob)
+    rec = rec.at[t_second].set(ks_lo, mode="drop")
+    rec = rec.at[t_second + 1].set(ks_hi, mode="drop")
+    rec = rec.at[t_second + 2].set(ns, mode="drop")
+    t_deep = jnp.where(is_first & (sz_row > 2), 8 * bs + 6, oob)
+    rec = rec.at[t_deep].set(idx.astype(jnp.uint32), mode="drop")
     return rec
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _packed_reshape(rec_flat, modulo2):
-    """STANDALONE reshape of the flat record buffer to (modulo2, 4).
-
-    Run as its own jit on purpose: a standalone program's output gets
-    the default device layout (the same compact layout host-transferred
-    arrays get, where row gathers run at ~100M/s) — whereas inside the
-    build program the scatter custom-call's 2-D output is assigned a
-    (8,128)-tiled layout that pads the 4-lane minor dim 32x (32 GB at
-    the production table)."""
-    return rec_flat.reshape(modulo2, 4)
+    """Reshape the flat record buffer to (modulo2, 8) uint32 — measured
+    compact layout (tiling (8,128)) with row gathers at ~78M/s."""
+    return rec_flat.reshape(modulo2, 8)
 
 
 def _build_packed(kmers, nodes, modulo2):
-    """Sorted rows + (modulo2, 4) record table, built in stages so sort
+    """Sorted rows + (modulo2, 8) record table, built in stages so sort
     temporaries free before the record buffer allocates."""
     bs, ks, ns = _packed_sort(kmers, nodes, modulo2)
     jax.block_until_ready(ks)
@@ -197,23 +192,22 @@ def _build_packed(kmers, nodes, modulo2):
 
 
 def _packed_decode(records, kmers, n_valid, modulo2):
-    """Shared head of the packed queries: one 32B-record (row) gather.
-    ``records`` is (modulo2, 4) with the default (transfer-style) layout
-    — an explicit 1-D slice gather lowers to a serialized loop (~3M/s),
-    and a scatter-built 2-D buffer would be 128-lane tile-padded; see
-    _build_packed for how the layout is obtained."""
+    """Shared head of the packed queries: ONE 32-byte record (row)
+    gather per query, all compares in native uint32 lanes."""
     n_q = kmers.shape[0]
     qvalid = jnp.arange(n_q) < n_valid
     b = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
-    r = records[b]  # (n_q, 4): THE one random memory access per query
-    k0, m0, k1, r3 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
-    # size field is stored complemented (EMPTY default reads as 0)
-    sz = (~(m0 >> jnp.uint64(32)) & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
-    n0 = (m0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
-    hit0 = (k0 == kmers) & qvalid
-    hit1 = (k1 == kmers) & qvalid
+    q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+    r = records[b]  # (n_q, 8): THE one random memory access per query
+    # size lane is stored complemented (EMPTY default reads as 0)
+    sz = (~r[:, 3]).astype(jnp.int32)
+    n0 = r[:, 2].astype(jnp.int32)
+    r3 = r[:, 6]  # node1 (size 2) or bucket start row (deeper)
+    hit0 = (r[:, 0] == q_lo) & (r[:, 1] == q_hi) & qvalid
+    hit1 = (r[:, 4] == q_lo) & (r[:, 5] == q_hi) & qvalid
     deep = (sz > 2) & qvalid
-    return qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep
+    return qvalid, None, n0, None, r3, sz, hit0, hit1, deep
 
 
 def _compact_overflow(kmers, deep, r3, sz, overflow_cap):
@@ -472,8 +466,8 @@ class DeviceKmerIndex:
         for kq, m in zip(uniq.tolist(), mult.tolist()):
             b = int(kq) % modulo2
             meta = np.asarray(rec[b])
-            sz = int(~(int(meta[1]) >> 32) & 0xFFFFFFFF)
-            start = int(meta[3])
+            sz = int(~int(meta[3]) & 0xFFFFFFFF)
+            start = int(meta[6])
             matches = []
             for off in range(0, sz, chunk):
                 ln = min(chunk, sz - off)
