@@ -151,10 +151,14 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     is_first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
     is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
         & ~is_first
-    oob = jnp.int64(8 * modulo2)
+    # flat length padded to a 128 multiple: the 2-D view packs 16
+    # buckets (16 x 8 lanes) per 128-lane row, the only minor-dim size
+    # the TPU stores without tile padding
+    flat_len = 8 * (-(-modulo2 // 16) * 16)
+    oob = jnp.int64(flat_len)
     ks_lo = (ks & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     ks_hi = (ks >> jnp.uint64(32)).astype(jnp.uint32)
-    rec = jnp.full(8 * modulo2, jnp.uint32(0xFFFFFFFF))
+    rec = jnp.full(flat_len, jnp.uint32(0xFFFFFFFF))
     t_first = jnp.where(is_first, 8 * bs, oob)
     rec = rec.at[t_first].set(ks_lo, mode="drop")
     rec = rec.at[t_first + 1].set(ks_hi, mode="drop")
@@ -172,9 +176,11 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _packed_reshape(rec_flat, modulo2):
-    """Reshape the flat record buffer to (modulo2, 8) uint32 — measured
-    compact layout (tiling (8,128)) with row gathers at ~78M/s."""
-    return rec_flat.reshape(modulo2, 8)
+    """Reshape the flat record buffer to (groups, 128) uint32 — 16
+    buckets per row. ANY narrower minor dim gets (8,128)-tile-padded on
+    this TPU (a (m,8) u32 view cost 16x its size); 128 lanes exactly is
+    unpadded, and 512-byte row gathers measure 83M/s."""
+    return rec_flat.reshape(rec_flat.shape[0] // 128, 128)
 
 
 def _build_packed(kmers, nodes, modulo2):
@@ -192,20 +198,29 @@ def _build_packed(kmers, nodes, modulo2):
 
 
 def _packed_decode(records, kmers, n_valid, modulo2):
-    """Shared head of the packed queries: ONE 32-byte record (row)
-    gather per query, all compares in native uint32 lanes."""
+    """Shared head of the packed queries: ONE 512-byte group-row gather
+    per query (the bucket's 16-bucket group), then a vectorized
+    slot-select — compares in native uint32 lanes, no second gather."""
     n_q = kmers.shape[0]
     qvalid = jnp.arange(n_q) < n_valid
     b = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
     q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
-    r = records[b]  # (n_q, 8): THE one random memory access per query
+    row = b // 16
+    slot = (b % 16).astype(jnp.int32)
+    g = records[row].reshape(n_q, 16, 8)  # THE one random access/query
+    slot_ok = slot[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]
+
+    def sel(lane):
+        return jnp.sum(jnp.where(slot_ok, g[:, :, lane], 0),
+                       axis=1, dtype=jnp.uint32)
+
     # size lane is stored complemented (EMPTY default reads as 0)
-    sz = (~r[:, 3]).astype(jnp.int32)
-    n0 = r[:, 2].astype(jnp.int32)
-    r3 = r[:, 6]  # node1 (size 2) or bucket start row (deeper)
-    hit0 = (r[:, 0] == q_lo) & (r[:, 1] == q_hi) & qvalid
-    hit1 = (r[:, 4] == q_lo) & (r[:, 5] == q_hi) & qvalid
+    sz = (~sel(3)).astype(jnp.int32)
+    n0 = sel(2).astype(jnp.int32)
+    r3 = sel(6)  # node1 (size 2) or bucket start row (deeper)
+    hit0 = (sel(0) == q_lo) & (sel(1) == q_hi) & qvalid
+    hit1 = (sel(4) == q_lo) & (sel(5) == q_hi) & qvalid
     deep = (sz > 2) & qvalid
     return qvalid, None, n0, None, r3, sz, hit0, hit1, deep
 
@@ -465,7 +480,8 @@ class DeviceKmerIndex:
                                return_counts=True)
         for kq, m in zip(uniq.tolist(), mult.tolist()):
             b = int(kq) % modulo2
-            meta = np.asarray(rec[b])
+            group = np.asarray(rec[b // 16])
+            meta = group[(b % 16) * 8:(b % 16) * 8 + 8]
             sz = int(~int(meta[3]) & 0xFFFFFFFF)
             start = int(meta[6])
             matches = []
