@@ -208,12 +208,16 @@ def _packed_decode(records, kmers, n_valid, modulo2):
     q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
     row = b // 16
     slot = (b % 16).astype(jnp.int32)
-    g = records[row].reshape(n_q, 16, 8)  # THE one random access/query
-    slot_ok = slot[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]
+    g = records[row]  # (n_q, 128): THE one random access per query
+    # lane-relative index per column; stays in the gathered row's natural
+    # layout (a (n,16,8) reshape forces a tile-padded relayout that costs
+    # ~20x the gather itself)
+    rel = (jnp.arange(128, dtype=jnp.int32)[None, :]
+           - (slot * 8)[:, None])
 
     def sel(lane):
-        return jnp.sum(jnp.where(slot_ok, g[:, :, lane], 0),
-                       axis=1, dtype=jnp.uint32)
+        return jnp.sum(jnp.where(rel == lane, g, 0), axis=1,
+                       dtype=jnp.uint32)
 
     # size lane is stored complemented (EMPTY default reads as 0)
     sz = (~sel(3)).astype(jnp.int32)
