@@ -21,7 +21,9 @@ K = 31
 N_DEVICE = 1 << 24   # bases hashed per device iteration
 N_CPU = 1 << 20      # bases for the CPU reference measurement
 REPS = 16
-KERNEL_TIMEOUT_S = 240
+# the remote compile helper degrades over a session's lifetime (first
+# Pallas compile ~30s, hours later 400s+); give each candidate room
+KERNEL_TIMEOUT_S = 420
 
 
 def _median_time(fn, reps=REPS):
