@@ -137,19 +137,26 @@ def main():
         return
 
     import os
-    kernels = os.environ.get("GKI_BENCH_KERNELS",
-                             "p16,pallas,u32,xla").split(",")
+    kernels = os.environ.get("GKI_BENCH_KERNELS", "p16,pallas").split(",")
     rates = {}
     for kernel in kernels:
         rate = measure_kernel_subprocess(kernel)
         if rate is not None:
             rates[kernel] = rate
-            break  # fastest-first order; one good measurement suffices
+            # keep going: the fastest kernel (p16) has the slowest
+            # compile, which can time out under the degraded remote
+            # compile helper — a later candidate guarantees a floor
     if not rates:
         # last resort: never leave the driver without a JSON line — run
         # the XLA kernel in-process (compiles are the usual timeout cause;
         # a second attempt in a warm process often fits)
         rates["inproc"] = measure_kernel("u32")
+    elif "p16" not in rates:
+        # p16's compile timed out once; a second attempt often hits a
+        # less-loaded helper and it is ~2.5x the fallback kernel
+        retry = measure_kernel_subprocess("p16")
+        if retry is not None:
+            rates["p16"] = retry
     device_rate = max(rates.values())
     cpu_rate = bench_cpu_reference()
 
