@@ -1,0 +1,75 @@
+"""End-to-end pipeline benchmark (the BASELINE.md north-star scenario):
+synthetic SNP graph -> full DenseKmerFinder enumeration -> collision-free
+index at the production modulo -> read batch mapped to node counts.
+
+Usage: python benchmarks/bench_pipeline.py [n_bases] [n_variants] [n_reads]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n_bases = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_variants = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_reads = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+    modulo = int(sys.argv[4]) if len(sys.argv) > 4 else 452_930_477
+    k = 31
+
+    from graph_kmer_index_tpu import DenseKmerFinder, KmerIndex
+    from graph_kmer_index_tpu.parallel.host_pool import find_kmers_parallel
+    from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+
+    t0 = time.perf_counter()
+    graph, _ = random_snp_graph(n_bases, n_variants, seed=0)
+    t_graph = time.perf_counter() - t0
+    print(f"graph build: {t_graph:.1f}s ({graph.n_nodes()} nodes)",
+          flush=True)
+
+    t0 = time.perf_counter()
+    flat = find_kmers_parallel(graph, k, n_workers=4)
+    t_find = time.perf_counter() - t0
+    print(f"find (4 workers, native walker): {t_find:.1f}s "
+          f"({len(flat._hashes)} rows, "
+          f"{n_bases/t_find/1e6:.2f} Mbases/s)", flush=True)
+
+    t0 = time.perf_counter()
+    index = KmerIndex.from_flat_kmers(flat, modulo=modulo,
+                                      skip_frequencies=True)
+    t_build = time.perf_counter() - t0
+    print(f"device index build @ modulo {modulo}: {t_build:.1f}s",
+          flush=True)
+
+    # simulated reads: windows of the linear reference
+    rng = np.random.default_rng(1)
+    _, _, refseq = graph.linear_ref_sequence()
+    starts = rng.integers(0, len(refseq) - 150, n_reads)
+    reads = np.stack([refseq[s:s + 150] for s in starts])
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+    import jax.numpy as jnp
+    flatr = reads.reshape(-1).astype(np.int32)
+    hashes = np.asarray(sliding_hashes(jnp.asarray(flatr), k))
+    pos = np.arange(reads.size) % 150
+    kmers = hashes[pos <= 150 - k].astype(np.uint64)
+
+    dev = index._device()
+    t0 = time.perf_counter()
+    dev._packed()
+    t_packed = time.perf_counter() - t0
+    print(f"packed table build: {t_packed:.1f}s", flush=True)
+
+    counts = index.map_kmers(kmers[:1024], graph.n_nodes())  # warm compile
+    t0 = time.perf_counter()
+    counts = index.map_kmers(kmers, graph.n_nodes())
+    t_map = time.perf_counter() - t0
+    hits = counts.sum() / max(1, len(kmers))
+    print(f"map {len(kmers)} read kmers: {t_map:.2f}s "
+          f"({len(kmers)/t_map/1e6:.1f} M kmers/s), hits/query = "
+          f"{hits:.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
