@@ -31,25 +31,77 @@ DEFAULT_FREQUENCY_CAP = 20
 _PAD = 1024  # query padding quantum for jit cache reuse
 
 
-@functools.partial(jax.jit, static_argnums=(7,))
-def _bucket_hits(kmers, n_valid, table_kmers, starts_tbl, sizes_tbl, modulo,
-                 n_rows, max_scan):
-    """Per-query bucket scan.
+def _bucket_hits_from_ranges(kmers, n_valid, table_kmers, start, n,
+                             n_rows, max_scan):
+    """Bucket scan given per-query [start, start+n) row ranges.
 
-    Returns (row_idx, hit_mask, n_in_bucket): row indices (n_q, max_scan),
-    boolean hit mask (False for padded queries), and bucket sizes."""
-    bucket = (kmers % modulo).astype(jnp.int64)
-    start = starts_tbl[bucket]
-    n = sizes_tbl[bucket].astype(jnp.int32)
+    Returns (row_idx, hit_mask): row indices (n_q, max_scan) and boolean
+    hit mask (False for padded queries)."""
     scan = jnp.arange(max_scan, dtype=jnp.int64)
-    rows = start[:, None] + scan[None, :]
+    rows = start.astype(jnp.int64)[:, None] + scan[None, :]
     rows_c = jnp.minimum(rows, n_rows - 1)
     stored = table_kmers[rows_c]
     qvalid = jnp.arange(kmers.shape[0]) < n_valid
     mask = ((scan[None, :] < n[:, None])
             & (stored == kmers[:, None])
             & qvalid[:, None])
+    return rows_c, mask
+
+
+@functools.partial(jax.jit, static_argnums=(7,))
+def _bucket_hits(kmers, n_valid, table_kmers, starts_tbl, sizes_tbl, modulo,
+                 n_rows, max_scan):
+    """Per-query bucket scan via the modulo-sized bucket tables.
+
+    Returns (row_idx, hit_mask, n_in_bucket): row indices (n_q, max_scan),
+    boolean hit mask (False for padded queries), and bucket sizes."""
+    bucket = (kmers % modulo).astype(jnp.int64)
+    start = starts_tbl[bucket]
+    n = sizes_tbl[bucket].astype(jnp.int32)
+    rows_c, mask = _bucket_hits_from_ranges(kmers, n_valid, table_kmers,
+                                            start, n, n_rows, max_scan)
     return rows_c, mask, n
+
+
+@jax.jit
+def _ref_bucket_ranges(qb, tb):
+    """Per-query [start, size) row range under the REFERENCE modulo,
+    WITHOUT the modulo-sized bucket tables.
+
+    The row arrays are sorted by reference bucket, so a query's range is
+    (searchsorted left, searchsorted right) in the sorted bucket column
+    ``tb``. A direct device searchsorted is a ~24-step dependent-gather
+    binary search (~3M/s); instead ONE merged stable sort of
+    [table*2+1, query*2 (left probes), query*2+2 (right probes)] gives
+    every probe's rank, and #table-rows-before = merged_pos − probe_rank.
+    Device sort runs ~600M items/s, so this also beats the two
+    modulo-table gathers (~78M/s each) it replaces. Probe-key collisions
+    (right probe of bucket b == left probe of b+1) are harmless: no
+    table row separates equal keys, so both probes read the same count.
+    """
+    n = tb.shape[0]
+    n_q = qb.shape[0]
+    keys = jnp.concatenate(
+        [tb * 2 + 1, qb * 2, qb * 2 + 2]).astype(tb.dtype)
+    pv = jnp.concatenate([
+        jnp.full(n, -1, jnp.int32),
+        jnp.arange(n_q, dtype=jnp.int32),
+        n_q + jnp.arange(n_q, dtype=jnp.int32)])
+    _, pv_s = jax.lax.sort_key_val(keys, pv, is_stable=True)
+    m = n + 2 * n_q
+    is_q = pv_s >= 0
+    _, qpos = jax.lax.sort_key_val((~is_q).astype(jnp.int32),
+                                   jnp.arange(m, dtype=jnp.int32),
+                                   is_stable=True)
+    qpos = qpos[:2 * n_q]
+    j = jnp.arange(2 * n_q, dtype=jnp.int32)
+    cnt = qpos - j  # table rows before this probe
+    qid = pv_s[qpos]
+    left = jnp.zeros(n_q, jnp.int32).at[
+        jnp.where(qid < n_q, qid, n_q)].set(cnt, mode="drop")
+    right = jnp.zeros(n_q, jnp.int32).at[
+        jnp.where(qid >= n_q, qid - n_q, n_q)].set(cnt, mode="drop")
+    return left, right - left
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8))
@@ -239,8 +291,10 @@ def _compact_overflow(kmers, deep, r3, sz, overflow_cap):
     costs ~72M updates/s regardless of destination size)."""
     n = deep.shape[0]
     key = (~deep).astype(jnp.int32)
+    # int32 payload: query chunks are capped at 2^22, and halving the
+    # payload bytes measurably speeds the 600M items/s device sort
     _, oi_full = jax.lax.sort_key_val(
-        key, jnp.arange(n, dtype=jnp.int64), is_stable=True)
+        key, jnp.arange(n, dtype=jnp.int32), is_stable=True)
     n_overflow = jnp.sum(deep.astype(jnp.int32))
     oi = oi_full[:overflow_cap]
     # cap-sized gathers from the compacted positions
@@ -254,6 +308,43 @@ def _compact_overflow(kmers, deep, r3, sz, overflow_cap):
 # genomes): they skip the on-device scan — whose (cap, max_scan) matrix
 # must stay bounded — and resolve on host, deduplicated per unique kmer
 SCAN_CAP = 256
+
+# sort-key sentinel for missed hits: sorts after every real node id
+_NODE_SENT = jnp.int32(2**31 - 1)
+
+
+def _aggregate_counts_sorted(node_lists, n_nodes):
+    """Dense node counts from hit-node id arrays (misses = _NODE_SENT).
+
+    The direct formulation is one scatter-add per hit array, each costing
+    the FULL batch size at the chip's ~72M updates/s scatter rate — the
+    measured floor of the round-2 counts path. Since device sort runs
+    ~600M items/s, it is ~4x cheaper to sort all hit nodes, locate run
+    starts, compact the (at most n_nodes) runs with a second stable sort,
+    and scatter only the run-lengths: total cost 2 sorts + one scatter of
+    min(m, n_nodes+1) updates instead of m."""
+    allnodes = jnp.concatenate(node_lists)
+    m = allnodes.shape[0]
+    s = jax.lax.sort(allnodes)
+    is_start = (s != _NODE_SENT) & jnp.concatenate(
+        [jnp.ones(1, bool), s[1:] != s[:-1]])
+    n_runs = jnp.sum(is_start, dtype=jnp.int32)
+    n_valid = jnp.sum(s != _NODE_SENT, dtype=jnp.int32)
+    # stable sort by NOT-start floats run-start positions to the front
+    # in ascending order
+    _, pos = jax.lax.sort_key_val(
+        (~is_start).astype(jnp.int32), jnp.arange(m, dtype=jnp.int32),
+        is_stable=True)
+    cap = min(m, n_nodes + 1)
+    posc = pos[:cap]
+    nxt = jnp.concatenate([posc[1:], jnp.full((1,), m, jnp.int32)])
+    i = jnp.arange(cap, dtype=jnp.int32)
+    # run i spans [posc[i], next run start); the last run ends at the
+    # first sentinel position (= n_valid, sentinels sort to the back)
+    run_len = jnp.where(i < n_runs - 1, nxt, n_valid) - posc
+    u = jnp.where(i < n_runs, s[posc], n_nodes)  # OOB -> dropped
+    counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+    return counts.at[u].add(run_len, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
@@ -273,11 +364,21 @@ def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
     # (their record lanes duplicate the bucket's first rows)
     hit0 = hit0 & ~deep & ~ultra
     hit1 = hit1 & ~deep & ~ultra
-    counts = jnp.zeros(n_nodes, dtype=jnp.int32)
-    counts = counts.at[jnp.where(hit0, n0, n_nodes)].add(1, mode="drop")
-    counts = counts.at[jnp.where(hit1, r3.astype(jnp.int32), n_nodes)].add(
-        1, mode="drop")
+    # scatter-add costs ~72M updates/s regardless of destination size,
+    # sort ~600M items/s: when the node space is smaller than ~1.5x the
+    # hit-array total, sort-aggregating (one small scatter of run
+    # lengths) beats direct scatters of every hit (static choice)
+    use_sorted = (n_nodes + 1) < (3 * n_q) // 2
+    node_lists = [jnp.where(hit0, n0, _NODE_SENT),
+                  jnp.where(hit1, r3.astype(jnp.int32), _NODE_SENT)]
+    if not use_sorted:
+        counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+        for nl in node_lists:
+            counts = counts.at[jnp.where(nl == _NODE_SENT, n_nodes, nl)
+                               ].add(1, mode="drop")
     if max_scan <= 2:
+        if use_sorted:
+            counts = _aggregate_counts_sorted(node_lists, n_nodes)
         return counts, ultra
 
     overflow_cap = max(1024, n_q // 32)
@@ -291,8 +392,13 @@ def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
               < jnp.minimum(n_overflow, overflow_cap))
     mask = ((scan[None, :] < osz[:, None]) & (kmers_i[rows] == oq[:, None])
             & ovalid[:, None] & ~exceeded)
-    onodes = jnp.where(mask, nodes_i[rows].astype(jnp.int32), n_nodes)
-    counts = counts.at[onodes.reshape(-1)].add(1, mode="drop")
+    if use_sorted:
+        node_lists.append(jnp.where(
+            mask, nodes_i[rows].astype(jnp.int32), _NODE_SENT).reshape(-1))
+        counts = _aggregate_counts_sorted(node_lists, n_nodes)
+    else:
+        onodes = jnp.where(mask, nodes_i[rows].astype(jnp.int32), n_nodes)
+        counts = counts.at[onodes.reshape(-1)].add(1, mode="drop")
     return counts, ultra | (deep & exceeded)
 
 
@@ -338,19 +444,20 @@ def _has_kmers(kmers, n_valid, table_kmers, starts_tbl, sizes_tbl, modulo,
     return jnp.any(mask, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(10, 13))
+@functools.partial(jax.jit, static_argnums=(9, 12))
 def _get_batched_kernel(kmers, n_valid, table_kmers, table_nodes,
                         table_ref_offsets, table_frequencies,
-                        table_allele_frequencies, starts_tbl, sizes_tbl,
-                        modulo, max_scan, hit_cap, freq_cap, max_total):
+                        table_allele_frequencies, start, n_bucket,
+                        max_scan, hit_cap, freq_cap, max_total):
     """Fully on-device batched get with compaction: hits scatter into a
     fixed (5, max_total) matrix by prefix-sum position; returns the
     matrix + true hit count (caller re-runs with a bigger max_total on
     overflow). Replaces the Cython two-pass scan
-    (cython_kmer_index.pyx:57-107)."""
-    rows, mask, n_bucket = _bucket_hits(kmers, n_valid, table_kmers,
-                                        starts_tbl, sizes_tbl, modulo,
-                                        table_kmers.shape[0], max_scan)
+    (cython_kmer_index.pyx:57-107). Per-query bucket ranges come from
+    ``_ref_bucket_ranges`` (no modulo-sized tables)."""
+    rows, mask = _bucket_hits_from_ranges(kmers, n_valid, table_kmers,
+                                          start, n_bucket,
+                                          table_kmers.shape[0], max_scan)
     mask = mask & (n_bucket <= hit_cap)[:, None]
     mask = mask & (table_frequencies[rows] <= freq_cap)
     flat_mask = mask.reshape(-1)
@@ -432,6 +539,19 @@ class DeviceKmerIndex:
                     value = np.zeros(n, dtype=np.float32)
             self._cache[name] = jnp.asarray(value).astype(dtype)
         return self._cache[name]
+
+    @property
+    def sorted_buckets(self):
+        """Reference-modulo bucket id per row (rows are bucket-sorted) —
+        n-sized, NOT modulo-sized: with ``_ref_bucket_ranges`` it replaces
+        the starts/sizes bucket tables (3.6+ GB at the production modulo)
+        for ``get_batched``. int32 when 2*modulo+2 fits."""
+        if "sorted_buckets" not in self._cache:
+            tb = self.table_kmers % self.modulo
+            dtype = (jnp.int32 if 2 * int(self.modulo) + 2 < 2**31
+                     else jnp.int64)
+            self._cache["sorted_buckets"] = tb.astype(dtype)
+        return self._cache["sorted_buckets"]
 
     @property
     def max_scan(self):
@@ -571,13 +691,16 @@ class DeviceKmerIndex:
         scatter into a fixed-size matrix; retried bigger on overflow) so
         only the compact result transfers to host."""
         q, n = _pad_queries(kmers)
+        qj = jnp.asarray(q)
+        tb = self.sorted_buckets
+        start, size = _ref_bucket_ranges((qj % self.modulo).astype(tb.dtype),
+                                         tb)
         max_total = max(1024, 4 * len(q))
         while True:
             out, n_hits = _get_batched_kernel(
-                jnp.asarray(q), n, self.table_kmers, self.table_nodes,
+                qj, n, self.table_kmers, self.table_nodes,
                 self.table_ref_offsets, self.table_frequencies,
-                self.table_allele_frequencies, self.starts_tbl,
-                self.sizes_tbl, self.modulo, self.max_scan,
+                self.table_allele_frequencies, start, size, self.max_scan,
                 jnp.int32(hit_cap), jnp.int32(frequency_cap), max_total)
             n_hits = int(n_hits)
             if n_hits <= max_total:

@@ -225,6 +225,55 @@ def test_packed_lookup_deep_buckets():
     assert np.array_equal(np.asarray(has), expected_has)
 
 
+def test_ref_bucket_ranges_matches_searchsorted():
+    """The merged-sort range computation == numpy searchsorted l/r over
+    the sorted bucket column, incl. empty buckets, bucket 0, modulo-1,
+    and duplicate queries."""
+    from graph_kmer_index_tpu.ops.lookup import _ref_bucket_ranges
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    modulo = 97
+    tb = np.sort(rng.integers(0, modulo, 5000)).astype(np.int32)
+    qb = np.concatenate([rng.integers(0, modulo, 900),
+                         [0, 0, modulo - 1, 42, 42]]).astype(np.int32)
+    start, size = _ref_bucket_ranges(jnp.asarray(qb), jnp.asarray(tb))
+    left = np.searchsorted(tb, qb, side="left")
+    right = np.searchsorted(tb, qb, side="right")
+    got_start = np.asarray(start)
+    got_size = np.asarray(size)
+    assert np.array_equal(got_size, right - left)
+    # start is only meaningful for non-empty buckets
+    nz = got_size > 0
+    assert np.array_equal(got_start[nz], left[nz])
+
+
+def test_map_kmers_sorted_vs_scatter_paths():
+    """_node_counts_packed picks sort-aggregation when n_nodes is small
+    relative to the batch and direct scatter otherwise (a static, traced
+    choice). Both must produce identical counts. n_nodes=200 < 1.5*1024
+    triggers the sorted path; n_nodes=5000 > 1.5*1024 the scatter path."""
+    rng = np.random.default_rng(23)
+    n = 4000
+    flat = FlatKmers(rng.integers(0, 30000, n).astype(np.uint64),
+                     rng.integers(1, 180, n).astype(np.uint32),
+                     rng.integers(0, 1000, n).astype(np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=13)
+    queries = np.concatenate([
+        np.asarray(flat._hashes[::3], np.uint64),
+        rng.integers(0, 60000, 700).astype(np.uint64)])
+    small = np.asarray(index.map_kmers(queries, 200))
+    large = np.asarray(index.map_kmers(queries, 5000))
+    assert np.array_equal(small, large[:200])
+    assert large[200:].sum() == 0
+    expected = np.zeros(200, dtype=np.int64)
+    for q in queries:
+        hits = index.get(int(q), max_hits=10**9)
+        if hits[0] is not None:
+            for node in hits[0]:
+                expected[node] += 1
+    assert np.array_equal(small, expected)
+
+
 def test_index_bundle(tmp_path):
     from graph_kmer_index_tpu import IndexBundle
     flat = FlatKmers(np.array([5, 9], dtype=np.uint64), np.array([1, 2]))
