@@ -49,14 +49,17 @@ def main():
     # NB: the device tables are passed as ARGUMENTS — closing over them
     # bakes GB-scale constants into the compile request (HTTP 413 on
     # this backend's remote compile helper)
-    @jax.jit
-    def chain_counts_packed(q, reps, rec, ks, ns):
-        def body(i, x):
-            counts, _ = _node_counts_packed(x, x.shape[0], rec, ks, ns,
-                                            modulo2, n_nodes, max_sz)
-            return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
-                jnp.uint64)
-        return jax.lax.fori_loop(0, reps, body, q).sum()
+    def make_chain_counts(sort_agg):
+        @jax.jit
+        def chain_counts_packed(q, reps, rec, ks, ns):
+            def body(i, x):
+                counts, _ = _node_counts_packed(x, x.shape[0], rec, ks, ns,
+                                                modulo2, n_nodes, max_sz,
+                                                sort_agg)
+                return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
+                    jnp.uint64)
+            return jax.lax.fori_loop(0, reps, body, q).sum()
+        return chain_counts_packed
 
     @jax.jit
     def chain_has_packed(q, reps, rec, ks, ns):
@@ -75,7 +78,8 @@ def main():
                 jnp.uint64)
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
-    runs = [("counts/packed", chain_counts_packed, (rec, ks, ns)),
+    runs = [("counts/packed", make_chain_counts(False), (rec, ks, ns)),
+            ("counts/sortagg", make_chain_counts(True), (rec, ks, ns)),
             ("member/packed", chain_has_packed, (rec, ks, ns))]
     if "--csr" in sys.argv:
         runs.append(("counts/csr", chain_csr,

@@ -64,6 +64,16 @@ def _bucket_hits(kmers, n_valid, table_kmers, starts_tbl, sizes_tbl, modulo,
 
 
 @jax.jit
+def _ranges_from_tables(kmers, starts_tbl, sizes_tbl, modulo):
+    """Per-query [start, size) row range via the modulo-sized bucket
+    tables: two random gathers per query (~78M/s each). Preferred when
+    the tables are cheap (small modulo) or already resident in HBM
+    (device-built indexes)."""
+    b = (kmers % modulo).astype(jnp.int64)
+    return starts_tbl[b], sizes_tbl[b].astype(jnp.int32)
+
+
+@jax.jit
 def _ref_bucket_ranges(qb, tb):
     """Per-query [start, size) row range under the REFERENCE modulo,
     WITHOUT the modulo-sized bucket tables.
@@ -74,10 +84,13 @@ def _ref_bucket_ranges(qb, tb):
     binary search (~3M/s); instead ONE merged stable sort of
     [table*2+1, query*2 (left probes), query*2+2 (right probes)] gives
     every probe's rank, and #table-rows-before = merged_pos − probe_rank.
-    Device sort runs ~600M items/s, so this also beats the two
-    modulo-table gathers (~78M/s each) it replaces. Probe-key collisions
-    (right probe of bucket b == left probe of b+1) are harmless: no
-    table row separates equal keys, so both probes read the same count.
+    At the measured ~117M items/s sort rate this is SLOWER per batch
+    than the two bucket-table gathers of _ranges_from_tables — its value
+    is memory: no modulo-sized tables (3.6+ GB of HBM plus a multi-
+    minute tunnel transfer at the production modulo). Probe-key
+    collisions (right probe of bucket b == left probe of b+1) are
+    harmless: no table row separates equal keys, so both probes read
+    the same count.
     """
     n = tb.shape[0]
     n_q = qb.shape[0]
@@ -347,14 +360,21 @@ def _aggregate_counts_sorted(node_lists, n_nodes):
     return counts.at[u].add(run_len, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
-                        modulo2, n_nodes, max_scan):
+                        modulo2, n_nodes, max_scan, sort_agg=False):
     """Node counts from the packed layout. Returns (counts, host_mask):
     queries flagged in host_mask contributed NOTHING to counts and must
     be resolved by the caller (ultra-deep buckets always; deep buckets
     only in the pathological case that >1/32 of the batch is deep, when
-    the whole compacted scan is discarded rather than truncated)."""
+    the whole compacted scan is discarded rather than truncated).
+
+    ``sort_agg`` switches the counts aggregation from direct full-batch
+    scatter-adds to sort + run-length + small scatter
+    (_aggregate_counts_sorted). Measured on this chip the two are within
+    ~15% (sort runs ~117M items/s under load, not the 600M/s the
+    primitives bench saw uncontended), so direct scatter is the default;
+    the flag exists for A/B measurement (benchmarks/bench_lookup.py)."""
     n_q = kmers.shape[0]
     qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
         records, kmers, n_valid, modulo2)
@@ -364,11 +384,7 @@ def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
     # (their record lanes duplicate the bucket's first rows)
     hit0 = hit0 & ~deep & ~ultra
     hit1 = hit1 & ~deep & ~ultra
-    # scatter-add costs ~72M updates/s regardless of destination size,
-    # sort ~600M items/s: when the node space is smaller than ~1.5x the
-    # hit-array total, sort-aggregating (one small scatter of run
-    # lengths) beats direct scatters of every hit (static choice)
-    use_sorted = (n_nodes + 1) < (3 * n_q) // 2
+    use_sorted = sort_agg and (n_nodes + 1) < (3 * n_q) // 2
     node_lists = [jnp.where(hit0, n0, _NODE_SENT),
                   jnp.where(hit1, r3.astype(jnp.int32), _NODE_SENT)]
     if not use_sorted:
@@ -540,6 +556,23 @@ class DeviceKmerIndex:
             self._cache[name] = jnp.asarray(value).astype(dtype)
         return self._cache[name]
 
+    # modulo-sized bucket tables below this are considered cheap to hold
+    # (and, for host-built indexes, to transfer) — above it, per-query
+    # ranges come from the merged-sort searchsorted over the n-sized
+    # bucket column instead
+    BUCKET_TABLE_BYTE_BUDGET = 256 << 20
+
+    def _bucket_tables_cheap(self):
+        """True when get_batched should use the modulo-sized bucket
+        tables (two fast gathers/query): they are already device-resident
+        (device-built index), or small enough to transfer and keep."""
+        if "starts_tbl" in self._cache:
+            return True
+        host = self._host._hashes_to_index
+        if host is not None and not isinstance(host, np.ndarray):
+            return True  # already a device array (device-built index)
+        return int(self.modulo) * 12 <= self.BUCKET_TABLE_BYTE_BUDGET
+
     @property
     def sorted_buckets(self):
         """Reference-modulo bucket id per row (rows are bucket-sorted) —
@@ -692,9 +725,13 @@ class DeviceKmerIndex:
         only the compact result transfers to host."""
         q, n = _pad_queries(kmers)
         qj = jnp.asarray(q)
-        tb = self.sorted_buckets
-        start, size = _ref_bucket_ranges((qj % self.modulo).astype(tb.dtype),
-                                         tb)
+        if self._bucket_tables_cheap():
+            start, size = _ranges_from_tables(qj, self.starts_tbl,
+                                              self.sizes_tbl, self.modulo)
+        else:
+            tb = self.sorted_buckets
+            start, size = _ref_bucket_ranges(
+                (qj % self.modulo).astype(tb.dtype), tb)
         max_total = max(1024, 4 * len(q))
         while True:
             out, n_hits = _get_batched_kernel(

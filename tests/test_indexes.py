@@ -247,6 +247,32 @@ def test_ref_bucket_ranges_matches_searchsorted():
     assert np.array_equal(got_start[nz], left[nz])
 
 
+def test_get_batched_ranges_path_matches_table_path():
+    """get_batched with per-query ranges from the merged-sort
+    searchsorted (production-modulo regime, no bucket tables) must equal
+    the bucket-table gather path bit for bit."""
+    from graph_kmer_index_tpu.ops.lookup import DeviceKmerIndex
+    rng = np.random.default_rng(31)
+    n = 3000
+    flat = FlatKmers(rng.integers(0, 50000, n).astype(np.uint64),
+                     rng.integers(1, 300, n).astype(np.uint32),
+                     rng.integers(0, 2000, n).astype(np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101)
+    queries = np.concatenate([
+        np.asarray(flat._hashes[:400], np.uint64),
+        rng.integers(0, 100000, 200).astype(np.uint64)])
+    via_tables = index.get_batched(queries)
+    old = DeviceKmerIndex.BUCKET_TABLE_BYTE_BUDGET
+    try:
+        DeviceKmerIndex.BUCKET_TABLE_BYTE_BUDGET = 0
+        dev2 = DeviceKmerIndex.from_host_index(index)
+        assert not dev2._bucket_tables_cheap()
+        via_ranges = dev2.get_batched(queries)
+    finally:
+        DeviceKmerIndex.BUCKET_TABLE_BYTE_BUDGET = old
+    assert np.array_equal(np.asarray(via_tables), np.asarray(via_ranges))
+
+
 def test_map_kmers_sorted_vs_scatter_paths():
     """_node_counts_packed picks sort-aggregation when n_nodes is small
     relative to the batch and direct scatter otherwise (a static, traced
