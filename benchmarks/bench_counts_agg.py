@@ -1,5 +1,7 @@
-"""Isolate the counts-aggregation strategies: direct scatter-add of every
-hit vs sort-aggregate (sort nodes, compact runs, scatter run lengths).
+"""Isolate the counts-aggregation primitives with SCALAR-dependence
+chains (body returns x ^ counts[0]); the earlier bench_primitives
+scatter chain folded a same-size random gather into the body, so its
+"72M updates/s scatter" was really gather+scatter combined.
 
 Usage: python benchmarks/bench_counts_agg.py [n_hits] [n_nodes]
 """
@@ -22,32 +24,41 @@ def main():
     nodes[rng.random(n) < 0.5] = int(_NODE_SENT)  # half misses
     nodes_j = jnp.asarray(nodes)
 
-    def scatter_direct(nl, n_nodes):
+    def scatter1(nl, n_nodes):
         counts = jnp.zeros(n_nodes, dtype=jnp.int32)
         return counts.at[jnp.where(nl == _NODE_SENT, n_nodes, nl)].add(
             1, mode="drop")
 
-    def sort_only(nl, n_nodes):
-        s = jax.lax.sort(nl)
-        return jnp.zeros(n_nodes, jnp.int32).at[0].set(s[0] ^ s[-1])
+    def scatter2(nl, n_nodes):
+        # the real counts path: two full-batch scatters into one array
+        counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+        h = nl.shape[0] // 2
+        counts = counts.at[jnp.where(nl[:h] == _NODE_SENT, n_nodes, nl[:h])
+                           ].add(1, mode="drop")
+        return counts.at[jnp.where(nl[h:] == _NODE_SENT, n_nodes, nl[h:])
+                         ].add(1, mode="drop")
 
-    def sortkv_only(nl, n_nodes):
-        _, p = jax.lax.sort_key_val(
-            nl, jnp.arange(nl.shape[0], dtype=jnp.int32), is_stable=True)
-        return jnp.zeros(n_nodes, jnp.int32).at[0].set(p[0] ^ p[-1])
+    def sortagg(nl, nn):
+        return _aggregate_counts_sorted([nl], nn)
+
+    def gather_same_size(nl, n_nodes):
+        # reference point: one full-size random gather (no scatter)
+        counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+        g = counts[(nl & (n_nodes - 1)).astype(jnp.int32)]
+        return counts.at[0].set(g.sum())
 
     variants = [
-        ("scatter", scatter_direct),
-        ("sortagg", lambda nl, nn: _aggregate_counts_sorted([nl], nn)),
-        ("sort1", sort_only),
-        ("sortkv", sortkv_only),
+        ("scatter1", scatter1),
+        ("scatter2", scatter2),
+        ("sortagg", sortagg),
+        ("gather", gather_same_size),
     ]
     for name, fn in variants:
         @jax.jit
         def chain(x, reps, fn=fn):
             def body(i, x):
                 counts = fn(x, n_nodes)
-                return x ^ counts[(x & (n_nodes - 1)).astype(jnp.int32)]
+                return x ^ counts[0]
             return jax.lax.fori_loop(0, reps, body, x).sum()
 
         int(chain(nodes_j, 2))

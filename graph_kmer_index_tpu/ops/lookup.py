@@ -84,10 +84,11 @@ def _ref_bucket_ranges(qb, tb):
     binary search (~3M/s); instead ONE merged stable sort of
     [table*2+1, query*2 (left probes), query*2+2 (right probes)] gives
     every probe's rank, and #table-rows-before = merged_pos − probe_rank.
-    At the measured ~117M items/s sort rate this is SLOWER per batch
-    than the two bucket-table gathers of _ranges_from_tables — its value
-    is memory: no modulo-sized tables (3.6+ GB of HBM plus a multi-
-    minute tunnel transfer at the production modulo). Probe-key
+    At measured rates (sort ~450-650M items/s, modulo-table gathers
+    ~78M/s) the two range sources are roughly a WASH per batch at scale;
+    this one's value is memory: no modulo-sized tables (3.6+ GB of HBM
+    plus a multi-minute tunnel transfer at the production modulo, vs an
+    n-sized int32 column). Probe-key
     collisions (right probe of bucket b == left probe of b+1) are
     harmless: no table row separates equal keys, so both probes read
     the same count.
@@ -132,7 +133,8 @@ def _node_counts(kmers, n_valid, table_kmers, table_nodes, starts_tbl,
 #
 # Measured on this chip (benchmarks/bench_primitives.py, v5e): random
 # gather of contiguous 16-32B records ~100M/s, 8B gather ~78M/s,
-# scatter-add ~72M/s, device sort ~600M/s. The fastest exact lookup is
+# scatter-add ~150M/s isolated, device sort ~450-650M/s. The fastest
+# exact lookup is
 # therefore ONE gather of a packed 32-byte record per query — NOT the
 # reference's bucket-pointer chase (cython_kmer_index.pyx:57-72), which
 # costs 2 + 2*bucket_size dependent random reads.
@@ -299,9 +301,9 @@ def _compact_overflow(kmers, deep, r3, sz, overflow_cap):
     (kmers, starts, sizes, orig_idx, n_overflow) side arrays.
 
     A stable sort by NOT-deep floats the deep queries to the front in
-    original order; device sort runs ~600M items/s on this chip — 8x
-    cheaper than the prefix-sum + full-size scatter formulation (scatter
-    costs ~72M updates/s regardless of destination size)."""
+    original order; device sort runs ~450-650M items/s on this chip —
+    several times cheaper than the prefix-sum + full-size scatter
+    formulation."""
     n = deep.shape[0]
     key = (~deep).astype(jnp.int32)
     # int32 payload: query chunks are capped at 2^22, and halving the
@@ -329,13 +331,14 @@ _NODE_SENT = jnp.int32(2**31 - 1)
 def _aggregate_counts_sorted(node_lists, n_nodes):
     """Dense node counts from hit-node id arrays (misses = _NODE_SENT).
 
-    The direct formulation is one scatter-add per hit array, each costing
-    the FULL batch size at the chip's ~72M updates/s scatter rate — the
-    measured floor of the round-2 counts path. Since device sort runs
-    ~600M items/s, it is ~4x cheaper to sort all hit nodes, locate run
-    starts, compact the (at most n_nodes) runs with a second stable sort,
-    and scatter only the run-lengths: total cost 2 sorts + one scatter of
-    min(m, n_nodes+1) updates instead of m."""
+    Isolated rates on this chip (benchmarks/bench_counts_agg.py, 8.4M
+    hits, 1M nodes): full-batch scatter-add ~150M updates/s, device sort
+    ~650M items/s, this aggregation 190M hits/s — ~25% cheaper than
+    direct scatters when n_nodes is well below the hit count (2 sorts +
+    one scatter of min(m, n_nodes+1) run-lengths instead of m updates).
+    NB round 2's "72M/s scatter floor" was a chain artifact: that
+    harness's loop body folded a same-size random gather into the
+    measured op."""
     allnodes = jnp.concatenate(node_lists)
     m = allnodes.shape[0]
     s = jax.lax.sort(allnodes)
@@ -371,10 +374,12 @@ def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
 
     ``sort_agg`` switches the counts aggregation from direct full-batch
     scatter-adds to sort + run-length + small scatter
-    (_aggregate_counts_sorted). Measured on this chip the two are within
-    ~15% (sort runs ~117M items/s under load, not the 600M/s the
-    primitives bench saw uncontended), so direct scatter is the default;
-    the flag exists for A/B measurement (benchmarks/bench_lookup.py)."""
+    (_aggregate_counts_sorted): measured end-to-end 22.1 vs 20.8 M
+    lookups/s on the 16M-row table (benchmarks/bench_lookup.py), so
+    callers enable it and the internal n_nodes-vs-batch threshold picks
+    per shape. The counts path is decode-bound either way — the record
+    gather plus lane selection is the ~93ms floor shared with
+    _has_kmers_packed; aggregation adds the rest."""
     n_q = kmers.shape[0]
     qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
         records, kmers, n_valid, modulo2)
@@ -700,7 +705,7 @@ class DeviceKmerIndex:
             rec, ks, ns, modulo2, max_sz = packed
             counts, host_mask = _node_counts_packed(
                 jnp.asarray(q), n, rec, ks, ns, modulo2, int(n_nodes),
-                max_sz)
+                max_sz, True)
             res = np.asarray(counts).astype(np.int64)
             um = np.asarray(host_mask)[:n]
             if um.any():
