@@ -120,7 +120,7 @@ class CollisionFreeKmerIndex:
         kmers_s, nodes_s, ref_offsets_s, af_s = rows
 
         if isinstance(lookup, np.ndarray):
-            lookup = lookup.astype(np.int32)  # device tables stay int64
+            lookup = lookup.astype(np.int32)  # device tables are int32 too
         obj = cls(lookup, n_kmers, nodes_s, ref_offsets_s,
                   kmers_s, modulo, _allele_frequencies=af_s)
         obj.set_frequencies(skip_frequencies, use_device=use_device)

@@ -23,22 +23,32 @@ import numpy as np
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _sort_rows(kmers, row_ids, modulo):
-    """Stable sort of (bucket, original_row) pairs; returns permutation."""
-    buckets = (kmers % jnp.uint64(modulo)).astype(jnp.int64)
+    """Stable sort of (bucket, original_row) pairs; returns permutation.
+    Bucket keys use int32 when the modulo fits (int64 is emulated on
+    this TPU and sorts ~2x slower)."""
+    buckets = kmers % jnp.uint64(modulo)
+    buckets = (buckets.astype(jnp.int32) if modulo < 2**31
+               else buckets.astype(jnp.int64))
     _, perm = jax.lax.sort_key_val(buckets, row_ids, is_stable=True)
     return perm
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _bucket_tables(sorted_buckets, modulo):
-    """starts[modulo], sizes[modulo] from the sorted bucket column."""
+    """starts[modulo], sizes[modulo] from the sorted bucket column.
+
+    Both tables are int32: row counts are < 2^31 everywhere (the
+    reference caps kmer counts below 2^32, reference_kmer_index.py:89),
+    and int64 is X64-emulated on this TPU — an int64 starts table made
+    this scatter pair ~20x slower AND doubles the dominant HBM cost of
+    the modulo-sized tables."""
     n = sorted_buckets.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int64)
+    idx = jnp.arange(n, dtype=jnp.int32)
     is_first = jnp.concatenate(
         [jnp.ones(1, bool), sorted_buckets[1:] != sorted_buckets[:-1]])
     # scatter each bucket's first row index; non-first rows aim at an
     # out-of-range slot and are dropped
-    starts = jnp.zeros(modulo, jnp.int64).at[
+    starts = jnp.zeros(modulo, jnp.int32).at[
         jnp.where(is_first, sorted_buckets, modulo)].set(idx, mode="drop")
     sizes = jnp.zeros(modulo, jnp.int32).at[sorted_buckets].add(
         1, mode="drop")
@@ -65,19 +75,20 @@ def _frequencies_device(sorted_kmers, sorted_ref_offsets):
 def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
     """Device equivalent of models.kmer_index._build_modulo_layout.
 
-    Returns (lookup_starts int64[modulo], sizes int32[modulo],
+    Returns (lookup_starts int32[modulo], sizes int32[modulo],
     [row arrays sorted by bucket], permutation). The modulo-sized bucket
     tables are returned as DEVICE (jax) arrays — at production modulo
-    (452930477 buckets, ~5 GB) materializing them host-side costs more
-    than the whole build; they live in HBM where the lookup kernels read
-    them anyway. Row arrays stay host-side (numpy).
+    (452930477 buckets, ~3.6 GB as int32 pairs) materializing them
+    host-side costs more than the whole build; they live in HBM where
+    the lookup kernels read them anyway. Row arrays stay host-side
+    (numpy).
     """
     n = len(hashes)
     if n == 0:
-        return (np.zeros(modulo, np.int64), np.zeros(modulo, np.uint32),
+        return (np.zeros(modulo, np.int32), np.zeros(modulo, np.uint32),
                 [np.asarray(a) for a in row_arrays], np.zeros(0, np.int64))
     kmers_j = jnp.asarray(np.asarray(hashes, dtype=np.uint64))
-    perm = _sort_rows(kmers_j, jnp.arange(n, dtype=jnp.int64), int(modulo))
+    perm = _sort_rows(kmers_j, jnp.arange(n, dtype=jnp.int32), int(modulo))
     sorted_buckets = (kmers_j[perm] % jnp.uint64(modulo)).astype(jnp.int64)
     starts, sizes = _bucket_tables(sorted_buckets, int(modulo))
     # row reorder happens on device too: the arrays are headed for HBM
@@ -94,7 +105,7 @@ def _frequencies_full_device(kmers, ref_offsets):
     n = kmers.shape[0]
     sk, sr, sidx = jax.lax.sort(
         (kmers, ref_offsets.astype(jnp.int64),
-         jnp.arange(n, dtype=jnp.int64)), num_keys=2, is_stable=True)
+         jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=True)
     freqs_sorted = _frequencies_device(sk, sr)
     return jnp.zeros(n, jnp.int32).at[sidx].set(freqs_sorted)
 
