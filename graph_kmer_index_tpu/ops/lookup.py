@@ -186,10 +186,14 @@ def internal_modulo(n_rows: int) -> int:
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _packed_sort(kmers, nodes, modulo2):
-    """Stage 1: sort rows by internal bucket."""
+    """Stage 1: sort rows by internal bucket. int32 keys/permutation
+    when the modulo fits: int64 is X64Combine-emulated on this TPU and
+    sorts/gathers ~2x slower."""
     n = kmers.shape[0]
-    bucket = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
-    idx = jnp.arange(n, dtype=jnp.int64)
+    bucket = kmers % jnp.uint64(modulo2)
+    bucket = (bucket.astype(jnp.int32) if modulo2 < 2**31
+              else bucket.astype(jnp.int64))
+    idx = jnp.arange(n, dtype=jnp.int32)
     bs, perm = jax.lax.sort_key_val(bucket, idx, is_stable=True)
     return bs, kmers[perm], nodes[perm].astype(jnp.uint32)
 
@@ -214,7 +218,7 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     and the sentinel kmer lanes can never match a query (hashes < 4^31).
     Staging (see _build_packed) keeps peak HBM at ~records + row arrays."""
     n = bs.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int64)
+    idx = jnp.arange(n, dtype=jnp.int32)
     is_first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
     is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
         & ~is_first
@@ -222,21 +226,26 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     # buckets (16 x 8 lanes) per 128-lane row, the only minor-dim size
     # the TPU stores without tile padding
     flat_len = 8 * (-(-modulo2 // 16) * 16)
-    oob = jnp.int64(flat_len)
+    # int32 scatter indices whenever the buffer fits: int64 scatter
+    # indices are emulated and cost ~7x (measured on _bucket_tables)
+    idt = jnp.int32 if flat_len < 2**31 else jnp.int64
+    oob = idt(flat_len)
+    tb = bs.astype(idt) * 8
     ks_lo = (ks & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     ks_hi = (ks >> jnp.uint64(32)).astype(jnp.uint32)
     rec = jnp.full(flat_len, jnp.uint32(0xFFFFFFFF))
-    t_first = jnp.where(is_first, 8 * bs, oob)
-    rec = rec.at[t_first].set(ks_lo, mode="drop")
-    rec = rec.at[t_first + 1].set(ks_hi, mode="drop")
-    rec = rec.at[t_first + 2].set(ns, mode="drop")
-    rec = rec.at[t_first + 3].set(
+    # ONE scatter triple covers both slots — the bucket's first row
+    # targets lane base 8b, its second (size-2 buckets only) 8b+4; the
+    # n-sized scatters dominate this stage, so 5 instead of 8 of them
+    # is a direct ~1.5x
+    base = jnp.where(is_first, tb,
+                     jnp.where(is_second & (sz_row == 2), tb + 4, oob))
+    rec = rec.at[base].set(ks_lo, mode="drop")
+    rec = rec.at[base + 1].set(ks_hi, mode="drop")
+    rec = rec.at[base + 2].set(ns, mode="drop")
+    rec = rec.at[jnp.where(is_first, tb + 3, oob)].set(
         ~sz_row.astype(jnp.uint32), mode="drop")
-    t_second = jnp.where(is_second & (sz_row == 2), 8 * bs + 4, oob)
-    rec = rec.at[t_second].set(ks_lo, mode="drop")
-    rec = rec.at[t_second + 1].set(ks_hi, mode="drop")
-    rec = rec.at[t_second + 2].set(ns, mode="drop")
-    t_deep = jnp.where(is_first & (sz_row > 2), 8 * bs + 6, oob)
+    t_deep = jnp.where(is_first & (sz_row > 2), tb + 6, oob)
     rec = rec.at[t_deep].set(idx.astype(jnp.uint32), mode="drop")
     return rec
 
@@ -270,7 +279,10 @@ def _packed_decode(records, kmers, n_valid, modulo2):
     slot-select — compares in native uint32 lanes, no second gather."""
     n_q = kmers.shape[0]
     qvalid = jnp.arange(n_q) < n_valid
-    b = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
+    # int32 bucket/row index when the modulo fits (int64 arithmetic and
+    # gather indices are emulated on this TPU)
+    b = kmers % jnp.uint64(modulo2)
+    b = (b.astype(jnp.int32) if modulo2 < 2**31 else b.astype(jnp.int64))
     q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
     row = b // 16
@@ -312,9 +324,10 @@ def _compact_overflow(kmers, deep, r3, sz, overflow_cap):
         key, jnp.arange(n, dtype=jnp.int32), is_stable=True)
     n_overflow = jnp.sum(deep.astype(jnp.int32))
     oi = oi_full[:overflow_cap]
-    # cap-sized gathers from the compacted positions
+    # cap-sized gathers from the compacted positions; int32 row starts
+    # (table rows < 2^31 everywhere; int64 indexing is emulated)
     oq = kmers[oi]
-    ostart = r3[oi].astype(jnp.int64)
+    ostart = r3[oi].astype(jnp.int32)
     osz = sz[oi]
     return oq, ostart, osz, oi, n_overflow
 
@@ -406,7 +419,7 @@ def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
     oq, ostart, osz, _oi, n_overflow = _compact_overflow(
         kmers, deep, r3, sz, overflow_cap)
     exceeded = n_overflow > overflow_cap
-    scan = jnp.arange(min(max_scan, SCAN_CAP), dtype=jnp.int64)
+    scan = jnp.arange(min(max_scan, SCAN_CAP), dtype=jnp.int32)
     rows = jnp.minimum(ostart[:, None] + scan[None, :],
                        kmers_i.shape[0] - 1)
     ovalid = (jnp.arange(overflow_cap)
@@ -443,7 +456,7 @@ def _has_kmers_packed(kmers, n_valid, records, kmers_i, modulo2, max_scan):
     oq, ostart, osz, oi, n_overflow = _compact_overflow(
         kmers, deep, r3, sz, overflow_cap)
     exceeded = n_overflow > overflow_cap
-    scan = jnp.arange(min(max_scan, SCAN_CAP), dtype=jnp.int64)
+    scan = jnp.arange(min(max_scan, SCAN_CAP), dtype=jnp.int32)
     rows = jnp.minimum(ostart[:, None] + scan[None, :],
                        kmers_i.shape[0] - 1)
     ovalid = (jnp.arange(overflow_cap)
