@@ -78,7 +78,8 @@ def main():
     perm = stage("1 sort+perm", lambda: _sort_rows(kmers, row_ids, modulo))
     kmers_s = kmers[perm]
     offs_s = offs[perm]
-    sorted_buckets = (kmers_s % jnp.uint64(modulo)).astype(jnp.int64)
+    sorted_buckets = (kmers_s % jnp.uint64(modulo)).astype(
+        jnp.int32 if modulo < 2**31 else jnp.int64)  # matches production
     sync((kmers_s, offs_s, sorted_buckets))
     stage("2 bucket tables", lambda: _bucket_tables(sorted_buckets, modulo))
     stage("3 frequencies", lambda: _frequencies_full_device(kmers_s, offs_s))

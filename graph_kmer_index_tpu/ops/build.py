@@ -55,23 +55,6 @@ def _bucket_tables(sorted_buckets, modulo):
     return starts, sizes
 
 
-@jax.jit
-def _frequencies_device(sorted_kmers, sorted_ref_offsets):
-    """frequency[row] = #distinct ref offsets among rows with same kmer
-    (vectorized equivalent of reference collision_free_kmer_index.py
-    :267-293); rows must be sorted by (kmer, ref_offset)."""
-    n = sorted_kmers.shape[0]
-    new_kmer = jnp.concatenate(
-        [jnp.ones(1, bool), sorted_kmers[1:] != sorted_kmers[:-1]])
-    new_pair = new_kmer | jnp.concatenate(
-        [jnp.ones(1, bool),
-         sorted_ref_offsets[1:] != sorted_ref_offsets[:-1]])
-    seg_id = jnp.cumsum(new_kmer.astype(jnp.int32)) - 1
-    counts = jnp.zeros(n, jnp.int32).at[seg_id].add(
-        new_pair.astype(jnp.int32))
-    return counts[seg_id]
-
-
 def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
     """Device equivalent of models.kmer_index._build_modulo_layout.
 
@@ -89,7 +72,10 @@ def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
                 [np.asarray(a) for a in row_arrays], np.zeros(0, np.int64))
     kmers_j = jnp.asarray(np.asarray(hashes, dtype=np.uint64))
     perm = _sort_rows(kmers_j, jnp.arange(n, dtype=jnp.int32), int(modulo))
-    sorted_buckets = (kmers_j[perm] % jnp.uint64(modulo)).astype(jnp.int64)
+    sorted_buckets = kmers_j[perm] % jnp.uint64(modulo)
+    # int32 scatter indices when the modulo fits (int64 emulated)
+    sorted_buckets = (sorted_buckets.astype(jnp.int32) if modulo < 2**31
+                      else sorted_buckets.astype(jnp.int64))
     starts, sizes = _bucket_tables(sorted_buckets, int(modulo))
     # row reorder happens on device too: the arrays are headed for HBM
     # anyway (lookup kernels) and a host round-trip of the permutation
@@ -100,13 +86,32 @@ def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
 
 @jax.jit
 def _frequencies_full_device(kmers, ref_offsets):
-    """Fully on-device per-row frequencies: two-key sort by
-    (kmer, ref_offset), segment distinct-pair count, scatter back."""
+    """Fully on-device per-row frequencies: lexicographic sort by
+    (kmer, ref_offset), segment distinct-pair count, scatter back.
+    frequency[row] = #distinct ref offsets among rows with the same kmer
+    (vectorized equivalent of reference collision_free_kmer_index.py
+    :267-293).
+
+    Sort keys are THREE native u32 lanes (kmer hi, kmer lo, ref offset
+    as u32 — genome offsets are < 2^32) instead of u64+i64: int64 keys
+    are X64Combine-emulated on this TPU and sort ~25% slower as 4
+    lanes."""
     n = kmers.shape[0]
-    sk, sr, sidx = jax.lax.sort(
-        (kmers, ref_offsets.astype(jnp.int64),
-         jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=True)
-    freqs_sorted = _frequencies_device(sk, sr)
+    k_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+    k_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    ro = ref_offsets.astype(jnp.uint64).astype(jnp.uint32)
+    hi_s, lo_s, ro_s, sidx = jax.lax.sort(
+        (k_hi, k_lo, ro, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=3, is_stable=True)
+    new_kmer = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+    new_pair = new_kmer | jnp.concatenate(
+        [jnp.ones(1, bool), ro_s[1:] != ro_s[:-1]])
+    seg_id = jnp.cumsum(new_kmer.astype(jnp.int32)) - 1
+    counts = jnp.zeros(n, jnp.int32).at[seg_id].add(
+        new_pair.astype(jnp.int32))
+    freqs_sorted = counts[seg_id]
     return jnp.zeros(n, jnp.int32).at[sidx].set(freqs_sorted)
 
 
