@@ -84,6 +84,45 @@ class _TreatedIntervals:
         self._map.setdefault((node, fs), []).append((o1, o2))
 
 
+def _dedup_span_nodes(raw_nl, raw_nodes, af_table, only_save_one=False,
+                      only_store_nodes=None):
+    """Vectorized per-span node-set resolution shared by the host and
+    device finalize paths: dedup ascending, min allele frequency,
+    only_save_one/only_store filters — semantics of the reference's
+    per-kmer _add_kmer (kmer_finder.py:128-168).
+
+    raw_nl[i] = length of span i's raw node list; raw_nodes = the
+    concatenated lists. Returns (nl, ns, span_nodes, s_af): per-span
+    deduped list lengths, exclusive starts, concatenated deduped node
+    lists, and per-span min allele frequency (over the RAW list).
+    """
+    raw_nl = np.asarray(raw_nl, dtype=np.int64)
+    n_spans = len(raw_nl)
+    span_id = np.repeat(np.arange(n_spans), raw_nl)
+    af_raw = af_table[raw_nodes]
+    seg_starts = np.concatenate([[0], np.cumsum(raw_nl)[:-1]])
+    s_af = np.minimum.reduceat(af_raw, seg_starts) \
+        if len(af_raw) else np.zeros(0)
+    order = np.lexsort((raw_nodes, span_id))
+    sid = span_id[order]
+    vals = raw_nodes[order]
+    first = np.ones(len(vals), dtype=bool)
+    first[1:] = (sid[1:] != sid[:-1]) | (vals[1:] != vals[:-1])
+    u_sid = sid[first]
+    u_vals = vals[first]
+    if only_save_one:
+        keep1 = np.ones(len(u_sid), dtype=bool)
+        keep1[1:] = u_sid[1:] != u_sid[:-1]
+        u_sid, u_vals = u_sid[keep1], u_vals[keep1]
+    if only_store_nodes is not None:
+        allowed = np.array(sorted(only_store_nodes), dtype=np.int64)
+        keep2 = np.isin(u_vals, allowed)
+        u_sid, u_vals = u_sid[keep2], u_vals[keep2]
+    nl = np.bincount(u_sid, minlength=n_spans).astype(np.int64)
+    ns = np.concatenate([[0], np.cumsum(nl)[:-1]])
+    return nl, ns, u_vals, s_af
+
+
 class DenseKmerFinder:
     """Find all k-mers in a graph (API-compatible with the reference class,
     kmer_finder.py:37-105)."""
@@ -740,33 +779,9 @@ class DenseKmerFinder:
         raw_nl = self._span_nodes_len.get_nparray().astype(np.int64)
         raw_nodes = self._span_nodes.get_nparray()
 
-        # vectorized per-span node-set resolution (dedup ascending, min
-        # allele frequency, only_save_one/only_store filters) — semantics
-        # of the reference's per-kmer _add_kmer (kmer_finder.py:128-168)
-        span_id = np.repeat(np.arange(n_spans), raw_nl)
-        af_raw = self._graph.allele_frequencies[raw_nodes]
-        seg_starts = np.concatenate([[0], np.cumsum(raw_nl)[:-1]])
-        s_af = np.minimum.reduceat(af_raw, seg_starts) \
-            if len(af_raw) else np.zeros(0)
-        order = np.lexsort((raw_nodes, span_id))
-        sid = span_id[order]
-        vals = raw_nodes[order]
-        first = np.ones(len(vals), dtype=bool)
-        first[1:] = (sid[1:] != sid[:-1]) | (vals[1:] != vals[:-1])
-        u_sid = sid[first]
-        u_vals = vals[first]
-        if self._only_save_one_node_per_kmer:
-            keep1 = np.ones(len(u_sid), dtype=bool)
-            keep1[1:] = u_sid[1:] != u_sid[:-1]
-            u_sid, u_vals = u_sid[keep1], u_vals[keep1]
-        if self._only_store_nodes is not None:
-            allowed = np.array(sorted(self._only_store_nodes),
-                               dtype=np.int64)
-            keep2 = np.isin(u_vals, allowed)
-            u_sid, u_vals = u_sid[keep2], u_vals[keep2]
-        nl = np.bincount(u_sid, minlength=n_spans).astype(np.int64)
-        ns = np.concatenate([[0], np.cumsum(nl)[:-1]])
-        span_nodes = u_vals
+        nl, ns, span_nodes, s_af = _dedup_span_nodes(
+            raw_nl, raw_nodes, self._graph.allele_frequencies,
+            self._only_save_one_node_per_kmer, self._only_store_nodes)
 
         # per-window arrays (window order == emission order)
         win_span = np.repeat(np.arange(n_spans), nw)

@@ -27,6 +27,11 @@ from ..hashing import kmer_hash_to_sequence, sequence_to_kmer_hash, \
     kmer_hashes_to_reverse_complement_hash
 
 
+def _is_device_array(a):
+    """True for a JAX device array (duck-typed: no jax import needed)."""
+    return not isinstance(a, np.ndarray) and hasattr(a, "devices")
+
+
 def _build_modulo_layout(hashes, modulo, row_arrays):
     """Sort rows by bucket and scatter bucket starts/sizes.
 
@@ -100,10 +105,21 @@ class CollisionFreeKmerIndex:
         if skip_singletons:
             flat_kmers = flat_kmers.get_new_without_singletons()
 
-        kmers = np.asarray(flat_kmers._hashes, dtype=np.uint64)
-        row_arrays = [kmers, np.asarray(flat_kmers._nodes),
-                      np.asarray(flat_kmers._ref_offsets),
-                      np.asarray(flat_kmers._allele_frequencies)]
+        if _is_device_array(flat_kmers._hashes):
+            # device-resident FlatKmers (e.g. find_kmers_parallel_device):
+            # zero-copy into the device build — no host round-trip
+            import jax.numpy as jnp
+            kmers = jnp.asarray(flat_kmers._hashes, dtype=jnp.uint64)
+            row_arrays = [kmers, jnp.asarray(flat_kmers._nodes),
+                          jnp.asarray(flat_kmers._ref_offsets),
+                          jnp.asarray(flat_kmers._allele_frequencies)]
+            if use_device is None:
+                use_device = True
+        else:
+            kmers = np.asarray(flat_kmers._hashes, dtype=np.uint64)
+            row_arrays = [kmers, np.asarray(flat_kmers._nodes),
+                          np.asarray(flat_kmers._ref_offsets),
+                          np.asarray(flat_kmers._allele_frequencies)]
         if use_device is None:
             # the modulo-sized bucket tables dominate build cost; above a
             # few million buckets they should be built (and stay) in HBM

@@ -70,7 +70,10 @@ def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
     if n == 0:
         return (np.zeros(modulo, np.int32), np.zeros(modulo, np.uint32),
                 [np.asarray(a) for a in row_arrays], np.zeros(0, np.int64))
-    kmers_j = jnp.asarray(np.asarray(hashes, dtype=np.uint64))
+    if isinstance(hashes, jnp.ndarray):
+        kmers_j = hashes.astype(jnp.uint64)  # device input: zero-copy
+    else:
+        kmers_j = jnp.asarray(np.asarray(hashes, dtype=np.uint64))
     perm = _sort_rows(kmers_j, jnp.arange(n, dtype=jnp.int32), int(modulo))
     sorted_buckets = kmers_j[perm] % jnp.uint64(modulo)
     # int32 scatter indices when the modulo fits (int64 emulated)

@@ -57,6 +57,29 @@ def _run_chunk(chunk):
             np.asarray(flat._allele_frequencies))
 
 
+def _run_chunk_spans(chunk):
+    """Like _run_chunk but returns the finder's COMPACT span
+    representation (tape + per-span descriptors) instead of expanded
+    rows — ~30x smaller, for the parent's device-resident finalize."""
+    start, stop = chunk
+    s = _WORKER_STATE
+    finder = DenseKmerFinder(
+        s["graph"], s["k"], critical_graph_paths=s["critical_paths"],
+        position_id=s["position_id"],
+        start_at_critical_path_number=start,
+        stop_at_critical_path_number=stop,
+        use_device=False,
+        **s["finder_kwargs"])
+    finder.find()
+    return (finder._tape.get_nparray(),
+            finder._span_tape_start.get_nparray(),
+            finder._span_n_windows.get_nparray(),
+            finder._span_node.get_nparray(),
+            finder._span_first_offset.get_nparray(),
+            finder._span_nodes_len.get_nparray(),
+            finder._span_nodes.get_nparray())
+
+
 _MAP_FN = None
 
 
@@ -85,15 +108,10 @@ def map_over_chunks(fn, chunks, n_workers):
         return pool.map(_run_map_chunk, chunks)
 
 
-def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
-                        position_id=None, chunks_per_worker=20,
-                        **finder_kwargs):
-    """Full-graph DenseKmerFinder sharded over ``n_workers`` processes.
-
-    Returns FlatKmers identical (same rows, chunk-concatenation order) to
-    the reference CLI's multiprocess ``index -t N`` merge
-    (command_line_interface.py:601-616).
-    """
+def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
+                 chunks_per_worker, finder_kwargs):
+    """Shared chunking + fork-pool driver: runs ``run_fn`` (a module-level
+    chunk worker) over critical-path chunks, serial or forked."""
     if critical_paths is None:
         critical_paths = CriticalGraphPaths.from_graph(graph, k)
     if position_id is None:
@@ -106,7 +124,7 @@ def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
     starts = list(range(0, n_paths, per))
     ends = starts[1:] + [n_paths]
     chunks = list(zip(starts, ends))
-    logging.info("find_kmers_parallel: %d paths in %d chunks over %d workers",
+    logging.info("find pool: %d paths in %d chunks over %d workers",
                  n_paths, len(chunks), n_workers)
 
     if n_workers > 1 and _accelerator_backend_live():
@@ -119,13 +137,74 @@ def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
 
     if n_workers <= 1:
         _init_worker(graph, k, critical_paths, position_id, finder_kwargs)
-        results = [_run_chunk(c) for c in chunks]
+        results = [run_fn(c) for c in chunks]
     else:
         ctx = mp.get_context("fork")
         with ctx.Pool(n_workers, initializer=_init_worker,
                       initargs=(graph, k, critical_paths, position_id,
                                 finder_kwargs)) as pool:
-            results = pool.map(_run_chunk, chunks)
+            results = pool.map(run_fn, chunks)
+    return results, position_id
 
+
+def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
+                        position_id=None, chunks_per_worker=20,
+                        **finder_kwargs):
+    """Full-graph DenseKmerFinder sharded over ``n_workers`` processes.
+
+    Returns FlatKmers identical (same rows, chunk-concatenation order) to
+    the reference CLI's multiprocess ``index -t N`` merge
+    (command_line_interface.py:601-616).
+    """
+    results, _ = _find_pooled(_run_chunk, graph, k, n_workers,
+                              critical_paths, position_id,
+                              chunks_per_worker, finder_kwargs)
     return FlatKmers.from_multiple_flat_kmers(
         [FlatKmers(h, n, r, a) for h, n, r, a in results])
+
+
+def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
+                               position_id=None, chunks_per_worker=20,
+                               **finder_kwargs):
+    """find_kmers_parallel with a DEVICE-RESIDENT finalize: workers
+    return compact span tapes (~1 byte/base + span descriptors), the
+    parent merges them on host and expands rows ON DEVICE
+    (ops.finalize.expand_spans_device).  Returns FlatKmers whose column
+    arrays are JAX device arrays, ready for a zero-copy
+    KmerIndex.from_flat_kmers device build — the expanded rows
+    (~24 bytes/row) never cross the host<->device link.  Rows are
+    bit-identical to find_kmers_parallel (tests/test_device_pipeline.py).
+    """
+    if finder_kwargs.get("whitelist") is not None:
+        # the whitelist filter is applied at finalize time per window;
+        # the device expansion path doesn't implement it — use the
+        # row-returning path (whose workers filter in-finalize)
+        return find_kmers_parallel(
+            graph, k, n_workers, critical_paths=critical_paths,
+            position_id=position_id, chunks_per_worker=chunks_per_worker,
+            **finder_kwargs)
+    only_save_one = finder_kwargs.get("only_save_one_node_per_kmer", False)
+    only_store_nodes = finder_kwargs.get("only_store_nodes")
+    results, position_id = _find_pooled(
+        _run_chunk_spans, graph, k, n_workers, critical_paths, position_id,
+        chunks_per_worker, finder_kwargs)
+
+    tapes = [r[0] for r in results]
+    tape_off = np.cumsum([0] + [len(t) for t in tapes[:-1]])
+    tape = np.concatenate(tapes) if tapes else np.zeros(0, np.int8)
+    ts = np.concatenate([r[1] + off for r, off in zip(results, tape_off)])
+    nw = np.concatenate([r[2] for r in results])
+    s_node = np.concatenate([r[3] for r in results])
+    s_off = np.concatenate([r[4] for r in results])
+    raw_nl = np.concatenate([r[5] for r in results])
+    raw_nodes = np.concatenate([r[6] for r in results])
+
+    from ..finder import _dedup_span_nodes
+    from ..ops.finalize import expand_spans_device
+    nl, ns, span_nodes, s_af = _dedup_span_nodes(
+        raw_nl, raw_nodes, graph.allele_frequencies,
+        only_save_one, only_store_nodes)
+    hashes, nodes, ref_offsets, af = expand_spans_device(
+        tape, ts, nw, s_node, s_off, nl, ns, span_nodes, s_af,
+        position_id._start_ids, k)
+    return FlatKmers(hashes, nodes, ref_offsets, af)

@@ -1,0 +1,82 @@
+"""Device-resident find->build pipeline equality tests.
+
+find_kmers_parallel_device must produce FlatKmers bit-identical to
+find_kmers_parallel (same rows, same order) while keeping the expanded
+row arrays on device, and the resulting device index build must match
+the host build. Mirrors the reference's parallel-equals-serial strategy
+(/root/reference/tests/test_shared_memory.py:22-27) extended to the
+host<->device boundary.
+"""
+import sys
+import pathlib
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import Graph, CollisionFreeKmerIndex
+from graph_kmer_index_tpu.parallel.host_pool import (
+    find_kmers_parallel, find_kmers_parallel_device)
+from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+
+
+def _assert_flat_equal(a, b):
+    assert np.array_equal(np.asarray(a._hashes), np.asarray(b._hashes))
+    assert np.array_equal(np.asarray(a._nodes), np.asarray(b._nodes))
+    assert np.array_equal(np.asarray(a._ref_offsets),
+                          np.asarray(b._ref_offsets))
+    assert np.allclose(np.asarray(a._allele_frequencies),
+                       np.asarray(b._allele_frequencies))
+
+
+def test_device_pipeline_matches_host_toy():
+    graph = Graph.from_dicts(
+        {1: "ACTGACTGTCTAGGACTGAC", 2: "A", 3: "G", 4: "CCCTACTGTTTAGTCA"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    host = find_kmers_parallel(graph, 5, n_workers=1)
+    dev = find_kmers_parallel_device(graph, 5, n_workers=1)
+    _assert_flat_equal(dev, host)
+
+
+def test_device_pipeline_matches_host_random():
+    for seed in range(8):
+        graph, _ = random_snp_graph(400, 10, seed=seed, indel_fraction=0.3)
+        for k in (4, 7):
+            host = find_kmers_parallel(graph, k, n_workers=2)
+            dev = find_kmers_parallel_device(graph, k, n_workers=2)
+            _assert_flat_equal(dev, host)
+
+
+def test_device_pipeline_only_save_one_and_store_nodes():
+    graph, _ = random_snp_graph(300, 8, seed=3)
+    kwargs = dict(only_save_one_node_per_kmer=True)
+    host = find_kmers_parallel(graph, 5, n_workers=1, **kwargs)
+    dev = find_kmers_parallel_device(graph, 5, n_workers=1, **kwargs)
+    _assert_flat_equal(dev, host)
+
+    nodes = set(range(1, graph.n_nodes(), 2))
+    kwargs = dict(only_store_nodes=nodes)
+    host = find_kmers_parallel(graph, 5, n_workers=1, **kwargs)
+    dev = find_kmers_parallel_device(graph, 5, n_workers=1, **kwargs)
+    _assert_flat_equal(dev, host)
+
+
+def test_device_pipeline_index_build_matches():
+    graph, _ = random_snp_graph(500, 12, seed=11, indel_fraction=0.2)
+    host_flat = find_kmers_parallel(graph, 6, n_workers=2)
+    dev_flat = find_kmers_parallel_device(graph, 6, n_workers=2)
+    host_idx = CollisionFreeKmerIndex.from_flat_kmers(host_flat, modulo=211)
+    dev_idx = CollisionFreeKmerIndex.from_flat_kmers(dev_flat, modulo=211)
+    for q in np.unique(np.asarray(host_flat._hashes))[:50]:
+        assert np.array_equal(np.sort(host_idx.get_nodes(int(q))),
+                              np.sort(dev_idx.get_nodes(int(q))))
+        assert host_idx.get_frequency(int(q)) == dev_idx.get_frequency(int(q))
+
+
+def test_device_pipeline_whitelist_falls_back():
+    graph, _ = random_snp_graph(250, 6, seed=5)
+    base = find_kmers_parallel(graph, 5, n_workers=1)
+    wl = set(int(h) for h in np.asarray(base._hashes)[::3])
+    host = find_kmers_parallel(graph, 5, n_workers=1, whitelist=wl)
+    dev = find_kmers_parallel_device(graph, 5, n_workers=1, whitelist=wl)
+    _assert_flat_equal(dev, host)
