@@ -2,6 +2,11 @@
 synthetic SNP graph -> full DenseKmerFinder enumeration -> collision-free
 index at the production modulo -> read batch mapped to node counts.
 
+With ``--device-finalize`` the find stage returns compact span tapes and
+expands rows ON DEVICE (parallel.host_pool.find_kmers_parallel_device):
+the expanded row arrays never cross the host link and the index build
+consumes them zero-copy — the transfer-bound configuration's win.
+
 Usage: python benchmarks/bench_pipeline.py [n_bases] [n_variants] [n_reads]
 """
 from __future__ import annotations
@@ -13,15 +18,19 @@ import numpy as np
 
 
 def main():
-    n_bases = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    n_variants = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
-    n_reads = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
-    modulo = int(sys.argv[4]) if len(sys.argv) > 4 else 452_930_477
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_bases = int(pos[0]) if len(pos) > 0 else 10_000_000
+    n_variants = int(pos[1]) if len(pos) > 1 else 100_000
+    n_reads = int(pos[2]) if len(pos) > 2 else 10_000
+    modulo = int(pos[3]) if len(pos) > 3 else 452_930_477
     k = 31
 
     from graph_kmer_index_tpu import DenseKmerFinder, KmerIndex
-    from graph_kmer_index_tpu.parallel.host_pool import find_kmers_parallel
+    from graph_kmer_index_tpu.parallel.host_pool import (
+        find_kmers_parallel, find_kmers_parallel_device)
     from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+
+    device_finalize = "--device-finalize" in sys.argv
 
     t0 = time.perf_counter()
     graph, _ = random_snp_graph(n_bases, n_variants, seed=0)
@@ -30,9 +39,15 @@ def main():
           flush=True)
 
     t0 = time.perf_counter()
-    flat = find_kmers_parallel(graph, k, n_workers=4)
+    if device_finalize:
+        flat = find_kmers_parallel_device(graph, k, n_workers=4)
+        import jax
+        jax.block_until_ready(flat._hashes)
+    else:
+        flat = find_kmers_parallel(graph, k, n_workers=4)
     t_find = time.perf_counter() - t0
-    print(f"find (4 workers, native walker): {t_find:.1f}s "
+    mode = "device finalize" if device_finalize else "host finalize"
+    print(f"find (4 workers, native walker, {mode}): {t_find:.1f}s "
           f"({len(flat._hashes)} rows, "
           f"{n_bases/t_find/1e6:.2f} Mbases/s)", flush=True)
 
