@@ -56,8 +56,10 @@ def main():
                 counts, _ = _node_counts_packed(x, x.shape[0], rec, ks, ns,
                                                 modulo2, n_nodes, max_sz,
                                                 sort_agg)
-                return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
-                    jnp.uint64)
+                # SCALAR dependence: a counts[x % n]-style gather here
+                # becomes part of the measured loop body (~30% inflation
+                # at 4M queries — the round-2 "22 M/s" artifact)
+                return x ^ counts[0].astype(jnp.uint64)
             return jax.lax.fori_loop(0, reps, body, q).sum()
         return chain_counts_packed
 
@@ -74,8 +76,7 @@ def main():
         def body(i, x):
             counts = _node_counts(x, x.shape[0], tk, tn, st, sz,
                                   dev.modulo, n_nodes, dev.max_scan)
-            return x ^ counts[(x % n_nodes).astype(jnp.int64)].astype(
-                jnp.uint64)
+            return x ^ counts[0].astype(jnp.uint64)
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
     runs = [("counts/packed", make_chain_counts(False), (rec, ks, ns)),
