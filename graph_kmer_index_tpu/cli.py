@@ -355,9 +355,12 @@ def map_reads(args):
     from .models.kmer_index import CollisionFreeKmerIndex
 
     index = CollisionFreeKmerIndex.from_file(args.kmer_index)
+    # device backend: reads are hashed, compacted, and looked up without
+    # the query batch ever crossing the host<->device link
     kmers = ReadKmers.hash_fasta_file(
         args.reads, args.kmer_size,
-        include_reverse_complements=args.include_reverse_complement)
+        include_reverse_complements=args.include_reverse_complement,
+        keep_on_device=(args.backend == "device"))
     n_nodes = args.n_nodes or (index.max_node_id() + 1)
     counts = index.map_kmers(kmers, n_nodes, backend=args.backend)
     np.save(args.out_file_name, counts)

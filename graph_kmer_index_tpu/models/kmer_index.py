@@ -369,12 +369,22 @@ class CollisionFreeKmerIndex:
         kmer_mapper.map_kmers_to_graph_index, used in the KAGE mapping hot
         loop; reference collision_free_kmer_index.py:210-212). ``backend``:
         'device' (TPU kernel) or 'native' (host C++)."""
+        from ..read_kmers import DeviceReadKmers
+        if isinstance(kmers, DeviceReadKmers):
+            if backend == "native" and self._native() is not None:
+                return self._native().map_kmers(kmers.to_numpy(), n_nodes)
+            return self._device().map_read_kmers(kmers, n_nodes)
         kmers = np.asarray(kmers, dtype=np.uint64)
         if backend == "native" and self._native() is not None:
             return self._native().map_kmers(kmers, n_nodes)
         return self._device().map_kmers(kmers, n_nodes)
 
     def has_kmers(self, kmers, backend="device"):
+        from ..read_kmers import DeviceReadKmers
+        if isinstance(kmers, DeviceReadKmers):
+            if backend == "native" and self._native() is not None:
+                return self._native().has_kmers(kmers.to_numpy())
+            return self._device().has_read_kmers(kmers)
         kmers = np.asarray(kmers, dtype=np.uint64)
         if backend == "native" and self._native() is not None:
             return self._native().has_kmers(kmers)

@@ -335,3 +335,58 @@ def sliding_hashes_pallas_p16(seq: jax.Array, k: int, **kw):
     """(lo, hi) lanes via the P16 kernel + fused derivation — same
     contract as :func:`sliding_hashes_pallas`."""
     return p16_to_lanes(sliding_p16_pallas(seq, k, **kw), k)
+
+
+def revcomp_hashes(hashes: jax.Array, k: int) -> jax.Array:
+    """Reverse complement in hash space, on device — the packed
+    XOR + 2-bit-group bit-reversal formulation of
+    hashing.kmer_hashes_to_reverse_complement_hash (itself the batched
+    equivalent of reference kmer_hashing.py:24-28)."""
+    assert k <= 31
+    x = hashes.astype(U64) ^ U64((1 << (2 * k)) - 1)
+    m2 = U64(0x3333333333333333)
+    m4 = U64(0x0F0F0F0F0F0F0F0F)
+    m8 = U64(0x00FF00FF00FF00FF)
+    m16 = U64(0x0000FFFF0000FFFF)
+    x = ((x >> U64(2)) & m2) | ((x & m2) << U64(2))
+    x = ((x >> U64(4)) & m4) | ((x & m4) << U64(4))
+    x = ((x >> U64(8)) & m8) | ((x & m8) << U64(8))
+    x = ((x >> U64(16)) & m16) | ((x & m16) << U64(16))
+    x = (x >> U64(32)) | (x << U64(32))
+    return x >> U64(64 - 2 * k)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def read_tape_hashes(flat, starts, lens, n_real, k):
+    """Window hashes of a concatenated read tape, valid windows
+    compacted to the front ON DEVICE.
+
+    ``flat`` is the (ladder-padded) int8 2-bit tape of all reads
+    back-to-back; ``starts``/``lens`` the (ladder-padded, pad rows
+    start=N len=0) per-read extents.  A window is valid iff it lies
+    fully inside one read (reference read_kmers.py:68-70 semantics).
+    The valid mask is built with two n_reads-sized scatters + a cumsum
+    (no per-window searchsorted), and valid windows float to the front
+    in read order via one stable sort — nothing O(n) touches the host.
+
+    ``n_real`` is the unpadded tape length (device scalar ok): windows
+    at or past it are padding and forced invalid.
+
+    Returns (hashes_sorted, n_valid): uint64 window hashes with the
+    valid ones first, and their count (device scalar).
+    """
+    n = flat.shape[0]
+    hashes = sliding_hashes(flat.astype(jnp.int32), k)
+    ends = (starts + lens).astype(jnp.int32)
+    inv_start = jnp.maximum(starts.astype(jnp.int32),
+                            ends - jnp.int32(k - 1))
+    d = jnp.zeros(n + 1, jnp.int32)
+    d = d.at[inv_start].add(1, mode="drop")
+    d = d.at[ends].add(-1, mode="drop")
+    # everything past the real tape end is padding -> invalid
+    d = d.at[jnp.int32(n_real)].add(1, mode="drop")
+    invalid = jnp.cumsum(d[:n]) > 0
+    n_valid = jnp.sum(~invalid, dtype=jnp.int32)
+    _, hashes_sorted = jax.lax.sort_key_val(
+        invalid.astype(jnp.int32), hashes, is_stable=True)
+    return hashes_sorted, n_valid

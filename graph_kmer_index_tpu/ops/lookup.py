@@ -699,6 +699,83 @@ class DeviceKmerIndex:
                          self.max_scan)
         return np.asarray(out)[:n]
 
+    def _iter_device_chunks(self, read_kmers):
+        """Yield (chunk u64 device array, n_valid) pieces of a
+        DeviceReadKmers batch, each at most QUERY_CHUNK long, without
+        fetching any kmer to host. Chunks are static slices (one
+        compiled lookup shape per chunk size)."""
+        import jax.numpy as jnp
+        C = self.QUERY_CHUNK
+        for seg, nv in read_kmers.segments:
+            n = seg.shape[0]
+            for off in range(0, max(nv, 1), C):
+                nvc = min(nv - off, C)
+                if nvc <= 0:
+                    break
+                chunk = seg if n <= C else seg[off:off + C]
+                if chunk.shape[0] < 1024:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros(1024 - chunk.shape[0],
+                                          jnp.uint64)])
+                yield chunk, nvc
+
+    def map_read_kmers(self, read_kmers, n_nodes: int) -> np.ndarray:
+        """Node hit counts for a DeviceReadKmers batch: the query kmers
+        never cross the device->host link (the host path pays ~16
+        bytes/kmer in transfers; at this environment's ~5 MB/s tunnel
+        that dwarfs the lookup itself). Ultra-deep buckets still resolve
+        on host, but only those rare kmers are fetched."""
+        import jax
+        import jax.numpy as jnp
+        packed = self._packed()
+        if packed is None:
+            return self.map_kmers(read_kmers.to_numpy(), n_nodes)
+        rec, ks, ns, modulo2, max_sz = packed
+        total = None
+        host_adjust = None
+        for chunk, nvc in self._iter_device_chunks(read_kmers):
+            counts, host_mask = _node_counts_packed(
+                chunk, nvc, rec, ks, ns, modulo2, int(n_nodes), max_sz,
+                True)
+            total = counts if total is None else total + counts
+            if bool(jnp.any(host_mask)):
+                um = np.asarray(host_mask)
+                km = np.asarray(chunk)[um]
+                if host_adjust is None:
+                    host_adjust = np.zeros(n_nodes, dtype=np.int64)
+                for _kq, m, nodes_hit in self._ultra_rows(km):
+                    np.add.at(host_adjust, nodes_hit.astype(np.int64), m)
+        if total is None:
+            return np.zeros(n_nodes, dtype=np.int64)
+        res = np.asarray(total).astype(np.int64)
+        if host_adjust is not None:
+            res += host_adjust
+        return res
+
+    def has_read_kmers(self, read_kmers) -> np.ndarray:
+        """Membership for a DeviceReadKmers batch (order == to_numpy())."""
+        import jax.numpy as jnp
+        packed = self._packed()
+        if packed is None:
+            return self.has_kmers(read_kmers.to_numpy())
+        rec, ks, ns, modulo2, max_sz = packed
+        out = []
+        for chunk, nvc in self._iter_device_chunks(read_kmers):
+            hit, host_mask = _has_kmers_packed(chunk, nvc, rec, ks,
+                                               modulo2, max_sz)
+            res = np.asarray(hit)[:nvc]
+            um = np.asarray(host_mask)[:nvc]
+            if um.any():
+                kmers = np.asarray(chunk)[:nvc]
+                present = {kq for kq, _m, nodes_hit in
+                           self._ultra_rows(kmers[um]) if len(nodes_hit)}
+                res = res.copy()
+                res[um] = np.array([int(x) in present for x in kmers[um]])
+            out.append(res)
+        if not out:
+            return np.zeros(0, dtype=bool)
+        return np.concatenate(out)
+
     def map_kmers(self, kmers: np.ndarray, n_nodes: int) -> np.ndarray:
         """Node hit counts for a read-kmer batch (kmer_mapper contract).
         Fast path: one packed-record gather per query + compacted

@@ -20,6 +20,32 @@ def reverse_complement_string(seq: str) -> str:
     return seq.translate(_COMP)[::-1]
 
 
+class DeviceReadKmers:
+    """Device-resident read kmers: segments of (hashes u64 jax array,
+    n_valid) with the valid kmers compacted to the front of each segment.
+
+    Produced by ``ReadKmers.hash_fasta_file(..., keep_on_device=True)``;
+    consumed zero-copy by ``CollisionFreeKmerIndex.map_kmers`` /
+    ``has_kmers`` so the full query batch never crosses the host<->device
+    link (~8 bytes/kmer each way otherwise — the dominant cost of the
+    read-mapping pipeline on slow links). ``to_numpy()`` materializes the
+    same array the host path returns.
+    """
+
+    def __init__(self, segments, k):
+        self.segments = segments  # list[(jax.Array, int n_valid)]
+        self.k = k
+
+    def __len__(self):
+        return sum(nv for _, nv in self.segments)
+
+    def to_numpy(self) -> np.ndarray:
+        if not self.segments:
+            return np.zeros(0, dtype=np.uint64)
+        return np.concatenate(
+            [np.asarray(a[:nv]) for a, nv in self.segments])
+
+
 class ReadKmers:
     def __init__(self, kmers):
         self.kmers = kmers
@@ -85,7 +111,7 @@ class ReadKmers:
 
     @staticmethod
     def hash_fasta_file(fasta_file_name, k, include_reverse_complements=False,
-                        use_device=None):
+                        use_device=None, keep_on_device=False):
         """All window hashes of all reads in a FASTA/FASTQ file, flat, in
         read order — the production read-streaming front end. Parsing +
         2-bit encoding runs in the native C++ layer when available
@@ -122,6 +148,33 @@ class ReadKmers:
             flat, starts, lens = encoded
 
         n = len(flat)
+        if keep_on_device:
+            if n == 0:
+                return DeviceReadKmers([], k)
+            import jax.numpy as jnp
+            from .ops.encode import read_tape_hashes, revcomp_hashes
+
+            def ladder(m, base=1024):
+                p = base
+                while p < m:
+                    p = -(-(p * 5) // (4 * base)) * base
+                return p
+
+            N = ladder(n)
+            flatp = np.zeros(N, np.int8)
+            flatp[:n] = flat
+            R = ladder(len(lens), 64)
+            sp = np.full(R, N, np.int32)
+            lp = np.zeros(R, np.int32)
+            sp[:len(starts)] = starts
+            lp[:len(lens)] = lens
+            hashes, nv = read_tape_hashes(
+                jnp.asarray(flatp), jnp.asarray(sp), jnp.asarray(lp), n, k)
+            nv = int(nv)  # one scalar fetch
+            segments = [(hashes, nv)]
+            if include_reverse_complements:
+                segments.append((revcomp_hashes(hashes, k), nv))
+            return DeviceReadKmers(segments, k)
         if n == 0:
             return np.zeros(0, dtype=np.uint64)
         if use_device is None:

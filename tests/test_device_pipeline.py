@@ -80,3 +80,68 @@ def test_device_pipeline_whitelist_falls_back():
     host = find_kmers_parallel(graph, 5, n_workers=1, whitelist=wl)
     dev = find_kmers_parallel_device(graph, 5, n_workers=1, whitelist=wl)
     _assert_flat_equal(dev, host)
+
+
+# -- device-resident read->counts pipeline -----------------------------------
+
+def _write_fasta(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">read{i}\n{r}\n")
+
+
+def _toy_index_for_reads(k):
+    graph = Graph.from_dicts(
+        {1: "ACTGACTGTCTAGGACTGACCATGACTACAGTT", 2: "A", 3: "G",
+         4: "CCCTACTGTTTAGTCAGGATTCAGGACT"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    from graph_kmer_index_tpu import DenseKmerFinder
+    finder = DenseKmerFinder(graph, k=k)
+    finder.find()
+    flat = finder.get_flat_kmers(v="0")
+    return graph, CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=211)
+
+
+def test_device_read_pipeline_counts_match_host(tmp_path):
+    from graph_kmer_index_tpu import ReadKmers
+    k = 7
+    graph, index = _toy_index_for_reads(k)
+    rng = np.random.default_rng(0)
+    reads = ["ACTGACTGTCTAGG", "CCCTACTGTTTAGTCAG", "ACT",  # one < k
+             "".join(rng.choice(list("ACGT"), size=40))]
+    fa = tmp_path / "reads.fa"
+    _write_fasta(fa, reads)
+    for rc in (False, True):
+        host_kmers = ReadKmers.hash_fasta_file(
+            str(fa), k, include_reverse_complements=rc)
+        dev_kmers = ReadKmers.hash_fasta_file(
+            str(fa), k, include_reverse_complements=rc,
+            keep_on_device=True)
+        assert np.array_equal(dev_kmers.to_numpy(), host_kmers)
+        n_nodes = graph.n_nodes()
+        host_counts = index.map_kmers(host_kmers, n_nodes)
+        dev_counts = index.map_kmers(dev_kmers, n_nodes)
+        assert np.array_equal(np.asarray(host_counts, dtype=np.int64),
+                              np.asarray(dev_counts, dtype=np.int64)), rc
+        host_has = index.has_kmers(host_kmers)
+        dev_has = index.has_kmers(dev_kmers)
+        assert np.array_equal(np.asarray(host_has), np.asarray(dev_has))
+
+
+def test_device_read_pipeline_fastq_and_empty(tmp_path):
+    from graph_kmer_index_tpu import ReadKmers
+    k = 5
+    graph, index = _toy_index_for_reads(k)
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as f:
+        f.write("@r1\nACTGACTGTC\n+\nIIIIIIIIII\n"
+                "@r2\nCCCTACTGT\n+\n!!!!!!!!!\n")
+    host = ReadKmers.hash_fasta_file(str(fq), k)
+    dev = ReadKmers.hash_fasta_file(str(fq), k, keep_on_device=True)
+    assert np.array_equal(dev.to_numpy(), host)
+    empty = tmp_path / "empty.fa"
+    empty.write_text("")
+    dev0 = ReadKmers.hash_fasta_file(str(empty), k, keep_on_device=True)
+    assert len(dev0) == 0
+    counts = index.map_kmers(dev0, graph.n_nodes())
+    assert counts.sum() == 0
