@@ -63,12 +63,25 @@ def main():
     _, _, refseq = graph.linear_ref_sequence()
     starts = rng.integers(0, len(refseq) - 150, n_reads)
     reads = np.stack([refseq[s:s + 150] for s in starts])
-    from graph_kmer_index_tpu.ops.encode import sliding_hashes
     import jax.numpy as jnp
-    flatr = reads.reshape(-1).astype(np.int32)
-    hashes = np.asarray(sliding_hashes(jnp.asarray(flatr), k))
-    pos = np.arange(reads.size) % 150
-    kmers = hashes[pos <= 150 - k].astype(np.uint64)
+    if device_finalize:
+        # device-resident query path: hash + compact on device, feed
+        # DeviceReadKmers to map_kmers (no query transfer at all)
+        from graph_kmer_index_tpu.ops.encode import read_tape_hashes
+        from graph_kmer_index_tpu.read_kmers import DeviceReadKmers
+        flatr = reads.reshape(-1).astype(np.int8)
+        rstarts = (np.arange(n_reads) * 150).astype(np.int32)
+        rlens = np.full(n_reads, 150, np.int32)
+        hashes_d, nv = read_tape_hashes(
+            jnp.asarray(flatr), jnp.asarray(rstarts), jnp.asarray(rlens),
+            len(flatr), k)
+        kmers = DeviceReadKmers([(hashes_d, int(nv))], k)
+    else:
+        from graph_kmer_index_tpu.ops.encode import sliding_hashes
+        flatr = reads.reshape(-1).astype(np.int32)
+        hashes = np.asarray(sliding_hashes(jnp.asarray(flatr), k))
+        pos = np.arange(reads.size) % 150
+        kmers = hashes[pos <= 150 - k].astype(np.uint64)
 
     dev = index._device()
     t0 = time.perf_counter()
@@ -76,7 +89,8 @@ def main():
     t_packed = time.perf_counter() - t0
     print(f"packed table build: {t_packed:.1f}s", flush=True)
 
-    counts = index.map_kmers(kmers[:1024], graph.n_nodes())  # warm compile
+    warm = kmers if device_finalize else kmers[:1024]
+    counts = index.map_kmers(warm, graph.n_nodes())  # warm compile
     t0 = time.perf_counter()
     counts = index.map_kmers(kmers, graph.n_nodes())
     t_map = time.perf_counter() - t0
