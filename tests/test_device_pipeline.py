@@ -145,3 +145,27 @@ def test_device_read_pipeline_fastq_and_empty(tmp_path):
     assert len(dev0) == 0
     counts = index.map_kmers(dev0, graph.n_nodes())
     assert counts.sum() == 0
+
+
+def test_device_read_pipeline_chunked(tmp_path, monkeypatch):
+    """Chunk-loop edges: segments longer than QUERY_CHUNK (tail slice
+    shorter than the chunk, sub-1024 pad) must match the host path."""
+    from graph_kmer_index_tpu import ReadKmers
+    from graph_kmer_index_tpu.ops.lookup import DeviceKmerIndex
+    monkeypatch.setattr(DeviceKmerIndex, "QUERY_CHUNK", 256)
+    k = 6
+    graph, index = _toy_index_for_reads(k)
+    rng = np.random.default_rng(7)
+    reads = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(3, 80))))
+             for _ in range(40)]
+    fa = tmp_path / "reads.fa"
+    _write_fasta(fa, reads)
+    host_kmers = ReadKmers.hash_fasta_file(str(fa), k)
+    dev_kmers = ReadKmers.hash_fasta_file(str(fa), k, keep_on_device=True)
+    assert len(host_kmers) > 256 * 2  # exercises >2 chunks
+    n_nodes = graph.n_nodes()
+    assert np.array_equal(
+        np.asarray(index.map_kmers(host_kmers, n_nodes), dtype=np.int64),
+        np.asarray(index.map_kmers(dev_kmers, n_nodes), dtype=np.int64))
+    assert np.array_equal(index.has_kmers(host_kmers),
+                          index.has_kmers(dev_kmers))
