@@ -47,6 +47,11 @@ class DeviceReadKmers:
 
 
 class ReadKmers:
+    # device read-hashing processes the concatenated read tape in
+    # segments of at most this many bases (~13 bytes/base of HBM
+    # transients through hash + compaction sort)
+    SEGMENT_BASES = 1 << 28
+
     def __init__(self, kmers):
         self.kmers = kmers
         self._power_vector = None
@@ -160,21 +165,43 @@ class ReadKmers:
                     p = -(-(p * 5) // (4 * base)) * base
                 return p
 
-            N = ladder(n)
-            flatp = np.zeros(N, np.int8)
-            flatp[:n] = flat
-            R = ladder(len(lens), 64)
-            sp = np.full(R, N, np.int32)
-            lp = np.zeros(R, np.int32)
-            sp[:len(starts)] = starts
-            lp[:len(lens)] = lens
-            hashes, nv = read_tape_hashes(
-                jnp.asarray(flatp), jnp.asarray(sp), jnp.asarray(lp), n, k)
-            nv = int(nv)  # one scalar fetch
-            segments = [(hashes, nv)]
-            if include_reverse_complements:
-                segments.append((revcomp_hashes(hashes, k), nv))
-            return DeviceReadKmers(segments, k)
+            # bound HBM: split the tape at read boundaries into segments
+            # of <= SEGMENT_BASES (each costs ~13 bytes/base of HBM
+            # transients through hash + sort)
+            seg_bound = ReadKmers.SEGMENT_BASES
+            ends_all = starts + lens
+            cut_reads = [0]
+            while True:
+                nxt = int(np.searchsorted(
+                    ends_all, starts[cut_reads[-1]] + seg_bound,
+                    side="right"))
+                nxt = max(nxt, cut_reads[-1] + 1)  # oversize single read
+                if nxt >= len(starts):
+                    break
+                cut_reads.append(nxt)
+            cut_reads.append(len(starts))
+
+            fw, rc = [], []
+            for r0, r1 in zip(cut_reads[:-1], cut_reads[1:]):
+                base = int(starts[r0])
+                seg_n = int(ends_all[r1 - 1]) - base
+                N = ladder(seg_n)
+                flatp = np.zeros(N, np.int8)
+                flatp[:seg_n] = flat[base:base + seg_n]
+                R = ladder(r1 - r0, 64)
+                sp = np.full(R, N, np.int32)
+                lp = np.zeros(R, np.int32)
+                sp[:r1 - r0] = starts[r0:r1] - base
+                lp[:r1 - r0] = lens[r0:r1]
+                hashes, nv = read_tape_hashes(
+                    jnp.asarray(flatp), jnp.asarray(sp), jnp.asarray(lp),
+                    seg_n, k)
+                nv = int(nv)  # one scalar fetch per segment
+                fw.append((hashes, nv))
+                if include_reverse_complements:
+                    rc.append((revcomp_hashes(hashes, k), nv))
+            # host order is [all forward kmers, then all revcomps]
+            return DeviceReadKmers(fw + rc, k)
         if n == 0:
             return np.zeros(0, dtype=np.uint64)
         if use_device is None:

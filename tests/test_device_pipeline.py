@@ -169,3 +169,30 @@ def test_device_read_pipeline_chunked(tmp_path, monkeypatch):
         np.asarray(index.map_kmers(dev_kmers, n_nodes), dtype=np.int64))
     assert np.array_equal(index.has_kmers(host_kmers),
                           index.has_kmers(dev_kmers))
+
+
+def test_device_read_pipeline_segmented(tmp_path, monkeypatch):
+    """Large-file segmentation (SEGMENT_BASES) must preserve the host
+    path's kmer order and counts, including with revcomps."""
+    from graph_kmer_index_tpu import ReadKmers
+    monkeypatch.setattr(ReadKmers, "SEGMENT_BASES", 100)
+    k = 6
+    graph, index = _toy_index_for_reads(k)
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(4, 60))))
+             for _ in range(30)]
+    reads.append("".join(rng.choice(list("ACGT"), size=300)))  # > segment
+    fa = tmp_path / "reads.fa"
+    _write_fasta(fa, reads)
+    for rc in (False, True):
+        host = ReadKmers.hash_fasta_file(str(fa), k,
+                                         include_reverse_complements=rc)
+        dev = ReadKmers.hash_fasta_file(str(fa), k,
+                                        include_reverse_complements=rc,
+                                        keep_on_device=True)
+        assert len(dev.segments) > 2
+        assert np.array_equal(dev.to_numpy(), host), rc
+        n_nodes = graph.n_nodes()
+        assert np.array_equal(
+            np.asarray(index.map_kmers(host, n_nodes), dtype=np.int64),
+            np.asarray(index.map_kmers(dev, n_nodes), dtype=np.int64))
