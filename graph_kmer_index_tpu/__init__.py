@@ -34,7 +34,7 @@ from .critical_paths import CriticalGraphPaths  # noqa: E402,F401
 from .finder import DenseKmerFinder  # noqa: E402,F401
 from .snp_finder import SnpKmerFinder, IndelKmerFinder  # noqa: E402,F401
 from .bionumpy_wrapper import bionumpy_hash  # noqa: E402,F401
-from .read_kmers import ReadKmers  # noqa: E402,F401
+from .read_kmers import ReadKmers, DeviceReadKmers  # noqa: E402,F401
 from .models.kmer_index import (  # noqa: E402,F401
     CollisionFreeKmerIndex,
     CollisionFreeKmerIndex as KmerIndex,
