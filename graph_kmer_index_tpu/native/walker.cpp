@@ -84,6 +84,24 @@ struct Walker {
 
     int32_t crit_node = -1, crit_offset = -1;
 
+    // step_base builds the same (node, whole-block-set) key for every
+    // base of a node (the dominant per-base cost was rebuilding+sorting
+    // it each call): cache it, invalidated by a generation counter
+    // bumped on any blk_node mutation
+    uint64_t blk_gen = 0;
+    SetKey cached_key0;
+    uint64_t cached_gen = ~0ull;
+    int32_t cached_node = -1;
+
+    const SetKey& key0(int32_t node) {
+        if (cached_gen != blk_gen || cached_node != node) {
+            cached_key0 = make_key(node, 0);
+            cached_gen = blk_gen;
+            cached_node = node;
+        }
+        return cached_key0;
+    }
+
     static int64_t pkey(int32_t node, int32_t offset) {
         return ((int64_t)node << 32) | (int64_t)(uint32_t)offset;
     }
@@ -133,7 +151,17 @@ struct Walker {
 
     void treated_add(const SetKey& key, int32_t o1, int32_t o2) {
         if (o2 < o1) return;
-        treated[key].emplace_back(o1, o2);
+        auto& v = treated[key];
+        // the per-base path adds [o,o] for consecutive offsets: merge
+        // with the last interval when contiguous/overlapping, keeping
+        // first_hit's scan O(#disjoint ranges) instead of O(#bases)
+        if (!v.empty() && o1 <= v.back().second + 1
+            && v.back().first <= o2 + 1) {
+            v.back().first = std::min(v.back().first, o1);
+            v.back().second = std::max(v.back().second, o2);
+            return;
+        }
+        v.emplace_back(o1, o2);
     }
 
     void emit_span(int32_t node, int32_t first_offset, int32_t n_windows,
@@ -161,7 +189,7 @@ struct Walker {
         ne_bases.push_back(base);
         int64_t t = (int64_t)ne_pos.size() - 1;
 
-        SetKey key = make_key(node, 0);
+        const SetKey& key = key0(node);
         int32_t exempt = (node == crit_node && offset == crit_offset)
                              ? offset : -1;
         if ((int64_t)elem_nodes.size() >= k) {
@@ -250,12 +278,14 @@ struct Walker {
     int process_entry(int32_t node, int32_t offset) {
         int32_t size = (int32_t)g.node_sizes[node];
         if (offset == 0 && size == 0) {
+            ++blk_gen;
             blk_node.push_back(node);
             blk_first.push_back((int64_t)elem_nodes.size());
             elem_nodes.push_back(node);
             elem_bases.push_back(-1);
             return 0;
         }
+        ++blk_gen;
         blk_node.push_back(node);
         blk_first.push_back((int64_t)elem_nodes.size());
         while (offset < size) {
@@ -320,6 +350,7 @@ struct Walker {
         elem_bases.resize(s.n_elems);
         ne_pos.resize(s.n_ne);
         ne_bases.resize(s.n_ne);
+        ++blk_gen;
         blk_node.resize(s.n_blk);
         blk_first.resize(s.n_blk);
     }
@@ -371,6 +402,7 @@ struct Walker {
             crit_offset = coffset;
             elem_nodes.clear(); elem_bases.clear();
             ne_pos.clear(); ne_bases.clear();
+            ++blk_gen;
             blk_node.clear(); blk_first.clear();
             int32_t offset = coffset;
             // early-stop searches start at the exact position
