@@ -74,9 +74,84 @@ struct Walker {
     std::vector<int32_t> span_nodes_len;
     std::vector<int32_t> span_nodes;
 
-    // treated intervals: (node, window-node-set) -> [o1,o2] list
-    std::unordered_map<SetKey, std::vector<std::pair<int32_t, int32_t>>,
-                       SetKeyHash> treated;
+    // treated intervals: (node, window-node-set) -> interval set.
+    // Flat open-addressed table (linear probing, interned member arena,
+    // first interval inline in the slot, rare multi-interval keys spill
+    // to side lists): the std::unordered_map<SetKey, vector> formulation
+    // cost ~4us per treated_add on allocation-heavy hosts — several
+    // pointer-chasing cache misses per op; this is 1 contiguous probe
+    // and usually an inline merge.
+    struct TSlot {
+        uint64_t fp = 0;
+        int32_t node = -1;            // -1 = empty slot
+        int32_t mem_off = 0, mem_len = 0;
+        int32_t o1 = 1, o2 = 0;       // inline interval; o1 > o2 = none
+        int32_t spill = -1;
+    };
+    std::vector<TSlot> tslots = std::vector<TSlot>(1u << 17);
+    size_t tcount = 0;
+    std::vector<int32_t> tarena;
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> tspill;
+
+    static uint64_t fp_of(const SetKey& k) {
+        // NOT plain FNV: `node` is premultiplied so the very common
+        // members==[node] key doesn't cancel to a constant (basis ^ node
+        // ^ node), and a splitmix64 finalizer disperses into the LOW bits
+        // the power-of-two slot mask keeps (FNV's low bits are weak).
+        uint64_t h = 1469598103934665603ull
+                     ^ ((uint64_t)(uint32_t)k.node * 0x9E3779B97F4A7C15ull);
+        for (int32_t v : k.members) {
+            h ^= (uint64_t)(uint32_t)v;
+            h *= 1099511628211ull;
+        }
+        h ^= h >> 30; h *= 0xBF58476D1CE4E5B9ull;
+        h ^= h >> 27; h *= 0x94D049BB133111EBull;
+        h ^= h >> 31;
+        return h;
+    }
+
+    TSlot* tfind(const SetKey& key, uint64_t fp) {
+        size_t mask = tslots.size() - 1;
+        size_t i = (size_t)fp & mask;
+        while (true) {
+            TSlot& s = tslots[i];
+            if (s.node == -1) return nullptr;
+            if (s.fp == fp && s.node == key.node
+                && s.mem_len == (int32_t)key.members.size()
+                && std::equal(key.members.begin(), key.members.end(),
+                              tarena.begin() + s.mem_off))
+                return &s;
+            i = (i + 1) & mask;
+        }
+    }
+
+    void tgrow() {
+        std::vector<TSlot> old;
+        old.swap(tslots);
+        tslots.assign(old.size() * 2, TSlot{});
+        size_t mask = tslots.size() - 1;
+        for (const TSlot& s : old) {
+            if (s.node == -1) continue;
+            size_t i = (size_t)s.fp & mask;
+            while (tslots[i].node != -1) i = (i + 1) & mask;
+            tslots[i] = s;
+        }
+    }
+
+    TSlot* tinsert(const SetKey& key, uint64_t fp) {  // key known absent
+        if (tcount * 10 >= tslots.size() * 7) tgrow();
+        size_t mask = tslots.size() - 1;
+        size_t i = (size_t)fp & mask;
+        while (tslots[i].node != -1) i = (i + 1) & mask;
+        TSlot& s = tslots[i];
+        s.fp = fp;
+        s.node = key.node;
+        s.mem_off = (int32_t)tarena.size();
+        s.mem_len = (int32_t)key.members.size();
+        tarena.insert(tarena.end(), key.members.begin(), key.members.end());
+        ++tcount;
+        return &s;
+    }
 
     // worklist
     std::vector<std::pair<int32_t, int32_t>> starting_points;
@@ -129,19 +204,22 @@ struct Walker {
 
     // smallest treated offset in [o1,o2] skipping `exempt` (-1 = none)
     int32_t first_hit(const SetKey& key, int32_t o1, int32_t o2,
-                      int32_t exempt) const {
-        auto it = treated.find(key);
-        if (it == treated.end()) return -1;
-        const auto& intervals = it->second;
+                      int32_t exempt) {
+        TSlot* s = tfind(key, fp_of(key));
+        if (s == nullptr) return -1;
         int32_t candidate = o1;
         while (candidate <= o2) {
             int32_t best = INT32_MAX;
-            for (const auto& iv : intervals) {
-                if (iv.second >= candidate && iv.first <= o2) {
-                    int32_t p = std::max(iv.first, candidate);
+            auto consider = [&](int32_t a, int32_t b) {
+                if (b >= candidate && a <= o2) {
+                    int32_t p = std::max(a, candidate);
                     if (p < best) best = p;
                 }
-            }
+            };
+            if (s->o1 <= s->o2) consider(s->o1, s->o2);
+            if (s->spill >= 0)
+                for (const auto& iv : tspill[s->spill])
+                    consider(iv.first, iv.second);
             if (best == INT32_MAX) return -1;
             if (best == exempt) { candidate = best + 1; continue; }
             return best;
@@ -151,17 +229,34 @@ struct Walker {
 
     void treated_add(const SetKey& key, int32_t o1, int32_t o2) {
         if (o2 < o1) return;
-        auto& v = treated[key];
-        // the per-base path adds [o,o] for consecutive offsets: merge
-        // with the last interval when contiguous/overlapping, keeping
-        // first_hit's scan O(#disjoint ranges) instead of O(#bases)
-        if (!v.empty() && o1 <= v.back().second + 1
-            && v.back().first <= o2 + 1) {
-            v.back().first = std::min(v.back().first, o1);
-            v.back().second = std::max(v.back().second, o2);
+        uint64_t fp = fp_of(key);
+        TSlot* s = tfind(key, fp);
+        if (s == nullptr) s = tinsert(key, fp);
+        // merge with the LAST added interval when contiguous/overlapping
+        // (the per-base path adds [o,o] for consecutive offsets), else
+        // append — first_hit scans all of them, so this is equivalence-
+        // preserving compaction
+        if (s->spill >= 0 && !tspill[s->spill].empty()) {
+            auto& b = tspill[s->spill].back();
+            if (o1 <= b.second + 1 && b.first <= o2 + 1) {
+                b.first = std::min(b.first, o1);
+                b.second = std::max(b.second, o2);
+            } else {
+                tspill[s->spill].emplace_back(o1, o2);
+            }
             return;
         }
-        v.emplace_back(o1, o2);
+        if (s->o1 > s->o2) { s->o1 = o1; s->o2 = o2; return; }
+        if (o1 <= s->o2 + 1 && s->o1 <= o2 + 1) {
+            s->o1 = std::min(s->o1, o1);
+            s->o2 = std::max(s->o2, o2);
+            return;
+        }
+        if (s->spill < 0) {
+            s->spill = (int32_t)tspill.size();
+            tspill.emplace_back();
+        }
+        tspill[s->spill].emplace_back(o1, o2);
     }
 
     void emit_span(int32_t node, int32_t first_offset, int32_t n_windows,
