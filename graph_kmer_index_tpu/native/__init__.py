@@ -92,16 +92,17 @@ def get_lib():
             p(ctypes.c_int32), p(ctypes.c_int32)]
         lib.gki_walk_free.restype = None
         lib.gki_walk_free.argtypes = [ctypes.c_void_p]
-        lib.gki_finalize_run.restype = ctypes.c_void_p
-        lib.gki_finalize_run.argtypes = [
-            p(ctypes.c_int8), i64, i32,
-            p(ctypes.c_int64), p(ctypes.c_int32), p(ctypes.c_int32),
+        lib.gki_finalize_count.restype = ctypes.c_void_p
+        lib.gki_finalize_count.argtypes = [
             p(ctypes.c_int32), p(ctypes.c_int32), p(ctypes.c_int32),
             i64, p(ctypes.c_double), i32, p(ctypes.c_int32), i64,
             p(ctypes.c_int64)]
-        lib.gki_finalize_fetch.restype = None
-        lib.gki_finalize_fetch.argtypes = [
-            ctypes.c_void_p, p(ctypes.c_uint64), p(ctypes.c_int32),
+        lib.gki_finalize_fill.restype = None
+        lib.gki_finalize_fill.argtypes = [
+            ctypes.c_void_p, p(ctypes.c_int8), i64, i32,
+            p(ctypes.c_int64), p(ctypes.c_int32), p(ctypes.c_int32),
+            p(ctypes.c_int32), i64,
+            p(ctypes.c_uint64), p(ctypes.c_int32),
             p(ctypes.c_int32), p(ctypes.c_int16), p(ctypes.c_double)]
         lib.gki_build_packed.restype = None
         lib.gki_build_packed.argtypes = [
@@ -310,15 +311,18 @@ def finalize_rows(tape, k, ts, nw, s_node, s_off, raw_nl, raw_nodes,
         store = np.zeros(0, np.int32)
         n_store = -1
     n_rows = np.zeros(1, np.int64)
-    handle = lib.gki_finalize_run(
-        _ptr(tape, ctypes.c_int8), len(tape), int(k),
-        _ptr(ts, ctypes.c_int64), _ptr(nw, ctypes.c_int32),
-        _ptr(s_node, ctypes.c_int32), _ptr(s_off, ctypes.c_int32),
-        _ptr(raw_nl, ctypes.c_int32), _ptr(raw_nodes, ctypes.c_int32),
-        len(ts), _ptr(af_table, ctypes.c_double),
+    # count/fill protocol: count caches per-span filtered node sets and
+    # the exact row total; fill writes rows straight into the numpy
+    # buffers (no native-side result vectors, no fetch copy — first-touch
+    # page faults are ~22 MB/s on this host, so each avoided output copy
+    # saves ~1s per 2.5M rows)
+    plan = lib.gki_finalize_count(
+        _ptr(nw, ctypes.c_int32), _ptr(raw_nl, ctypes.c_int32),
+        _ptr(raw_nodes, ctypes.c_int32), len(ts),
+        _ptr(af_table, ctypes.c_double),
         int(bool(only_save_one)), _ptr(store, ctypes.c_int32), n_store,
         _ptr(n_rows, ctypes.c_int64))
-    if not handle:
+    if not plan:
         return None
     n = int(n_rows[0])
     kmers = np.empty(n, np.uint64)
@@ -326,11 +330,14 @@ def finalize_rows(tape, k, ts, nw, s_node, s_off, raw_nl, raw_nodes,
     start_nodes = np.empty(n, np.int32)
     start_offsets = np.empty(n, np.int16)
     af = np.empty(n, np.float64)
-    lib.gki_finalize_fetch(handle, _ptr(kmers, ctypes.c_uint64),
-                           _ptr(nodes, ctypes.c_int32),
-                           _ptr(start_nodes, ctypes.c_int32),
-                           _ptr(start_offsets, ctypes.c_int16),
-                           _ptr(af, ctypes.c_double))
+    lib.gki_finalize_fill(
+        plan, _ptr(tape, ctypes.c_int8), len(tape), int(k),
+        _ptr(ts, ctypes.c_int64), _ptr(nw, ctypes.c_int32),
+        _ptr(s_node, ctypes.c_int32), _ptr(s_off, ctypes.c_int32),
+        len(ts),
+        _ptr(kmers, ctypes.c_uint64), _ptr(nodes, ctypes.c_int32),
+        _ptr(start_nodes, ctypes.c_int32),
+        _ptr(start_offsets, ctypes.c_int16), _ptr(af, ctypes.c_double))
     return kmers, nodes, start_nodes, start_offsets, af
 
 

@@ -570,45 +570,35 @@ void gki_walk_free(void* handle) { delete (Walker*)handle; }
 // Per span: ascending-unique node set, min allele frequency over the RAW
 // path nodes, only_save_one / only_store filters, one row per
 // (window, node). Bit-identical to the python vector path (fuzz-pinned).
+//
+// Two-phase count/fill protocol: count computes the per-span filtered
+// node sets + exact row total; fill writes rows straight into the
+// caller's (numpy) buffers. No result vectors, no fetch memcpy — on
+// this sandboxed host first-touch page faults run at ~22 MB/s, so every
+// avoidable copy of the ~25B/row output is worth ~1s per 2.5M rows.
 // ---------------------------------------------------------------------------
 
 namespace {
-struct FinalizeResult {
-    std::vector<uint64_t> kmers;
-    std::vector<int32_t> nodes;
-    std::vector<int32_t> start_nodes;
-    std::vector<int16_t> start_offsets;
-    std::vector<double> af;
+struct FinalizePlan {
+    std::vector<int32_t> uniq;      // concatenated per-span filtered sets
+    std::vector<int64_t> uniq_start;  // n_spans+1
+    std::vector<double> span_af;    // per-span min allele frequency
 };
 }  // namespace
 
 extern "C" {
 
-void* gki_finalize_run(
-    const int8_t* tape, int64_t n_tape, int32_t k,
-    const int64_t* ts, const int32_t* nw, const int32_t* s_node,
-    const int32_t* s_off, const int32_t* raw_nl, const int32_t* raw_nodes,
+void* gki_finalize_count(
+    const int32_t* nw, const int32_t* raw_nl, const int32_t* raw_nodes,
     int64_t n_spans, const double* af_table,
     int32_t only_save_one, const int32_t* store_filter, int64_t n_store,
     int64_t* out_n_rows) {
-    // window hashes of the tape (rolling, first-base-LSB)
-    int64_t n_hashes = (n_tape >= k) ? n_tape - k + 1 : 0;
-    std::vector<uint64_t> hashes((size_t)n_hashes);
-    if (n_hashes > 0) {
-        uint64_t h = 0;
-        for (int32_t i = 0; i < k; ++i)
-            h |= ((uint64_t)(uint8_t)tape[i]) << (2 * i);
-        hashes[0] = h;
-        const int32_t top = 2 * (k - 1);
-        for (int64_t i = 1; i < n_hashes; ++i) {
-            h = (h >> 2) | (((uint64_t)(uint8_t)tape[i + k - 1]) << top);
-            hashes[i] = h;
-        }
-    }
-
-    FinalizeResult* r = new FinalizeResult();
+    FinalizePlan* p = new FinalizePlan();
+    p->uniq_start.resize((size_t)n_spans + 1);
+    p->span_af.resize((size_t)n_spans);
+    p->uniq.reserve((size_t)n_spans * 2);
     std::vector<int32_t> uniq;
-    int64_t pos = 0;
+    int64_t pos = 0, n_rows = 0;
     for (int64_t sp = 0; sp < n_spans; ++sp) {
         const int32_t* raw = raw_nodes + pos;
         int32_t nraw = raw_nl[sp];
@@ -628,34 +618,55 @@ void* gki_finalize_run(
                     uniq[w++] = v;
             uniq.resize(w);
         }
+        p->uniq_start[sp] = (int64_t)p->uniq.size();
+        p->uniq.insert(p->uniq.end(), uniq.begin(), uniq.end());
+        p->span_af[sp] = af;
+        n_rows += (int64_t)uniq.size() * nw[sp];
+    }
+    p->uniq_start[n_spans] = (int64_t)p->uniq.size();
+    *out_n_rows = n_rows;
+    return p;
+}
+
+void gki_finalize_fill(
+    void* plan, const int8_t* tape, int64_t n_tape, int32_t k,
+    const int64_t* ts, const int32_t* nw, const int32_t* s_node,
+    const int32_t* s_off, int64_t n_spans,
+    uint64_t* kmers, int32_t* nodes, int32_t* start_nodes,
+    int16_t* start_offsets, double* af) {
+    FinalizePlan* p = (FinalizePlan*)plan;
+    const int32_t top = 2 * (k - 1);
+    int64_t row = 0;
+    for (int64_t sp = 0; sp < n_spans; ++sp) {
+        const int32_t* uq = p->uniq.data() + p->uniq_start[sp];
+        int32_t nuq = (int32_t)(p->uniq_start[sp + 1] - p->uniq_start[sp]);
+        if (nuq == 0 || nw[sp] <= 0) continue;
+        double span_af = p->span_af[sp];
         int32_t node_sp = s_node[sp];
         int32_t off_sp = s_off[sp];
+        // rolling hash over this span's tape slice (slices are disjoint,
+        // so per-span re-init costs the same total tape reads as one
+        // whole-tape pass and skips the 8B/base hash buffer)
+        const int8_t* t = tape + ts[sp];
+        uint64_t h = 0;
+        for (int32_t i = 0; i < k; ++i)
+            h |= ((uint64_t)(uint8_t)t[i]) << (2 * i);
         for (int32_t w = 0; w < nw[sp]; ++w) {
-            uint64_t kmer = hashes[ts[sp] + w];
-            for (int32_t v : uniq) {
-                r->kmers.push_back(kmer);
-                r->nodes.push_back(v);
-                r->start_nodes.push_back(node_sp);
-                r->start_offsets.push_back((int16_t)(off_sp + w));
-                r->af.push_back(af);
+            if (w > 0)
+                h = (h >> 2) | (((uint64_t)(uint8_t)t[w + k - 1]) << top);
+            int16_t so = (int16_t)(off_sp + w);
+            for (int32_t i = 0; i < nuq; ++i) {
+                kmers[row] = h;
+                nodes[row] = uq[i];
+                start_nodes[row] = node_sp;
+                start_offsets[row] = so;
+                af[row] = span_af;
+                ++row;
             }
         }
     }
-    *out_n_rows = (int64_t)r->kmers.size();
-    return r;
-}
-
-void gki_finalize_fetch(void* handle, uint64_t* kmers, int32_t* nodes,
-                        int32_t* start_nodes, int16_t* start_offsets,
-                        double* af) {
-    FinalizeResult* r = (FinalizeResult*)handle;
-    memcpy(kmers, r->kmers.data(), r->kmers.size() * 8);
-    memcpy(nodes, r->nodes.data(), r->nodes.size() * 4);
-    memcpy(start_nodes, r->start_nodes.data(), r->start_nodes.size() * 4);
-    memcpy(start_offsets, r->start_offsets.data(),
-           r->start_offsets.size() * 2);
-    memcpy(af, r->af.data(), r->af.size() * 8);
-    delete r;
+    (void)n_tape;
+    delete p;
 }
 
 }  // extern "C"
