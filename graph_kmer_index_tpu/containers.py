@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .utils.hugepages import hp_zeros
+
 
 class NpList:
     """Amortized-growth numpy-backed list (reference nplist.py:4-69):
@@ -25,7 +27,7 @@ class NpList:
         self._data = np.zeros(100, dtype=self._dtype)
 
     def _grow(self, new_length):
-        new_data = np.zeros(new_length, dtype=self._data.dtype)
+        new_data = hp_zeros(new_length, self._data.dtype)
         new_data[: self._n_elements] = self._data[: self._n_elements]
         self._data = new_data
 

@@ -747,7 +747,7 @@ class DenseKmerFinder:
                 only_store_nodes=self._only_store_nodes)
             if res is not None:
                 kmers, nodes, start_nodes, start_offsets, af = res
-                self._finalized = (kmers.astype(np.int64), nodes,
+                self._finalized = (kmers, nodes,
                                    start_nodes, start_offsets, af)
                 self._rebuild_kmers_found_debug()
                 return

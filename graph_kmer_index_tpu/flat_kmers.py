@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .utils.hugepages import hp_empty
 from .hashing import kmer_hashes_to_reverse_complement_hash
 
 
@@ -76,20 +77,25 @@ class FlatKmers:
     @classmethod
     def from_multiple_flat_kmers(cls, flat_kmers_list):
         """Concatenate shards (the merge collective of the build pipeline;
-        reference flat_kmers.py:71-90)."""
-        hashes = np.concatenate([np.asarray(f._hashes) for f in flat_kmers_list]) \
-            if flat_kmers_list else np.zeros(0)
-        nodes = np.concatenate([np.asarray(f._nodes) for f in flat_kmers_list]) \
-            if flat_kmers_list else np.zeros(0)
+        reference flat_kmers.py:71-90). Concatenates+casts in one pass
+        into hugepage-advised buffers (first-touch faults on this host
+        cost more than the copy itself — see utils/hugepages.py)."""
+        def concat_as(arrays, dtype):
+            arrays = [np.asarray(a) for a in arrays]
+            out = hp_empty(sum(len(a) for a in arrays), dtype)
+            if len(out):
+                np.concatenate(arrays, out=out, casting="unsafe")
+            return out
+
+        hashes = concat_as([f._hashes for f in flat_kmers_list], np.uint64)
+        nodes = concat_as([f._nodes for f in flat_kmers_list], np.uint32)
         ref_offsets = [np.asarray(f._ref_offsets) for f in flat_kmers_list
                        if f._ref_offsets is not None]
-        ref_offsets = (np.concatenate(ref_offsets).astype(np.uint64)
+        ref_offsets = (concat_as(ref_offsets, np.uint64)
                        if ref_offsets else None)
-        af = np.concatenate([np.asarray(f._allele_frequencies)
-                             for f in flat_kmers_list]) \
-            if flat_kmers_list else np.zeros(0, dtype=np.single)
-        return cls(hashes.astype(np.uint64), nodes.astype(np.uint32),
-                   ref_offsets, af.astype(np.single))
+        af = concat_as([f._allele_frequencies for f in flat_kmers_list],
+                       np.single)
+        return cls(hashes, nodes, ref_offsets, af)
 
     def get_new_without_singletons(self):
         """Drop the FIRST occurrence of every hash, keep the rest in order

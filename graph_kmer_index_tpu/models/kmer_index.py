@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+from ..utils.hugepages import hp_empty, hp_zeros
+
 from ..containers import Counter, MultiValueHashTable, HashTable
 from ..flat_kmers import FlatKmers
 from ..hashing import kmer_hash_to_sequence, sequence_to_kmer_hash, \
@@ -39,16 +41,23 @@ def _build_modulo_layout(hashes, modulo, row_arrays):
     (argsort + ediff1d segment boundaries), expressed once for all index
     variants."""
     sorting = np.argsort(hashes, kind="stable")
-    hashes = hashes[sorting]
-    rows = [a[sorting] for a in row_arrays]
+    # reorders + the modulo-sized tables go through hugepage-advised
+    # buffers: at production modulo the two tables alone are ~5GB and
+    # this host faults fresh 4KB pages at ~22 MB/s (utils/hugepages.py)
+    def take(a):
+        out = hp_empty(len(a), a.dtype)
+        np.take(a, sorting, out=out)
+        return out
+    hashes = take(hashes)
+    rows = [take(a) for a in row_arrays]
     diffs = np.ediff1d(hashes, to_begin=hashes.dtype.type(1))
     starts = np.nonzero(diffs)[0]
     unique_hashes = hashes[starts].astype(np.int64)
-    lookup = np.zeros(modulo, dtype=np.int64)
+    lookup = hp_zeros(modulo, np.int64)
     lookup[unique_hashes] = starts
     n_entries = np.ediff1d(starts, to_end=len(hashes) - starts[-1]) \
         if len(starts) else np.zeros(0, dtype=np.int64)
-    n_kmers = np.zeros(modulo, dtype=np.uint32)
+    n_kmers = hp_zeros(modulo, np.uint32)
     n_kmers[unique_hashes] = n_entries
     return lookup, n_kmers, rows, sorting
 

@@ -14,6 +14,8 @@ import threading
 
 import numpy as np
 
+from ..utils.hugepages import hp_empty, hp_zeros
+
 _HERE = os.path.dirname(__file__)
 _SRCS = [os.path.join(_HERE, "gki.cpp"), os.path.join(_HERE, "walker.cpp")]
 _SO = os.path.join(_HERE, "libgki.so")
@@ -147,7 +149,7 @@ def sliding_hashes(seq: np.ndarray, k: int) -> np.ndarray | None:
     n = len(seq)
     if n < k:
         return np.zeros(0, dtype=np.uint64)
-    out = np.empty(n - k + 1, dtype=np.uint64)
+    out = hp_empty(n - k + 1, np.uint64)
     lib.gki_sliding_hashes(_ptr(seq, ctypes.c_int8), n, k,
                            _ptr(out, ctypes.c_uint64))
     return out
@@ -175,7 +177,7 @@ def bucket_lookup(kmers, table_kmers, table_nodes, table_ref_offsets,
         _ptr(np.ascontiguousarray(sizes_tbl, np.uint32), ctypes.c_uint32),
         int(modulo), int(hit_cap), int(freq_cap))
     n_hits = lib.gki_bucket_lookup(*args, 1, None, 0)
-    out = np.zeros((5, max(1, n_hits)), dtype=np.uint64)
+    out = hp_zeros((5, max(1, n_hits)), np.uint64)
     if n_hits > 0:
         lib.gki_bucket_lookup(*args, 0, _ptr(out, ctypes.c_uint64), n_hits)
     return out[:, :n_hits]
@@ -187,7 +189,7 @@ def map_kmers(kmers, table_kmers, table_nodes, starts_tbl, sizes_tbl,
     if lib is None:
         return None
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
-    counts = np.zeros(n_nodes, dtype=np.uint32)
+    counts = hp_zeros(n_nodes, np.uint32)
     lib.gki_map_kmers(
         _ptr(kmers, ctypes.c_uint64), len(kmers),
         _ptr(np.ascontiguousarray(table_kmers, np.uint64), ctypes.c_uint64),
@@ -204,7 +206,7 @@ def has_kmers(kmers, table_kmers, starts_tbl, sizes_tbl,
     if lib is None:
         return None
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
-    out = np.zeros(len(kmers), dtype=np.uint8)
+    out = hp_zeros(len(kmers), np.uint8)
     lib.gki_has_kmers(
         _ptr(kmers, ctypes.c_uint64), len(kmers),
         _ptr(np.ascontiguousarray(table_kmers, np.uint64), ctypes.c_uint64),
@@ -270,13 +272,13 @@ def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
         return None
     n_spans, tape_len, sn_len = (int(out_sizes[0]), int(out_sizes[1]),
                                  int(out_sizes[2]))
-    tape = np.empty(tape_len, np.int8)
-    ts = np.empty(n_spans, np.int64)
-    nw = np.empty(n_spans, np.int32)
-    s_node = np.empty(n_spans, np.int32)
-    s_off = np.empty(n_spans, np.int32)
-    nl = np.empty(n_spans, np.int32)
-    span_nodes = np.empty(sn_len, np.int32)
+    tape = hp_empty(tape_len, np.int8)
+    ts = hp_empty(n_spans, np.int64)
+    nw = hp_empty(n_spans, np.int32)
+    s_node = hp_empty(n_spans, np.int32)
+    s_off = hp_empty(n_spans, np.int32)
+    nl = hp_empty(n_spans, np.int32)
+    span_nodes = hp_empty(sn_len, np.int32)
     lib.gki_walk_fetch(handle, _ptr(tape, ctypes.c_int8),
                        _ptr(ts, ctypes.c_int64), _ptr(nw, ctypes.c_int32),
                        _ptr(s_node, ctypes.c_int32),
@@ -291,7 +293,7 @@ def finalize_rows(tape, k, ts, nw, s_node, s_off, raw_nl, raw_nodes,
     """Native span-stream -> FlatKmers row expansion (no whitelist mask;
     callers with a whitelist use the python path). Returns
     (kmers u64, nodes i32, start_nodes i32, start_offsets i16, af f64)
-    or None if the library is unavailable."""
+    (kmers as int64) or None if the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -325,11 +327,14 @@ def finalize_rows(tape, k, ts, nw, s_node, s_off, raw_nl, raw_nodes,
     if not plan:
         return None
     n = int(n_rows[0])
-    kmers = np.empty(n, np.uint64)
-    nodes = np.empty(n, np.int32)
-    start_nodes = np.empty(n, np.int32)
-    start_offsets = np.empty(n, np.int16)
-    af = np.empty(n, np.float64)
+    # int64 buffer, filled through a uint64 pointer: hash values are
+    # < 4^31 so the bit patterns agree, and the finder's consumer wants
+    # int64 — writing it directly saves a 20MB/2.5M-row astype copy
+    kmers = hp_empty(n, np.int64)
+    nodes = hp_empty(n, np.int32)
+    start_nodes = hp_empty(n, np.int32)
+    start_offsets = hp_empty(n, np.int16)
+    af = hp_empty(n, np.float64)
     lib.gki_finalize_fill(
         plan, _ptr(tape, ctypes.c_int8), len(tape), int(k),
         _ptr(ts, ctypes.c_int64), _ptr(nw, ctypes.c_int32),
@@ -349,9 +354,9 @@ def fasta_encode(text: bytes, max_reads: int | None = None):
         return None
     n = len(text)
     max_reads = max_reads or (n // 2 + 1)
-    out = np.empty(n, dtype=np.int8)
-    starts = np.empty(max_reads, dtype=np.int64)
-    lens = np.empty(max_reads, dtype=np.int64)
+    out = hp_empty(n, np.int8)
+    starts = hp_empty(max_reads, np.int64)
+    lens = hp_empty(max_reads, np.int64)
     n_reads = lib.gki_fasta_encode(
         text, n, _ptr(out, ctypes.c_int8), n,
         _ptr(starts, ctypes.c_int64), _ptr(lens, ctypes.c_int64), max_reads)
@@ -370,10 +375,10 @@ def build_packed(kmers: np.ndarray, nodes: np.ndarray, modulo2: int):
     kmers = np.ascontiguousarray(kmers, np.uint64)
     nodes = np.ascontiguousarray(nodes, np.uint32)
     n = len(kmers)
-    rec = np.empty(4 * modulo2, dtype=np.uint64)
-    rows_k = np.empty(n, dtype=np.uint64)
-    rows_n = np.empty(n, dtype=np.uint32)
-    scratch = np.empty(modulo2 + 1, dtype=np.int64)
+    rec = hp_empty(4 * modulo2, np.uint64)
+    rows_k = hp_empty(n, np.uint64)
+    rows_n = hp_empty(n, np.uint32)
+    scratch = hp_empty(modulo2 + 1, np.int64)
     lib.gki_build_packed(_ptr(kmers, ctypes.c_uint64),
                          _ptr(nodes, ctypes.c_uint32), n, modulo2,
                          _ptr(rec, ctypes.c_uint64),
@@ -386,7 +391,7 @@ def build_packed(kmers: np.ndarray, nodes: np.ndarray, modulo2: int):
 def packed_map_kmers(kmers, rec, rows_k, rows_n, modulo2, n_nodes):
     lib = get_lib()
     kmers = np.ascontiguousarray(kmers, np.uint64)
-    counts = np.zeros(n_nodes, dtype=np.int64)
+    counts = hp_zeros(n_nodes, np.int64)
     lib.gki_packed_map_kmers(_ptr(kmers, ctypes.c_uint64), len(kmers),
                              _ptr(rec, ctypes.c_uint64),
                              _ptr(rows_k, ctypes.c_uint64),
@@ -398,7 +403,7 @@ def packed_map_kmers(kmers, rec, rows_k, rows_n, modulo2, n_nodes):
 def packed_has_kmers(kmers, rec, rows_k, modulo2):
     lib = get_lib()
     kmers = np.ascontiguousarray(kmers, np.uint64)
-    out = np.zeros(len(kmers), dtype=np.uint8)
+    out = hp_zeros(len(kmers), np.uint8)
     lib.gki_packed_has_kmers(_ptr(kmers, ctypes.c_uint64), len(kmers),
                              _ptr(rec, ctypes.c_uint64),
                              _ptr(rows_k, ctypes.c_uint64), modulo2,
