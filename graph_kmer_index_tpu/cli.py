@@ -109,7 +109,7 @@ def create_index(args):
         results = map_over_chunks(
             lambda iv: create_index_single_thread(args, iv), intervals,
             args["threads"])
-        kmers = FlatKmers.from_multiple_flat_kmers(results)
+        kmers = FlatKmers.from_multiple_flat_kmers(results, consume=True)
     kmers.to_file(args["out_file_name"])
     logging.info("Wrote to %s", args["out_file_name"])
 
@@ -329,7 +329,7 @@ def make_unique_variant_kmers(args):
 
     from .parallel.host_pool import map_over_chunks
     all_flat = map_over_chunks(run_chunk, chunks, args.n_threads)
-    merged = FlatKmers.from_multiple_flat_kmers(all_flat)
+    merged = FlatKmers.from_multiple_flat_kmers(all_flat, consume=True)
     merged.to_file(args.out_file_name)
     logging.info("Wrote to %s", args.out_file_name)
 

@@ -159,8 +159,9 @@ def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
     results, _ = _find_pooled(_run_chunk, graph, k, n_workers,
                               critical_paths, position_id,
                               chunks_per_worker, finder_kwargs)
-    return FlatKmers.from_multiple_flat_kmers(
-        [FlatKmers(h, n, r, a) for h, n, r, a in results])
+    shards = [FlatKmers(h, n, r, a) for h, n, r, a in results]
+    del results  # consume=True frees each shard as it is copied
+    return FlatKmers.from_multiple_flat_kmers(shards, consume=True)
 
 
 def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
