@@ -75,3 +75,87 @@ def test_variant_to_nodes_roundtrip(tmp_path):
     np.savez(f, ref_nodes=np.array([1, 3]), var_nodes=np.array([2, 4]))
     v = VariantToNodes.from_file(f)
     assert list(v.ref_nodes) == [1, 3]
+
+
+def test_reference_written_reverse_index_loads(tmp_path):
+    # key names from reference reverse_kmer_index.py:53-57
+    from graph_kmer_index_tpu import ReverseKmerIndex
+    f = str(tmp_path / "rev_ref")
+    np.savez(f, nodes_to_index_positions=np.array([0, 0, 2], dtype=np.int64),
+             nodes_to_n_hashes=np.array([0, 2, 1], dtype=np.int64),
+             hashes=np.array([11, 12, 13], dtype=np.uint64),
+             ref_positions=np.array([5, 6, 7], dtype=np.uint32))
+    r = ReverseKmerIndex.from_file(f)
+    assert sorted(int(k) for k in r.get_node_kmers(1)) == [11, 12]
+    assert [int(k) for k in r.get_node_kmers(2)] == [13]
+    f2 = str(tmp_path / "rev_ours")
+    r.to_file(f2)
+    assert set(np.load(f2 + ".npz").keys()) == {
+        "nodes_to_index_positions", "nodes_to_n_hashes", "hashes",
+        "ref_positions"}
+
+
+def test_reference_written_reference_index_loads(tmp_path):
+    # the three key-set variants of reference reference_kmer_index.py:116-129
+    from graph_kmer_index_tpu import ReferenceKmerIndex
+    f = str(tmp_path / "refidx")
+    np.savez(f, ref_position_to_index=np.array([0, 1, 2, 3], dtype=np.int64),
+             kmers=np.array([7, 8, 9], dtype=np.uint64))
+    r = ReferenceKmerIndex.from_file(f)
+    assert [int(k) for k in r.get_between(0, 2)] == [7, 8]
+    f_kmers_only = str(tmp_path / "refidx_k")
+    np.savez(f_kmers_only, kmers=np.array([1, 2], dtype=np.uint64))
+    assert [int(k) for k in ReferenceKmerIndex.from_file(f_kmers_only).kmers
+            ] == [1, 2]
+    f_full = str(tmp_path / "refidx_full")
+    np.savez(f_full,
+             ref_position_to_index=np.array([0, 1, 2, 3], dtype=np.int64),
+             kmers=np.array([7, 8, 9], dtype=np.uint64),
+             ref_positions=np.array([0, 1, 2], dtype=np.uint32),
+             nodes=np.array([4, 5, 6], dtype=np.uint32))
+    r = ReferenceKmerIndex.from_file(f_full)
+    km, pos, nd = r.get_all_between(1, 3)
+    assert [int(x) for x in km] == [8, 9]
+    assert [int(x) for x in nd] == [5, 6]
+    # our writer emits the same key sets
+    f2 = str(tmp_path / "refidx_ours")
+    r.to_file(f2)
+    assert set(np.load(f2 + ".npz").keys()) == {
+        "ref_position_to_index", "kmers", "ref_positions", "nodes"}
+
+
+def test_reference_written_frequency_index_loads(tmp_path):
+    # key names from reference kmer_frequency_index.py:27-37
+    from graph_kmer_index_tpu import KmerFrequencyIndex
+    f = str(tmp_path / "freq_ref")
+    np.savez(f, kmers=np.array([3, 9], dtype=np.uint64),
+             frequencies=np.array([2, 5], dtype=np.int64))
+    idx = KmerFrequencyIndex.from_file(f)
+    assert idx.get(9) == 5
+    f2 = str(tmp_path / "freq_ours")
+    idx.to_file(f2)
+    assert set(np.load(f2 + ".npz").keys()) == {"kmers", "frequencies"}
+
+
+def test_reference_written_unique_kmer_index_loads(tmp_path):
+    # reference unique_kmer_index.py:12-21 pickles the plain dict
+    import pickle
+    from graph_kmer_index_tpu import UniqueKmerIndex
+    f = str(tmp_path / "unique_ref.pkl")
+    with open(f, "wb") as fh:
+        pickle.dump({5: [1, 2]}, fh)
+    u = UniqueKmerIndex.from_file(f)
+    assert u.get(5) == [1, 2]
+    f2 = str(tmp_path / "unique_ours.pkl")
+    u.to_file(f2)
+    with open(f2, "rb") as fh:
+        assert pickle.load(fh) == {5: [1, 2]}
+
+
+def test_reference_written_logn_hash_map_loads(tmp_path):
+    # reference logn_hash_map.py:5-9 saves the sorted hash array as .npy
+    from graph_kmer_index_tpu.containers import LogNHashMap
+    f = str(tmp_path / "lognmap")
+    np.save(f, np.array([2, 5, 9], dtype=np.int64))
+    m = LogNHashMap.from_file(f)
+    assert m.hash(5) == 1 and m.unhash(2) == 9
