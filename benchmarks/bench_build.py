@@ -88,11 +88,11 @@ def main():
     sync((nodes_s,))
     modulo2 = lk.internal_modulo(n_rows)
     t0 = time.perf_counter()
-    rec, ks, ns, max_sz = lk._build_packed(kmers_s, nodes_s, modulo2)
+    rec, ks, ns, max_sz, _df = lk._build_packed(kmers_s, nodes_s, modulo2)
     sync((rec, ks))
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
-    rec, ks, ns, max_sz = lk._build_packed(kmers_s, nodes_s, modulo2)
+    rec, ks, ns, max_sz, _df = lk._build_packed(kmers_s, nodes_s, modulo2)
     sync((rec, ks))
     dt = time.perf_counter() - t0
     print(f"4 packed records (modulo2={modulo2}, max bucket={max_sz}): "

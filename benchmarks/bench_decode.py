@@ -38,7 +38,7 @@ def main():
     nodes = jnp.asarray(rng.integers(1, 1 << 20, n_rows).astype(np.uint32))
     modulo2 = internal_modulo(n_rows)
     t = time.perf_counter()
-    rec, ks, ns, max_sz = _build_packed(kmers, nodes, modulo2)
+    rec, ks, ns, max_sz, _df = _build_packed(kmers, nodes, modulo2)
     print(f"packed build {time.perf_counter()-t:.2f}s modulo2={modulo2} "
           f"groups={rec.shape[0]} max_sz={max_sz}", flush=True)
 

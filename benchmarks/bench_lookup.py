@@ -20,8 +20,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from graph_kmer_index_tpu import CollisionFreeKmerIndex, FlatKmers
-    from graph_kmer_index_tpu.ops.lookup import (
-        _node_counts, _node_counts_packed, _has_kmers_packed)
+    from graph_kmer_index_tpu.ops.lookup import _node_counts
 
     rng = np.random.default_rng(0)
     flat = FlatKmers(rng.integers(0, 1 << 62, n_rows).astype(np.uint64),
@@ -49,26 +48,66 @@ def main():
     # NB: the device tables are passed as ARGUMENTS — closing over them
     # bakes GB-scale constants into the compile request (HTTP 413 on
     # this backend's remote compile helper)
-    def make_chain_counts(sort_agg):
+    from graph_kmer_index_tpu.ops.lookup import (
+        _counts_decode_packed, _member_decode_packed,
+        _overflow_scan_counts, _overflow_scan_member)
+
+    cap_hi = dev._overflow_hint(n_q)
+
+    # stage-B inputs from one real stage-A run: the true overflow count
+    # of the half-hit batch sizes the scan matrix, exactly as the e2e
+    # methods do (_overflow_pieces)
+    outA = _counts_decode_packed(q0, n_q, rec, modulo2, n_nodes, cap_hi,
+                                 True)
+    n_over = int(outA[-1])
+    scan_cap = (0 if n_over == 0 else
+                min(cap_hi, max(1024, 1 << int(n_over - 1).bit_length())))
+    print(f"deep queries: {n_over}/{n_q} (compaction cap {cap_hi}, "
+          f"scan cap {scan_cap})", flush=True)
+    outM = _member_decode_packed(q0, n_q, rec, modulo2, cap_hi)
+    pc = tuple(a[:scan_cap] for a in outA[2:5])
+    pm = tuple(a[:scan_cap] for a in outM[2:6])
+
+    def make_chain_counts_A(sort_agg):
         @jax.jit
-        def chain_counts_packed(q, reps, rec, ks, ns):
+        def chain(q, reps, rec):
             def body(i, x):
-                counts, _ = _node_counts_packed(x, x.shape[0], rec, ks, ns,
-                                                modulo2, n_nodes, max_sz,
-                                                sort_agg)
+                counts, _, _, _, _, n_over = _counts_decode_packed(
+                    x, x.shape[0], rec, modulo2, n_nodes, cap_hi,
+                    sort_agg)
                 # SCALAR dependence: a counts[x % n]-style gather here
                 # becomes part of the measured loop body (~30% inflation
                 # at 4M queries — the round-2 "22 M/s" artifact)
-                return x ^ counts[0].astype(jnp.uint64)
+                return x ^ (counts[0] + n_over).astype(jnp.uint64)
             return jax.lax.fori_loop(0, reps, body, q).sum()
-        return chain_counts_packed
+        return chain
 
     @jax.jit
-    def chain_has_packed(q, reps, rec, ks, ns):
+    def chain_member_A(q, reps, rec):
         def body(i, x):
-            hit, _ = _has_kmers_packed(x, x.shape[0], rec, ks, modulo2,
-                                       max_sz)
+            hit, _, _, _, _, _, _ = _member_decode_packed(
+                x, x.shape[0], rec, modulo2, cap_hi)
             return x ^ hit.astype(jnp.uint64)
+        return jax.lax.fori_loop(0, reps, body, q).sum()
+
+    @jax.jit
+    def chain_counts_B(q, reps, oq, ostart, osz, n_over_d, ks, ns):
+        def body(i, x):
+            # flip oq's low bit by a value derived from x: keeps the
+            # chain data-dependent without changing the gather pattern
+            c = _overflow_scan_counts(oq ^ (x[:oq.shape[0]] & jnp.uint64(1)),
+                                      ostart, osz, n_over_d, ks, ns,
+                                      n_nodes, max_sz)
+            return x ^ c[0].astype(jnp.uint64)
+        return jax.lax.fori_loop(0, reps, body, q).sum()
+
+    @jax.jit
+    def chain_member_B(q, reps, hit0, oi, oq, ostart, osz, n_over_d, ks):
+        def body(i, x):
+            h = _overflow_scan_member(
+                hit0, oi, oq ^ (x[:oq.shape[0]] & jnp.uint64(1)),
+                ostart, osz, n_over_d, ks, max_sz)
+            return x ^ h.astype(jnp.uint64)
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
     @jax.jit
@@ -79,14 +118,7 @@ def main():
             return x ^ counts[0].astype(jnp.uint64)
         return jax.lax.fori_loop(0, reps, body, q).sum()
 
-    runs = [("counts/packed", make_chain_counts(False), (rec, ks, ns)),
-            ("counts/sortagg", make_chain_counts(True), (rec, ks, ns)),
-            ("member/packed", chain_has_packed, (rec, ks, ns))]
-    if "--csr" in sys.argv:
-        runs.append(("counts/csr", chain_csr,
-                     (dev.table_kmers, dev.table_nodes, dev.starts_tbl,
-                      dev.sizes_tbl)))
-    for name, chain, args in runs:
+    def measure(chain, args):
         int(chain(q0, 2, *args))
         int(chain(q0, 10, *args))
         t0 = time.perf_counter()
@@ -95,9 +127,35 @@ def main():
         t0 = time.perf_counter()
         int(chain(q0, 10, *args))
         t10 = time.perf_counter() - t0
-        per = (t10 - t2) / 8
+        return (t10 - t2) / 8
+
+    runs = [("counts A/direct", make_chain_counts_A(False), (rec,)),
+            ("counts A/sortagg", make_chain_counts_A(True), (rec,)),
+            ("member A", chain_member_A, (rec,))]
+    if scan_cap:
+        hz = jnp.zeros(n_q, bool)
+        runs += [("counts B", chain_counts_B,
+                  (pc[0], pc[1], pc[2], outA[-1], ks, ns)),
+                 ("member B", chain_member_B,
+                  (hz, pm[3], pm[0], pm[1], pm[2], outM[-1], ks))]
+    if "--csr" in sys.argv:
+        runs.append(("counts/csr", chain_csr,
+                     (dev.table_kmers, dev.table_nodes, dev.starts_tbl,
+                      dev.sizes_tbl)))
+    stage = {}
+    for name, chain, args in runs:
+        per = measure(chain, args)
+        stage[name] = per
         print(f"lookup [{name}]: {per*1e3:.2f} ms/batch of {n_q} "
               f"-> {n_q/per/1e6:.1f} M lookups/s", flush=True)
+    tb_c = stage.get("counts B", 0.0)
+    tb_m = stage.get("member B", 0.0)
+    for label, ta, tb in [
+            ("counts e2e (A+B)", stage["counts A/sortagg"], tb_c),
+            ("member e2e (A+B)", stage["member A"], tb_m)]:
+        per = ta + tb
+        print(f"lookup [{label}]: {per*1e3:.2f} ms -> "
+              f"{n_q/per/1e6:.1f} M lookups/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -261,16 +261,21 @@ def _packed_reshape(rec_flat, modulo2):
 
 def _build_packed(kmers, nodes, modulo2):
     """Sorted rows + (modulo2, 8) record table, built in stages so sort
-    temporaries free before the record buffer allocates."""
+    temporaries free before the record buffer allocates. Also returns
+    the fraction of rows in deep (size > 2) buckets — it sizes the
+    deep-query compaction capacity of the lookup kernels (an all-hit
+    query batch's deep share approaches it)."""
+    n = int(kmers.shape[0])
     bs, ks, ns = _packed_sort(kmers, nodes, modulo2)
     jax.block_until_ready(ks)
     sz_row, max_sz = _packed_sizes(bs, modulo2)
     max_sz = int(max_sz)
+    deep_frac = float(jnp.sum(sz_row > 2)) / max(1, n)
     rec_flat = _packed_records(bs, ks, ns, sz_row, modulo2)
     jax.block_until_ready(rec_flat)
     rec = _packed_reshape(rec_flat, modulo2)
     jax.block_until_ready(rec)
-    return rec, ks, ns, max_sz
+    return rec, ks, ns, max_sz, deep_frac
 
 
 def _packed_decode(records, kmers, n_valid, modulo2):
@@ -341,6 +346,60 @@ SCAN_CAP = 256
 _NODE_SENT = jnp.int32(2**31 - 1)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _compact_masked_unique(kmers, mask, cap):
+    """Deduplicated masked kmers, computed on device: returns
+    (first ``cap`` unique masked kmers, their multiplicities, n_unique).
+    Lets callers fetch just the handful of host-resolved (ultra-deep)
+    query VALUES instead of the whole chunk + mask — at production
+    chunk sizes 36 MB of device->host transfer per chunk avoided, and
+    repeat-heavy read batches (one poly-A kmer repeated 10^4-10^5
+    times) dedup to a few dozen fetched values."""
+    n = kmers.shape[0]
+    # unmasked -> all-ones sentinel (above any k<=31 hash), sorts last
+    s = jax.lax.sort(jnp.where(mask, kmers, ~jnp.uint64(0)))
+    n_masked = jnp.sum(mask, dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), s[1:] != s[:-1]]) & (idx < n_masked)
+    n_unique = jnp.sum(is_start, dtype=jnp.int32)
+    # run starts compacted to the front in ascending order
+    _, pos = jax.lax.sort_key_val((~is_start).astype(jnp.int32), idx,
+                                  is_stable=True)
+    posc = pos[:cap]
+    nxt = jnp.concatenate([posc[1:], jnp.full((1,), n, jnp.int32)])
+    i = jnp.arange(posc.shape[0], dtype=jnp.int32)
+    runlen = jnp.where(i < n_unique - 1, nxt, n_masked) - posc
+    return s[posc], jnp.maximum(runlen, 0), n_unique
+
+
+@jax.jit
+def _fixup_membership(hit, mask, kmers, present_sorted):
+    """Overwrite ``hit`` at masked positions with membership of the
+    query kmer in ``present_sorted`` (sorted, padded with a > 4^31
+    sentinel) — the device-side application of the host-resolved
+    ultra-bucket verdicts."""
+    pos = jnp.searchsorted(present_sorted, kmers)
+    pos = jnp.minimum(pos, present_sorted.shape[0] - 1)
+    isin = present_sorted[pos] == kmers
+    return jnp.where(mask, isin, hit)
+
+
+# padding sentinel for _fixup_membership: above any k<=31 hash (< 4^31)
+_PRESENT_SENT = np.uint64(1) << np.uint64(63)
+
+
+def _present_padded(present):
+    """Sorted uint64 array of the present ultra kmers, padded to a
+    power-of-two length with _PRESENT_SENT (bounds _fixup_membership
+    recompiles to the size ladder)."""
+    arr = np.fromiter(present, np.uint64, len(present))
+    size = 1 << max(0, int(len(arr) - 1).bit_length())
+    out = np.full(max(1, size), _PRESENT_SENT, dtype=np.uint64)
+    out[:len(arr)] = np.sort(arr)
+    return out
+
+
 def _aggregate_counts_sorted(node_lists, n_nodes):
     """Dense node counts from hit-node id arrays (misses = _NODE_SENT).
 
@@ -376,97 +435,105 @@ def _aggregate_counts_sorted(node_lists, n_nodes):
     return counts.at[u].add(run_len, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _node_counts_packed(kmers, n_valid, records, kmers_i, nodes_i,
-                        modulo2, n_nodes, max_scan, sort_agg=False):
-    """Node counts from the packed layout. Returns (counts, host_mask):
-    queries flagged in host_mask contributed NOTHING to counts and must
-    be resolved by the caller (ultra-deep buckets always; deep buckets
-    only in the pathological case that >1/32 of the batch is deep, when
-    the whole compacted scan is discarded rather than truncated).
-
-    ``sort_agg`` switches the counts aggregation from direct full-batch
-    scatter-adds to sort + run-length + small scatter
-    (_aggregate_counts_sorted): measured end-to-end 22.1 vs 20.8 M
-    lookups/s on the 16M-row table (benchmarks/bench_lookup.py), so
-    callers enable it and the internal n_nodes-vs-batch threshold picks
-    per shape. The counts path is decode-bound either way — the record
-    gather plus lane selection is the ~93ms floor shared with
-    _has_kmers_packed; aggregation adds the rest."""
+def _lane_counts(kmers, n_valid, records, modulo2, n_nodes, sort_agg):
+    """Decode + lane-hit node counts (shared trace head). Deep-bucket
+    queries are counted exclusively by the overflow scan (their record
+    lanes duplicate the bucket's first rows), so their lane hits are
+    masked out here."""
     n_q = kmers.shape[0]
     qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
         records, kmers, n_valid, modulo2)
     ultra = (sz > SCAN_CAP) & qvalid
     deep = deep & ~ultra
-    # deep-bucket queries are counted exclusively by the overflow scan
-    # (their record lanes duplicate the bucket's first rows)
     hit0 = hit0 & ~deep & ~ultra
     hit1 = hit1 & ~deep & ~ultra
     use_sorted = sort_agg and (n_nodes + 1) < (3 * n_q) // 2
     node_lists = [jnp.where(hit0, n0, _NODE_SENT),
                   jnp.where(hit1, r3.astype(jnp.int32), _NODE_SENT)]
+    counts = None
     if not use_sorted:
         counts = jnp.zeros(n_nodes, dtype=jnp.int32)
         for nl in node_lists:
             counts = counts.at[jnp.where(nl == _NODE_SENT, n_nodes, nl)
                                ].add(1, mode="drop")
-    if max_scan <= 2:
-        if use_sorted:
-            counts = _aggregate_counts_sorted(node_lists, n_nodes)
-        return counts, ultra
+    return counts, ultra, deep, r3, sz, node_lists, use_sorted
 
-    overflow_cap = max(1024, n_q // 32)
-    oq, ostart, osz, _oi, n_overflow = _compact_overflow(
-        kmers, deep, r3, sz, overflow_cap)
-    exceeded = n_overflow > overflow_cap
-    scan = jnp.arange(min(max_scan, SCAN_CAP), dtype=jnp.int32)
-    rows = jnp.minimum(ostart[:, None] + scan[None, :],
-                       kmers_i.shape[0] - 1)
-    ovalid = (jnp.arange(overflow_cap)
-              < jnp.minimum(n_overflow, overflow_cap))
-    mask = ((scan[None, :] < osz[:, None]) & (kmers_i[rows] == oq[:, None])
-            & ovalid[:, None] & ~exceeded)
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _counts_decode_packed(kmers, n_valid, records, modulo2, n_nodes,
+                          cap_hi, sort_agg):
+    """Stage A of the counts path: decode, aggregate the lane hits, and
+    compact the deep-bucket queries to a generous static capacity
+    (compaction is a ~600M items/s sort — cheap; the SCAN matrix is
+    not, so it lives in stage B sized to the true overflow count).
+    Returns (lane_counts, ultra_mask, oq, ostart, osz, n_overflow);
+    with cap_hi == 0 (no deep buckets in the table) the overflow pieces
+    are None/0."""
+    counts, ultra, deep, r3, sz, node_lists, use_sorted = _lane_counts(
+        kmers, n_valid, records, modulo2, n_nodes, sort_agg)
     if use_sorted:
-        node_lists.append(jnp.where(
-            mask, nodes_i[rows].astype(jnp.int32), _NODE_SENT).reshape(-1))
         counts = _aggregate_counts_sorted(node_lists, n_nodes)
-    else:
-        onodes = jnp.where(mask, nodes_i[rows].astype(jnp.int32), n_nodes)
-        counts = counts.at[onodes.reshape(-1)].add(1, mode="drop")
-    return counts, ultra | (deep & exceeded)
+    if not cap_hi:
+        return counts, ultra, None, None, None, jnp.int32(0)
+    oq, ostart, osz, _oi, n_overflow = _compact_overflow(
+        kmers, deep, r3, sz, cap_hi)
+    return counts, ultra, oq, ostart, osz, n_overflow
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _has_kmers_packed(kmers, n_valid, records, kmers_i, modulo2, max_scan):
-    """Membership from the packed layout: one gather per query; deep
-    buckets resolved by a compacted scan. Returns (hits, host_mask) —
-    host_mask queries are unresolved (ultra-deep lane misses, or all
-    deep queries when the compaction capacity is exceeded). A lane hit
-    is always definitive."""
-    n_q = kmers.shape[0]
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _member_decode_packed(kmers, n_valid, records, modulo2, cap_hi):
+    """Stage A of the membership path: decode + lane verdicts + deep
+    compaction. Returns (hit, ultra_mask, oq, ostart, osz, oi,
+    n_overflow)."""
     qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
         records, kmers, n_valid, modulo2)
     hit = hit0 | hit1
     ultra = (sz > SCAN_CAP) & qvalid & ~hit
     deep = deep & ~ultra
-    if max_scan <= 2:
-        return hit, ultra
-
-    overflow_cap = max(1024, n_q // 32)
+    if not cap_hi:
+        return hit, ultra, None, None, None, None, jnp.int32(0)
     oq, ostart, osz, oi, n_overflow = _compact_overflow(
-        kmers, deep, r3, sz, overflow_cap)
-    exceeded = n_overflow > overflow_cap
+        kmers, deep, r3, sz, cap_hi)
+    return hit, ultra, oq, ostart, osz, oi, n_overflow
+
+
+def _overflow_scan_mask(oq, ostart, osz, n_overflow, kmers_i, max_scan):
+    """(scan_cap, max_scan) row indices + hit mask for the compacted
+    deep queries; entries past n_overflow are compaction garbage and
+    masked off."""
     scan = jnp.arange(min(max_scan, SCAN_CAP), dtype=jnp.int32)
     rows = jnp.minimum(ostart[:, None] + scan[None, :],
                        kmers_i.shape[0] - 1)
-    ovalid = (jnp.arange(overflow_cap)
-              < jnp.minimum(n_overflow, overflow_cap))
+    ovalid = jnp.arange(oq.shape[0], dtype=jnp.int32) < n_overflow
     mask = ((scan[None, :] < osz[:, None]) & (kmers_i[rows] == oq[:, None])
-            & ovalid[:, None] & ~exceeded)
+            & ovalid[:, None])
+    return rows, mask, ovalid
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _overflow_scan_counts(oq, ostart, osz, n_overflow, kmers_i, nodes_i,
+                          n_nodes, max_scan):
+    """Stage B of the counts path: scan the deep buckets of the
+    compacted queries (sliced by the caller to a power-of-two >= the
+    true overflow count) and return their node-count contribution."""
+    rows, mask, _ = _overflow_scan_mask(oq, ostart, osz, n_overflow,
+                                        kmers_i, max_scan)
+    onodes = jnp.where(mask, nodes_i[rows].astype(jnp.int32), n_nodes)
+    counts = jnp.zeros(n_nodes, dtype=jnp.int32)
+    return counts.at[onodes.reshape(-1)].add(1, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnums=(7,))
+def _overflow_scan_member(hit, oi, oq, ostart, osz, n_overflow, kmers_i,
+                          max_scan):
+    """Stage B of the membership path: scan the deep buckets and set
+    the hit flags of the compacted queries (via their original indices
+    ``oi``)."""
+    rows, mask, ovalid = _overflow_scan_mask(oq, ostart, osz, n_overflow,
+                                             kmers_i, max_scan)
     ohit = jnp.any(mask, axis=1)
-    hit = hit.at[jnp.where(ovalid & ohit & ~exceeded, oi, n_q)].set(
+    return hit.at[jnp.where(ovalid & ohit, oi, hit.shape[0])].set(
         True, mode="drop")
-    return hit, ultra | (deep & exceeded)
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
@@ -639,24 +706,63 @@ class DeviceKmerIndex:
             if modulo2 * 32 > self.PACKED_BYTE_BUDGET:
                 self._packed_tables = False
             else:
-                rec, ks, ns, max_sz = _build_packed(
+                rec, ks, ns, max_sz, deep_frac = _build_packed(
                     self.table_kmers, self.table_nodes, modulo2)
+                self._deep_frac = deep_frac
                 self._packed_tables = (rec, ks, ns, modulo2, int(max_sz))
         return self._packed_tables or None
+
+    def _overflow_hint(self, n_q):
+        """Deep-query COMPACTION capacity for a batch of n_q: sized
+        from the table's own deep-row fraction with a 1.25x margin,
+        power-of-two. Compaction at this cap is cheap (a sort + three
+        cap-sized gathers); the expensive scan matrix is sized
+        separately from the true overflow count (_overflow_pieces)."""
+        frac = getattr(self, "_deep_frac", None)
+        if frac is None:
+            frac = 0.125
+        cap = int(1.25 * frac * n_q) + 1024
+        return min(n_q, max(1024, 1 << int(cap - 1).bit_length()))
 
     # queries per device dispatch; bounds the (chunk, max_scan) working set
     QUERY_CHUNK = 1 << 22
 
-    def _ultra_rows(self, q):
+    # UNIQUE host-resolved kmers fetched per chunk before falling back
+    # to the full mask+chunk transfer (pathological: >128k distinct
+    # ultra-deep kmers in one chunk)
+    ULTRA_FETCH_CAP = 1 << 17
+
+    def _fetch_masked_kmers(self, chunk_dev, host_mask):
+        """The host-resolved (ultra-deep / overflow-exceeded) query
+        kmers of a device chunk as (unique values, multiplicities),
+        deduplicated and compacted ON DEVICE: only n_unique values ever
+        cross the link, instead of the full chunk and mask (32 + 4 MB
+        per 4M-query chunk; this sandbox's host link runs ~5 MB/s, so
+        the full fetch would cost more than the lookup itself)."""
+        uq, mult, n_unique = _compact_masked_unique(
+            chunk_dev, host_mask, self.ULTRA_FETCH_CAP)
+        n_unique = int(n_unique)
+        if n_unique == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        if n_unique > self.ULTRA_FETCH_CAP:  # pathological; stay exact
+            km = np.asarray(chunk_dev)[np.asarray(host_mask)]
+            return np.unique(km, return_counts=True)
+        return (np.asarray(uq[:n_unique], dtype=np.uint64),
+                np.asarray(mult[:n_unique], dtype=np.int64))
+
+    def _ultra_rows(self, uniq, mult=None):
         """Yield (kmer, multiplicity, bucket_nodes_matching) for each
         unique ultra-deep-bucket query — one bounded-chunk device scan
-        per unique kmer (repeat kmers like poly-A dedup to a handful)."""
+        per unique kmer (repeat kmers like poly-A dedup to a handful).
+        ``uniq``/``mult`` come deduplicated from _fetch_masked_kmers;
+        a raw (possibly repeating) kmer array also works."""
         import jax
         rec, ks, ns, modulo2, _ = self._packed()
         n_rows = int(ks.shape[0])
         chunk = min(4096, n_rows)
-        uniq, mult = np.unique(np.asarray(q, dtype=np.uint64),
-                               return_counts=True)
+        if mult is None:
+            uniq, mult = np.unique(np.asarray(uniq, dtype=np.uint64),
+                                   return_counts=True)
         for kq, m in zip(uniq.tolist(), mult.tolist()):
             b = int(kq) % modulo2
             group = np.asarray(rec[b // 16])
@@ -675,6 +781,63 @@ class DeviceKmerIndex:
             yield kq, m, (np.concatenate(matches) if matches
                           else np.zeros(0, np.uint32))
 
+    def _overflow_pieces(self, chunk, nvc, decode, cap_hi):
+        """Run decode stage A (returns (..., oq, ostart, osz[, oi],
+        n_overflow)), re-running it at a bigger compaction capacity in
+        the rare case the deep-query count exceeds ``cap_hi``, then
+        slice the compacted arrays to a power-of-two just covering the
+        TRUE overflow count for stage B. Returns (A outputs,
+        sliced overflow pieces or None). The split keeps the expensive
+        static (cap x max_scan) scan matrix exactly sized: an oversized
+        cap measured 1.7x on the whole lookup, and zero-deep batches
+        skip stage B entirely."""
+        out = decode(chunk, nvc, cap_hi)
+        if not cap_hi:
+            return out, None
+        n_over = int(out[-1])
+        if n_over > cap_hi:
+            cap_hi = min(chunk.shape[0], 1 << int(n_over - 1).bit_length())
+            out = decode(chunk, nvc, cap_hi)
+        if n_over == 0:
+            return out, None
+        scan_cap = min(cap_hi, max(1024, 1 << int(n_over - 1).bit_length()))
+        pieces = tuple(a[:scan_cap] for a in out[2:-1])
+        return out, pieces
+
+    def _counts_packed_full(self, chunk, nvc, n_nodes):
+        """Counts for one device chunk via the A/B split; returns
+        (device counts, host_mask of unresolved = ultra queries)."""
+        rec, ks, ns, modulo2, max_sz = self._packed()
+        cap_hi = (0 if max_sz <= 2
+                  else self._overflow_hint(chunk.shape[0]))
+        out, pieces = self._overflow_pieces(
+            chunk, nvc,
+            lambda c, v, cap: _counts_decode_packed(
+                c, v, rec, modulo2, int(n_nodes), cap, True), cap_hi)
+        counts, ultra = out[0], out[1]
+        if pieces is not None:
+            oq, ostart, osz = pieces
+            counts = counts + _overflow_scan_counts(
+                oq, ostart, osz, out[-1], ks, ns, int(n_nodes), max_sz)
+        return counts, ultra
+
+    def _member_packed_full(self, chunk, nvc):
+        """Membership for one device chunk via the A/B split; returns
+        (device hit flags, host_mask of unresolved = ultra queries)."""
+        rec, ks, ns, modulo2, max_sz = self._packed()
+        cap_hi = (0 if max_sz <= 2
+                  else self._overflow_hint(chunk.shape[0]))
+        out, pieces = self._overflow_pieces(
+            chunk, nvc,
+            lambda c, v, cap: _member_decode_packed(c, v, rec, modulo2,
+                                                    cap), cap_hi)
+        hit, ultra = out[0], out[1]
+        if pieces is not None:
+            oq, ostart, osz, oi = pieces
+            hit = _overflow_scan_member(hit, oi, oq, ostart, osz,
+                                        out[-1], ks, max_sz)
+        return hit, ultra
+
     def has_kmers(self, kmers: np.ndarray) -> np.ndarray:
         if len(kmers) > self.QUERY_CHUNK:
             return np.concatenate(
@@ -684,16 +847,15 @@ class DeviceKmerIndex:
         q, n = _pad_queries(kmers)
         packed = self._packed()
         if packed is not None:
-            rec, ks, ns, modulo2, max_sz = packed
-            out, host_mask = _has_kmers_packed(jnp.asarray(q), n, rec,
-                                               ks, modulo2, max_sz)
-            res = np.array(np.asarray(out)[:n])
-            um = np.asarray(host_mask)[:n]
-            if um.any():
+            qj = jnp.asarray(q)
+            out, host_mask = self._member_packed_full(qj, n)
+            km, mult = self._fetch_masked_kmers(qj, host_mask)
+            if len(km):
                 present = {kq for kq, _m, nodes in
-                           self._ultra_rows(kmers[um]) if len(nodes)}
-                res[um] = np.array([int(x) in present for x in kmers[um]])
-            return res
+                           self._ultra_rows(km, mult) if len(nodes)}
+                out = _fixup_membership(out, host_mask, qj,
+                                        jnp.asarray(_present_padded(present)))
+            return np.asarray(out)[:n]
         out = _has_kmers(jnp.asarray(q), n, self.table_kmers,
                          self.starts_tbl, self.sizes_tbl, self.modulo,
                          self.max_scan)
@@ -730,20 +892,17 @@ class DeviceKmerIndex:
         packed = self._packed()
         if packed is None:
             return self.map_kmers(read_kmers.to_numpy(), n_nodes)
-        rec, ks, ns, modulo2, max_sz = packed
         total = None
         host_adjust = None
         for chunk, nvc in self._iter_device_chunks(read_kmers):
-            counts, host_mask = _node_counts_packed(
-                chunk, nvc, rec, ks, ns, modulo2, int(n_nodes), max_sz,
-                True)
+            counts, host_mask = self._counts_packed_full(chunk, nvc,
+                                                         n_nodes)
             total = counts if total is None else total + counts
-            if bool(jnp.any(host_mask)):
-                um = np.asarray(host_mask)
-                km = np.asarray(chunk)[um]
+            km, mult = self._fetch_masked_kmers(chunk, host_mask)
+            if len(km):
                 if host_adjust is None:
                     host_adjust = np.zeros(n_nodes, dtype=np.int64)
-                for _kq, m, nodes_hit in self._ultra_rows(km):
+                for _kq, m, nodes_hit in self._ultra_rows(km, mult):
                     np.add.at(host_adjust, nodes_hit.astype(np.int64), m)
         if total is None:
             return np.zeros(n_nodes, dtype=np.int64)
@@ -758,20 +917,17 @@ class DeviceKmerIndex:
         packed = self._packed()
         if packed is None:
             return self.has_kmers(read_kmers.to_numpy())
-        rec, ks, ns, modulo2, max_sz = packed
         out = []
         for chunk, nvc in self._iter_device_chunks(read_kmers):
-            hit, host_mask = _has_kmers_packed(chunk, nvc, rec, ks,
-                                               modulo2, max_sz)
-            res = np.asarray(hit)[:nvc]
-            um = np.asarray(host_mask)[:nvc]
-            if um.any():
-                kmers = np.asarray(chunk)[:nvc]
+            hit, host_mask = self._member_packed_full(chunk, nvc)
+            km, mult = self._fetch_masked_kmers(chunk, host_mask)
+            if len(km):
                 present = {kq for kq, _m, nodes_hit in
-                           self._ultra_rows(kmers[um]) if len(nodes_hit)}
-                res = res.copy()
-                res[um] = np.array([int(x) in present for x in kmers[um]])
-            out.append(res)
+                           self._ultra_rows(km, mult) if len(nodes_hit)}
+                hit = _fixup_membership(
+                    hit, host_mask, chunk,
+                    jnp.asarray(_present_padded(present)))
+            out.append(np.asarray(hit)[:nvc])
         if not out:
             return np.zeros(0, dtype=bool)
         return np.concatenate(out)
@@ -792,14 +948,12 @@ class DeviceKmerIndex:
         q, n = _pad_queries(kmers)
         packed = self._packed()
         if packed is not None:
-            rec, ks, ns, modulo2, max_sz = packed
-            counts, host_mask = _node_counts_packed(
-                jnp.asarray(q), n, rec, ks, ns, modulo2, int(n_nodes),
-                max_sz, True)
+            qj = jnp.asarray(q)
+            counts, host_mask = self._counts_packed_full(qj, n, n_nodes)
             res = np.asarray(counts).astype(np.int64)
-            um = np.asarray(host_mask)[:n]
-            if um.any():
-                for _kq, m, nodes in self._ultra_rows(kmers[um]):
+            km, mult = self._fetch_masked_kmers(qj, host_mask)
+            if len(km):
+                for _kq, m, nodes in self._ultra_rows(km, mult):
                     np.add.at(res, nodes.astype(np.int64), m)
             return res
         counts = _node_counts(jnp.asarray(q), n, self.table_kmers,

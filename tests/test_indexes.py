@@ -503,3 +503,39 @@ def test_packed_lookup_ultra_deep_buckets():
     assert np.array_equal(np.asarray(counts, dtype=np.int64), expected)
     has = index.has_kmers(queries)
     assert list(has) == [True, True, True, False, True]
+
+    # same verdicts through the device-resident read paths (the ultra
+    # kmers must be fetched compactly, not via a full chunk transfer)
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.read_kmers import DeviceReadKmers
+    pad = np.array([123456789, 42], dtype=np.uint64)  # compacted tail
+    seg = jnp.asarray(np.concatenate([queries, pad]))
+    rk = DeviceReadKmers([(seg, len(queries))], k=31)
+    dev = index._device()
+    counts_rk = dev.map_read_kmers(rk, 40)
+    assert np.array_equal(np.asarray(counts_rk, dtype=np.int64), expected)
+    has_rk = dev.has_read_kmers(rk)
+    assert list(has_rk) == [True, True, True, False, True]
+
+
+def test_packed_lookup_deep_overflow_retry():
+    """A batch whose deep-bucket (size>2) query share blows past the
+    default overflow capacity (~3%) must retry the device scan at a
+    bigger cap — NOT fall to the per-unique-kmer host path — and stay
+    exact. Construct: many 3-row buckets, every query hitting one."""
+    rng = np.random.default_rng(3)
+    n_deep = 2000  # unique kmers, 3 rows each -> all buckets deep
+    deep_kmers = np.repeat(
+        rng.choice(1 << 40, n_deep, replace=False).astype(np.uint64), 3)
+    nodes = rng.integers(1, 50, len(deep_kmers)).astype(np.uint32)
+    flat = FlatKmers(deep_kmers, nodes,
+                     np.arange(len(deep_kmers), dtype=np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=1000003)
+    # every query deep: > the 1/32 default cap by a huge margin
+    queries = np.repeat(deep_kmers[::3], 4)  # 8000 queries, all hits
+    counts = index.map_kmers(queries, 50)
+    expected = np.bincount(nodes.astype(np.int64), minlength=50) * 4
+    assert np.array_equal(np.asarray(counts, dtype=np.int64), expected)
+    assert bool(index.has_kmers(queries).all())
+    miss = index.has_kmers(np.array([3, 5], dtype=np.uint64))
+    assert not miss.any()
