@@ -278,20 +278,13 @@ def _build_packed(kmers, nodes, modulo2):
     return rec, ks, ns, max_sz, deep_frac
 
 
-def _packed_decode(records, kmers, n_valid, modulo2):
-    """Shared head of the packed queries: ONE 512-byte group-row gather
-    per query (the bucket's 16-bucket group), then a vectorized
-    slot-select — compares in native uint32 lanes, no second gather."""
-    n_q = kmers.shape[0]
-    qvalid = jnp.arange(n_q) < n_valid
-    # int32 bucket/row index when the modulo fits (int64 arithmetic and
-    # gather indices are emulated on this TPU)
-    b = kmers % jnp.uint64(modulo2)
-    b = (b.astype(jnp.int32) if modulo2 < 2**31 else b.astype(jnp.int64))
-    q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
-    row = b // 16
-    slot = (b % 16).astype(jnp.int32)
+def _decode_group_rows(records, row, slot, q_lo, q_hi):
+    """Core of the packed decode: ONE 512-byte group-row gather per
+    query (the bucket's 16-bucket group), then a vectorized slot-select
+    — compares in native uint32 lanes, no second gather. ``row``/
+    ``slot`` address bucket ``b`` as (b // 16, b % 16); shared by the
+    single-chip path and the table-sharded mesh path (which offsets
+    ``row`` into its local record shard)."""
     g = records[row]  # (n_q, 128): THE one random access per query
     # lane-relative index per column; stays in the gathered row's natural
     # layout (a (n,16,8) reshape forces a tile-padded relayout that costs
@@ -307,8 +300,25 @@ def _packed_decode(records, kmers, n_valid, modulo2):
     sz = (~sel(3)).astype(jnp.int32)
     n0 = sel(2).astype(jnp.int32)
     r3 = sel(6)  # node1 (size 2) or bucket start row (deeper)
-    hit0 = (sel(0) == q_lo) & (sel(1) == q_hi) & qvalid
-    hit1 = (sel(4) == q_lo) & (sel(5) == q_hi) & qvalid
+    hit0 = (sel(0) == q_lo) & (sel(1) == q_hi)
+    hit1 = (sel(4) == q_lo) & (sel(5) == q_hi)
+    return n0, r3, sz, hit0, hit1
+
+
+def _packed_decode(records, kmers, n_valid, modulo2):
+    """Single-chip packed decode head (see _decode_group_rows)."""
+    n_q = kmers.shape[0]
+    qvalid = jnp.arange(n_q) < n_valid
+    # int32 bucket/row index when the modulo fits (int64 arithmetic and
+    # gather indices are emulated on this TPU)
+    b = kmers % jnp.uint64(modulo2)
+    b = (b.astype(jnp.int32) if modulo2 < 2**31 else b.astype(jnp.int64))
+    q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+    n0, r3, sz, hit0, hit1 = _decode_group_rows(
+        records, b // 16, (b % 16).astype(jnp.int32), q_lo, q_hi)
+    hit0 = hit0 & qvalid
+    hit1 = hit1 & qvalid
     deep = (sz > 2) & qvalid
     return qvalid, None, n0, None, r3, sz, hit0, hit1, deep
 

@@ -226,13 +226,16 @@ def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
 class PackedTableShards:
     """Bucket-range shards of the packed-record layout (ops.lookup): each
     table shard owns a contiguous INTERNAL-modulo bucket range as a
-    (m2_local, 4) record slice plus its contiguous row segment, lane 3 of
-    deep records re-based to shard-local row offsets. The multi-chip
-    mirror of the single-chip one-gather-per-query path."""
+    (groups_local, 128) uint32 record slice — the SAME 16-buckets-per-
+    128-lane-row format as the single-chip table (any narrower minor dim
+    is (8,128)-tile-padded up to 32x on TPU; see ops/lookup.py) — plus
+    its contiguous row segment, with deep records' start lanes re-based
+    to shard-local row offsets. The multi-chip mirror of the single-chip
+    one-gather-per-query path."""
 
     def __init__(self, records, row_kmers, row_nodes, m2_local, modulo2,
                  max_scan, n_table):
-        self.records = records        # (n_table, m2_local, 4) uint64
+        self.records = records        # (n_table, m2_local//16, 128) u32
         self.row_kmers = row_kmers    # (n_table, rmax) uint64
         self.row_nodes = row_nodes    # (n_table, rmax) int32
         self.m2_local = m2_local
@@ -242,10 +245,10 @@ class PackedTableShards:
 
     @classmethod
     def from_index(cls, index, n_table: int):
-        from ..ops.lookup import internal_modulo, SCAN_CAP, _EMPTY
+        from ..ops.lookup import internal_modulo, SCAN_CAP
 
         kmers = np.asarray(index._kmers, dtype=np.uint64)
-        nodes = np.asarray(index._nodes, dtype=np.int32)
+        nodes = np.asarray(index._nodes, dtype=np.uint32)
         n = len(kmers)
         modulo2 = internal_modulo(n)
         bucket = (kmers % np.uint64(modulo2)).astype(np.int64)
@@ -263,42 +266,44 @@ class PackedTableShards:
                 "table has buckets deeper than SCAN_CAP; use the CSR "
                 "TableShards for this index")
 
-        rec = np.zeros((modulo2, 4), np.uint64)
-        rec[:, 0] = np.uint64(_EMPTY)
-        rec[:, 2] = np.uint64(_EMPTY)
-        idx = np.arange(n, dtype=np.int64)
-        fb = bs[first]
-        rec[fb, 0] = ks[first]
-        rec[fb, 1] = (ns[first].astype(np.uint64)
-                      | (sz_row[first].astype(np.uint64) << np.uint64(32)))
-        sb = bs[second & (sz_row == 2)]
-        rec[sb, 2] = ks[second & (sz_row == 2)]
-        rec[sb, 3] = ns[second & (sz_row == 2)].astype(np.uint64)
-        db = bs[first & (sz_row > 2)]
-        rec[db, 3] = idx[first & (sz_row > 2)].astype(np.uint64)
-
-        m2_local = -(-modulo2 // n_table)
-        rec_p = np.zeros((m2_local * n_table, 4), np.uint64)
-        rec_p[:, 0] = np.uint64(_EMPTY)
-        rec_p[:, 2] = np.uint64(_EMPTY)
-        rec_p[:modulo2] = rec
-        rec_p = rec_p.reshape(n_table, m2_local, 4)
-
-        # shard row segments: rows are sorted by bucket, so each shard's
-        # rows are contiguous [lo, hi)
+        # shard bucket ranges: multiples of 16 so record GROUPS (16
+        # buckets per 128-lane row) never straddle a shard boundary
+        per_shard = -(-modulo2 // n_table)
+        m2_local = 16 * (-(-per_shard // 16))
+        # row segments: rows are sorted by bucket, so each shard's rows
+        # are contiguous [lo, hi)
         cut = np.searchsorted(bs, np.arange(1, n_table) * m2_local)
         lo = np.concatenate([[0], cut])
         hi = np.concatenate([cut, [n]])
+
+        # flat 8-lane uint32 records, same format as ops.lookup
+        # _packed_records: [k0_lo, k0_hi, node0, ~size, k1_lo, k1_hi,
+        # node1_or_LOCAL_start, spare]; all-ones default never matches
+        # a query and reads as size 0
+        idx_local = (np.arange(n, dtype=np.int64)
+                     - lo[np.minimum(bs // m2_local, n_table - 1)])
+        rec = np.full(8 * m2_local * n_table, 0xFFFFFFFF, np.uint32)
+        tb = bs * 8
+        ks_lo = (ks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        ks_hi = (ks >> np.uint64(32)).astype(np.uint32)
+        sec2 = second & (sz_row == 2)
+        rec[tb[first]] = ks_lo[first]
+        rec[tb[first] + 1] = ks_hi[first]
+        rec[tb[first] + 2] = ns[first]
+        rec[tb[first] + 3] = ~sz_row[first].astype(np.uint32)
+        rec[tb[sec2] + 4] = ks_lo[sec2]
+        rec[tb[sec2] + 5] = ks_hi[sec2]
+        rec[tb[sec2] + 6] = ns[sec2]
+        fdeep = first & (sz_row > 2)
+        rec[tb[fdeep] + 6] = idx_local[fdeep].astype(np.uint32)
+        rec_p = rec.reshape(n_table, m2_local // 16, 128)
+
         rmax = max(1, int((hi - lo).max()))
         row_kmers = np.zeros((n_table, rmax), np.uint64)
         row_nodes = np.zeros((n_table, rmax), np.int32)
         for t in range(n_table):
             row_kmers[t, :hi[t] - lo[t]] = ks[lo[t]:hi[t]]
             row_nodes[t, :hi[t] - lo[t]] = ns[lo[t]:hi[t]]
-            # re-base deep-record row starts to shard-local offsets
-            sl = rec_p[t]
-            deep = (sl[:, 1] >> np.uint64(32)).astype(np.int64) > 2
-            sl[deep, 3] = sl[deep, 3] - np.uint64(lo[t])
         return cls(rec_p, row_kmers, row_nodes, m2_local, modulo2,
                    max_scan, n_table)
 
@@ -306,12 +311,14 @@ class PackedTableShards:
 def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
                            k: int, data_axis: str = "data",
                            table_axis: str = "table"):
-    """The packed-record mirror of :func:`make_count_step`: one record
-    gather per (query, owning shard), compacted deep-bucket scan, psum
-    over both axes. Raises at call time (via the returned overflow count)
-    if the deep-query compaction capacity is exceeded."""
+    """The packed-record mirror of :func:`make_count_step`: one 512-byte
+    group-row gather per (query, owning shard) — the shared
+    ``_decode_group_rows`` select — then a sort-compacted deep-bucket
+    scan, psum over both axes. Raises at call time (via the returned
+    overflow count) if the deep-query compaction capacity is exceeded."""
     from jax import shard_map
     from ..ops.encode import sliding_hashes
+    from ..ops.lookup import _decode_group_rows, _compact_overflow
 
     m2_local = shards.m2_local
     max_scan = shards.max_scan
@@ -333,14 +340,15 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
         bucket = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
         owner = bucket // m2_local
         mine = (owner == t_idx) & valid
-        lb = jnp.clip(bucket - t_idx * m2_local, 0, m2_local - 1)
-        r = records[lb]
-        k0, m0, k1, r3 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
-        sz = (m0 >> jnp.uint64(32)).astype(jnp.int32)
-        n0 = (m0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+        lb = jnp.clip(bucket - t_idx * m2_local, 0,
+                      m2_local - 1).astype(jnp.int32)
+        q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+        n0, r3, sz, hit0, hit1 = _decode_group_rows(
+            records, lb // 16, lb % 16, q_lo, q_hi)
         deep = (sz > 2) & mine
-        hit0 = (k0 == kmers) & mine & ~deep
-        hit1 = (k1 == kmers) & mine & ~deep
+        hit0 = hit0 & mine & ~deep
+        hit1 = hit1 & mine & ~deep
         counts = jnp.zeros(n_nodes, jnp.int32)
         counts = counts.at[jnp.where(hit0, n0, n_nodes)].add(1, mode="drop")
         counts = counts.at[
@@ -349,20 +357,16 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
 
         dropped = jnp.int32(0)
         if max_scan > 2:
-            cap = max(1024, n_q // 8)
-            pos_c = jnp.cumsum(deep.astype(jnp.int32)) - 1
-            n_over = pos_c[-1] + 1
-            out_idx = jnp.where(deep, pos_c, cap)
-            oq = jnp.zeros(cap + 1, kmers.dtype).at[out_idx].set(
-                kmers, mode="drop")[:cap]
-            ostart = jnp.zeros(cap + 1, jnp.int64).at[out_idx].set(
-                r3.astype(jnp.int64), mode="drop")[:cap]
-            osz = jnp.zeros(cap + 1, jnp.int32).at[out_idx].set(
-                sz, mode="drop")[:cap]
-            scan = jnp.arange(max_scan, dtype=jnp.int64)
+            # each shard sees ~1/n_table of the batch's deep queries;
+            # 1/8 of the full batch is a wide margin over the ~9%
+            # all-hit deep share
+            cap = min(max(1024, n_q // 8), n_q)
+            oq, ostart, osz, _oi, n_over = _compact_overflow(
+                kmers, deep, r3, sz, cap)
+            scan = jnp.arange(max_scan, dtype=jnp.int32)
             rows = jnp.minimum(ostart[:, None] + scan[None, :],
                                row_kmers.shape[0] - 1)
-            ovalid = jnp.arange(cap) < jnp.minimum(n_over, cap)
+            ovalid = jnp.arange(oq.shape[0]) < jnp.minimum(n_over, cap)
             mask = ((scan[None, :] < osz[:, None])
                     & (row_kmers[rows] == oq[:, None]) & ovalid[:, None])
             onodes = jnp.where(mask, row_nodes[rows], n_nodes)
