@@ -151,6 +151,16 @@ def _node_counts(kmers, n_valid, table_kmers, table_nodes, starts_tbl,
 
 _EMPTY = (1 << 64) - 1  # never matches a query: hashes are < 4^62
 
+# size-lane flag for "dup2" buckets: size-2 buckets holding the SAME
+# kmer twice (a multiplicity-2 kmer alone in its bucket). Without the
+# flag both record lanes hit for such queries, forcing the counts path
+# to aggregate TWO full-size node lists; flagged, the k1 lanes stay
+# EMPTY, lane 6 holds the bucket's start row, and the (rare) hitting
+# queries resolve in the deep scan — lane hits become mutually
+# exclusive and counts aggregation halves. Bit 30: the complemented
+# size lane must stay positive as int32 (bit 31 is the EMPTY default).
+_DUP2 = 1 << 30
+
 
 def _is_prime(n: int) -> bool:
     if n < 2:
@@ -234,18 +244,25 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     ks_lo = (ks & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     ks_hi = (ks >> jnp.uint64(32)).astype(jnp.uint32)
     rec = jnp.full(flat_len, jnp.uint32(0xFFFFFFFF))
+    # dup2 buckets (see _DUP2): second slot suppressed, size lane
+    # flagged, lane 6 re-purposed as the bucket's start row
+    dup_b = (is_second & (sz_row == 2)
+             & jnp.concatenate([jnp.zeros(1, bool), ks[1:] == ks[:-1]]))
+    dup_a = jnp.concatenate([dup_b[1:], jnp.zeros(1, bool)])
     # ONE scatter triple covers both slots — the bucket's first row
     # targets lane base 8b, its second (size-2 buckets only) 8b+4; the
     # n-sized scatters dominate this stage, so 5 instead of 8 of them
     # is a direct ~1.5x
     base = jnp.where(is_first, tb,
-                     jnp.where(is_second & (sz_row == 2), tb + 4, oob))
+                     jnp.where(is_second & (sz_row == 2) & ~dup_b,
+                               tb + 4, oob))
     rec = rec.at[base].set(ks_lo, mode="drop")
     rec = rec.at[base + 1].set(ks_hi, mode="drop")
     rec = rec.at[base + 2].set(ns, mode="drop")
-    rec = rec.at[jnp.where(is_first, tb + 3, oob)].set(
-        ~sz_row.astype(jnp.uint32), mode="drop")
-    t_deep = jnp.where(is_first & (sz_row > 2), tb + 6, oob)
+    szv = sz_row.astype(jnp.uint32) | jnp.where(
+        dup_a, jnp.uint32(_DUP2), jnp.uint32(0))
+    rec = rec.at[jnp.where(is_first, tb + 3, oob)].set(~szv, mode="drop")
+    t_deep = jnp.where(is_first & ((sz_row > 2) | dup_a), tb + 6, oob)
     rec = rec.at[t_deep].set(idx.astype(jnp.uint32), mode="drop")
     return rec
 
@@ -270,7 +287,16 @@ def _build_packed(kmers, nodes, modulo2):
     jax.block_until_ready(ks)
     sz_row, max_sz = _packed_sizes(bs, modulo2)
     max_sz = int(max_sz)
-    deep_frac = float(jnp.sum(sz_row > 2)) / max(1, n)
+    # dup2 rows count toward the deep fraction: their hit queries go
+    # through the same compaction (an all-hit batch's deep share
+    # approaches this number)
+    if n:
+        dup_b = (sz_row == 2) & jnp.concatenate(
+            [jnp.zeros(1, bool), ks[1:] == ks[:-1]])
+        dup_row = dup_b | jnp.concatenate([dup_b[1:], jnp.zeros(1, bool)])
+        deep_frac = float(jnp.sum((sz_row > 2) | dup_row)) / n
+    else:
+        deep_frac = 0.0
     rec_flat = _packed_records(bs, ks, ns, sz_row, modulo2)
     jax.block_until_ready(rec_flat)
     rec = _packed_reshape(rec_flat, modulo2)
@@ -296,13 +322,16 @@ def _decode_group_rows(records, row, slot, q_lo, q_hi):
         return jnp.sum(jnp.where(rel == lane, g, 0), axis=1,
                        dtype=jnp.uint32)
 
-    # size lane is stored complemented (EMPTY default reads as 0)
-    sz = (~sel(3)).astype(jnp.int32)
+    # size lane is stored complemented (EMPTY default reads as 0);
+    # bit 30 is the dup2 flag (see _DUP2)
+    raw = (~sel(3)).astype(jnp.int32)
+    dup2 = raw >= _DUP2
+    sz = raw & (_DUP2 - 1)
     n0 = sel(2).astype(jnp.int32)
-    r3 = sel(6)  # node1 (size 2) or bucket start row (deeper)
+    r3 = sel(6)  # node1 (size 2), else bucket start row (deep / dup2)
     hit0 = (sel(0) == q_lo) & (sel(1) == q_hi)
     hit1 = (sel(4) == q_lo) & (sel(5) == q_hi)
-    return n0, r3, sz, hit0, hit1
+    return n0, r3, sz, dup2, hit0, hit1
 
 
 def _packed_decode(records, kmers, n_valid, modulo2):
@@ -315,12 +344,12 @@ def _packed_decode(records, kmers, n_valid, modulo2):
     b = (b.astype(jnp.int32) if modulo2 < 2**31 else b.astype(jnp.int64))
     q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
-    n0, r3, sz, hit0, hit1 = _decode_group_rows(
+    n0, r3, sz, dup2, hit0, hit1 = _decode_group_rows(
         records, b // 16, (b % 16).astype(jnp.int32), q_lo, q_hi)
     hit0 = hit0 & qvalid
     hit1 = hit1 & qvalid
     deep = (sz > 2) & qvalid
-    return qvalid, None, n0, None, r3, sz, hit0, hit1, deep
+    return qvalid, n0, r3, sz, dup2, hit0, hit1, deep
 
 
 def _compact_overflow(kmers, deep, r3, sz, overflow_cap):
@@ -451,15 +480,20 @@ def _lane_counts(kmers, n_valid, records, modulo2, n_nodes, sort_agg):
     lanes duplicate the bucket's first rows), so their lane hits are
     masked out here."""
     n_q = kmers.shape[0]
-    qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
+    qvalid, n0, r3, sz, dup2, hit0, hit1, deep = _packed_decode(
         records, kmers, n_valid, modulo2)
     ultra = (sz > SCAN_CAP) & qvalid
-    deep = deep & ~ultra
+    # dup2 buckets need the scan only when the query actually matches
+    # (hit0 = both rows); misses in them resolve from the lanes alone
+    deep = (deep | (dup2 & hit0)) & ~ultra
     hit0 = hit0 & ~deep & ~ultra
     hit1 = hit1 & ~deep & ~ultra
-    use_sorted = sort_agg and (n_nodes + 1) < (3 * n_q) // 2
-    node_lists = [jnp.where(hit0, n0, _NODE_SENT),
-                  jnp.where(hit1, r3.astype(jnp.int32), _NODE_SENT)]
+    # dup2 flagging makes hit0/hit1 mutually exclusive, so ONE n_q-sized
+    # node list covers both lanes (round 2 aggregated two)
+    node_lists = [jnp.where(hit0, n0,
+                            jnp.where(hit1, r3.astype(jnp.int32),
+                                      _NODE_SENT))]
+    use_sorted = sort_agg and (n_nodes + 1) < (3 * n_q) // 4
     counts = None
     if not use_sorted:
         counts = jnp.zeros(n_nodes, dtype=jnp.int32)
@@ -495,11 +529,13 @@ def _member_decode_packed(kmers, n_valid, records, modulo2, cap_hi):
     """Stage A of the membership path: decode + lane verdicts + deep
     compaction. Returns (hit, ultra_mask, oq, ostart, osz, oi,
     n_overflow)."""
-    qvalid, k0, n0, k1, r3, sz, hit0, hit1, deep = _packed_decode(
+    qvalid, n0, r3, sz, dup2, hit0, hit1, deep = _packed_decode(
         records, kmers, n_valid, modulo2)
     hit = hit0 | hit1
     ultra = (sz > SCAN_CAP) & qvalid & ~hit
-    deep = deep & ~ultra
+    # a lane hit answers membership outright — deep buckets whose first
+    # row matched, and ALL dup2 buckets, skip the scan
+    deep = deep & ~ultra & ~hit
     if not cap_hi:
         return hit, ultra, None, None, None, None, jnp.int32(0)
     oq, ostart, osz, oi, n_overflow = _compact_overflow(
@@ -777,7 +813,7 @@ class DeviceKmerIndex:
             b = int(kq) % modulo2
             group = np.asarray(rec[b // 16])
             meta = group[(b % 16) * 8:(b % 16) * 8 + 8]
-            sz = int(~int(meta[3]) & 0xFFFFFFFF)
+            sz = int(~int(meta[3]) & 0xFFFFFFFF) & (_DUP2 - 1)
             start = int(meta[6])
             matches = []
             for off in range(0, sz, chunk):
@@ -818,7 +854,9 @@ class DeviceKmerIndex:
         """Counts for one device chunk via the A/B split; returns
         (device counts, host_mask of unresolved = ultra queries)."""
         rec, ks, ns, modulo2, max_sz = self._packed()
-        cap_hi = (0 if max_sz <= 2
+        # dup2 hits resolve ONLY in the scan (deep_frac counts their
+        # rows), so max_sz == 2 alone does not disable it
+        cap_hi = (0 if max_sz <= 2 and not getattr(self, "_deep_frac", 0)
                   else self._overflow_hint(chunk.shape[0]))
         out, pieces = self._overflow_pieces(
             chunk, nvc,

@@ -234,7 +234,7 @@ class PackedTableShards:
     one-gather-per-query path."""
 
     def __init__(self, records, row_kmers, row_nodes, m2_local, modulo2,
-                 max_scan, n_table):
+                 max_scan, n_table, has_dup=True):
         self.records = records        # (n_table, m2_local//16, 128) u32
         self.row_kmers = row_kmers    # (n_table, rmax) uint64
         self.row_nodes = row_nodes    # (n_table, rmax) int32
@@ -242,10 +242,13 @@ class PackedTableShards:
         self.modulo2 = modulo2
         self.max_scan = max_scan
         self.n_table = n_table
+        # dup2 buckets present: their hits resolve only in the scan, so
+        # the scan stage must run even when max_scan == 2
+        self.has_dup = has_dup
 
     @classmethod
     def from_index(cls, index, n_table: int):
-        from ..ops.lookup import internal_modulo, SCAN_CAP
+        from ..ops.lookup import internal_modulo, SCAN_CAP, _DUP2
 
         kmers = np.asarray(index._kmers, dtype=np.uint64)
         nodes = np.asarray(index._nodes, dtype=np.uint32)
@@ -277,24 +280,31 @@ class PackedTableShards:
         hi = np.concatenate([cut, [n]])
 
         # flat 8-lane uint32 records, same format as ops.lookup
-        # _packed_records: [k0_lo, k0_hi, node0, ~size, k1_lo, k1_hi,
-        # node1_or_LOCAL_start, spare]; all-ones default never matches
-        # a query and reads as size 0
+        # _packed_records: [k0_lo, k0_hi, node0, ~(size|dup2_flag),
+        # k1_lo, k1_hi, node1_or_LOCAL_start, spare]; all-ones default
+        # never matches a query and reads as size 0. dup2 buckets (same
+        # kmer twice, see ops.lookup._DUP2) are flagged scan-buckets so
+        # the lane hits stay mutually exclusive.
         idx_local = (np.arange(n, dtype=np.int64)
                      - lo[np.minimum(bs // m2_local, n_table - 1)])
         rec = np.full(8 * m2_local * n_table, 0xFFFFFFFF, np.uint32)
         tb = bs * 8
         ks_lo = (ks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         ks_hi = (ks >> np.uint64(32)).astype(np.uint32)
-        sec2 = second & (sz_row == 2)
+        dup_b = (second & (sz_row == 2)
+                 & np.concatenate([[False], ks[1:] == ks[:-1]]))
+        dup_a = np.concatenate([dup_b[1:], [False]])
+        sec2 = second & (sz_row == 2) & ~dup_b
         rec[tb[first]] = ks_lo[first]
         rec[tb[first] + 1] = ks_hi[first]
         rec[tb[first] + 2] = ns[first]
-        rec[tb[first] + 3] = ~sz_row[first].astype(np.uint32)
+        szv = sz_row.astype(np.uint32)
+        szv[dup_a] |= np.uint32(_DUP2)
+        rec[tb[first] + 3] = ~szv[first]
         rec[tb[sec2] + 4] = ks_lo[sec2]
         rec[tb[sec2] + 5] = ks_hi[sec2]
         rec[tb[sec2] + 6] = ns[sec2]
-        fdeep = first & (sz_row > 2)
+        fdeep = first & ((sz_row > 2) | dup_a)
         rec[tb[fdeep] + 6] = idx_local[fdeep].astype(np.uint32)
         rec_p = rec.reshape(n_table, m2_local // 16, 128)
 
@@ -305,7 +315,7 @@ class PackedTableShards:
             row_kmers[t, :hi[t] - lo[t]] = ks[lo[t]:hi[t]]
             row_nodes[t, :hi[t] - lo[t]] = ns[lo[t]:hi[t]]
         return cls(rec_p, row_kmers, row_nodes, m2_local, modulo2,
-                   max_scan, n_table)
+                   max_scan, n_table, has_dup=bool(dup_b.any()))
 
 
 def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
@@ -323,6 +333,7 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
     m2_local = shards.m2_local
     max_scan = shards.max_scan
     modulo2 = shards.modulo2
+    has_dup = getattr(shards, "has_dup", True)
 
     def local_step(reads, records, row_kmers, row_nodes):
         records = records[0]
@@ -344,19 +355,21 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
                       m2_local - 1).astype(jnp.int32)
         q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
-        n0, r3, sz, hit0, hit1 = _decode_group_rows(
+        n0, r3, sz, dup2, hit0, hit1 = _decode_group_rows(
             records, lb // 16, lb % 16, q_lo, q_hi)
-        deep = (sz > 2) & mine
+        # dup2 buckets scan only on an actual match (hit0); lane hits
+        # are mutually exclusive so ONE scatter covers both
+        deep = ((sz > 2) | (dup2 & hit0)) & mine
         hit0 = hit0 & mine & ~deep
         hit1 = hit1 & mine & ~deep
         counts = jnp.zeros(n_nodes, jnp.int32)
-        counts = counts.at[jnp.where(hit0, n0, n_nodes)].add(1, mode="drop")
         counts = counts.at[
-            jnp.where(hit1, r3.astype(jnp.int32), n_nodes)].add(
-                1, mode="drop")
+            jnp.where(hit0, n0,
+                      jnp.where(hit1, r3.astype(jnp.int32), n_nodes))
+        ].add(1, mode="drop")
 
         dropped = jnp.int32(0)
-        if max_scan > 2:
+        if max_scan > 2 or has_dup:
             # each shard sees ~1/n_table of the batch's deep queries;
             # 1/8 of the full batch is a wide margin over the ~9%
             # all-hit deep share

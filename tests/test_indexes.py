@@ -225,6 +225,44 @@ def test_packed_lookup_deep_buckets():
     assert np.array_equal(np.asarray(has), expected_has)
 
 
+def test_packed_lookup_dup2_buckets():
+    """Size-2 SAME-kmer ("dup2") internal buckets: the k1 record lanes
+    stay EMPTY (lane hits mutually exclusive) and matches resolve via
+    the scan stage — which must run even when the table has NO bucket
+    deeper than 2 (a max-bucket-size gate alone would skip it and drop
+    every dup2 hit from the counts)."""
+    from graph_kmer_index_tpu.ops.lookup import internal_modulo
+    rng = np.random.default_rng(9)
+    uniq = 4 * np.arange(40, dtype=np.uint64) + 1
+    kmers = np.repeat(uniq, 2)  # each kmer exactly twice
+    n = len(kmers)
+    # all values below the internal modulo -> distinct kmers occupy
+    # distinct buckets: EVERY bucket is a dup2 bucket, none is deeper
+    assert int(uniq.max()) < internal_modulo(n)
+    nodes = (np.arange(n, dtype=np.uint32) % 37) + 1
+    flat = FlatKmers(kmers, nodes, np.arange(n, dtype=np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101)
+    dev = index._device()
+    packed = dev._packed()
+    assert packed is not None and packed[4] == 2  # no deep buckets...
+    assert dev._deep_frac > 0                     # ...but dup2 rows
+    queries = np.concatenate([
+        np.repeat(uniq, 3),                                   # hits
+        rng.integers(600, 10000, 80).astype(np.uint64)])      # misses
+    counts = index.map_kmers(queries, 40)
+    expected = np.zeros(40, dtype=np.int64)
+    for q in queries:
+        hits = index.get(int(q), max_hits=10**9)
+        if hits[0] is not None:
+            for node in hits[0]:
+                expected[node] += 1
+    assert np.array_equal(np.asarray(counts, dtype=np.int64), expected)
+    has = index.has_kmers(queries)
+    expected_has = np.array([index.get(int(q), 10**9)[0] is not None
+                             for q in queries])
+    assert np.array_equal(np.asarray(has), expected_has)
+
+
 def test_ref_bucket_ranges_matches_searchsorted():
     """The merged-sort range computation == numpy searchsorted l/r over
     the sorted bucket column, incl. empty buckets, bucket 0, modulo-1,

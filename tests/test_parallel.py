@@ -211,3 +211,57 @@ def test_packed_table_sharded_count_step_matches_single_device():
                                  (shards.row_nodes, P("table", None)))]
         got = np.asarray(step(reads_j, *targs))
         assert np.array_equal(got, expected), (n_data, n_table)
+
+
+def test_packed_sharded_dup2_buckets():
+    """A sharded table whose DEEPEST bucket is a size-2 same-kmer
+    ("dup2") bucket must still run the scan stage (has_dup flag) —
+    otherwise every dup2 hit is silently dropped from the counts."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+    from graph_kmer_index_tpu.parallel.sharded import (
+        PackedTableShards, make_count_step_packed)
+
+    k = 5
+    n_nodes = 30
+    # search deterministic seeds for a table with max bucket size == 2
+    # AND dup2 buckets: 12 read kmers each stored twice, residues mod
+    # the internal modulo collision-free in a fair share of seeds
+    for seed in range(200):
+        rng = np.random.default_rng(seed)
+        reads = rng.integers(0, 4, (1, 16)).astype(np.int32)
+        hashes = np.asarray(
+            sliding_hashes(jnp.asarray(reads.reshape(-1)), k))
+        valid = np.arange(reads.size) <= reads.shape[1] - k
+        uniq = np.unique(hashes[valid].astype(np.uint64))
+        kmers = np.repeat(uniq, 2)
+        nodes = (np.arange(len(kmers), dtype=np.uint32) % (n_nodes - 1)) + 1
+        flat = FlatKmers(kmers, nodes,
+                         np.arange(len(kmers), dtype=np.uint64))
+        index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101)
+        shards = PackedTableShards.from_index(index, 2)
+        if shards.max_scan == 2 and shards.has_dup:
+            break
+    else:
+        raise AssertionError("no collision-free seed found")
+
+    expected = np.zeros(n_nodes, dtype=np.int64)
+    for q in hashes[valid]:
+        hits = index.get(int(q), max_hits=10**9)
+        if hits[0] is not None:
+            for node in hits[0]:
+                expected[node] += 1
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "table"))
+    step = make_count_step_packed(mesh, shards, n_nodes, k)
+    reads4 = np.repeat(reads, 4, axis=0)  # one row per data shard
+    reads_j = jax.device_put(jnp.asarray(reads4),
+                             NamedSharding(mesh, P("data", None)))
+    targs = [jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+             for a, spec in ((shards.records, P("table", None, None)),
+                             (shards.row_kmers, P("table", None)),
+                             (shards.row_nodes, P("table", None)))]
+    got = np.asarray(step(reads_j, *targs))
+    assert np.array_equal(got, 4 * expected)
