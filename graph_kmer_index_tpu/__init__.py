@@ -21,6 +21,7 @@ from .hashing import (  # noqa: E402,F401
     letter_sequence_to_numeric,
     numeric_to_letter_sequence,
     kmer_to_hash_fast,
+    update_hash,
     sequence_to_kmer_hash,
     kmer_hash_to_sequence,
     kmer_hashes_to_bases,

@@ -397,7 +397,9 @@ def sample_kmers_from_structural_variants_command(args):
 
 # -- parser -------------------------------------------------------------------
 
-def run_argument_parser(args):
+def build_argument_parser():
+    """The full subcommand parser (separate from run_argument_parser so
+    tools/tests can introspect the registered subcommands)."""
     parser = argparse.ArgumentParser(
         description="TPU-native Graph Kmer Index.",
         prog="graph_kmer_index_tpu",
@@ -587,7 +589,11 @@ def run_argument_parser(args):
     s.add_argument("-m", "--modulo", type=int, default=0)
     s.add_argument("-s", "--subsample-ratio", type=int, default=1)
     s.set_defaults(func=count_kmers)
+    return parser
 
+
+def run_argument_parser(args):
+    parser = build_argument_parser()
     if len(args) == 0:
         parser.print_help()
         sys.exit(1)

@@ -69,6 +69,23 @@ def numeric_to_letter_sequence(sequence) -> np.ndarray:
     return chars.view("S1").astype("U1")
 
 
+def update_hash(current_base, current_hash, first_base, k, only_add=False):
+    """Scalar rolling-hash update rule (reference kmer_finder.py:15-34).
+
+    Build-up phase — ``only_add`` is an int n (the 0-based position of
+    the incoming base, fewer than k bases seen so far):
+    ``hash' = hash + 4^n * base``. Window full (``only_add`` is False):
+    drop ``first_base`` from the LSB end and push the new base at the
+    MSB end, ``hash' = (hash - first_base) // 4 + base * 4^(k-1)``.
+    Computed in Python ints: 4^31 overflows float64-safe arithmetic.
+    """
+    current_base = int(current_base)
+    current_hash = int(current_hash)
+    if not isinstance(only_add, bool):
+        return current_hash + 4 ** int(only_add) * current_base
+    return (current_hash - int(first_base)) // 4 + current_base * 4 ** (k - 1)
+
+
 def kmer_to_hash_fast(kmer: np.ndarray, k: int) -> int:
     """dot(bases, 4^i) -> int (reference snp_kmer_finder.py:24-26)."""
     assert kmer.dtype == np.uint64

@@ -16,6 +16,17 @@ import numpy as np
 _REGISTRY: dict = {}
 
 
+class SingleSharedArray:
+    """Wrapper that lets a bare array travel through the object store
+    (reference shared_mem.py:11-18: the same trick for SharedArray
+    segments)."""
+
+    properties = ["array"]
+
+    def __init__(self, array=None):
+        self.array = array
+
+
 def to_device_memory(obj, name: str, sharding=None) -> str:
     """Put every array in ``obj.properties`` on device; register by name."""
     import jax

@@ -92,6 +92,38 @@ def _run_map_chunk(chunk):
     return _MAP_FN(chunk)
 
 
+_SHARED_POOL = None
+
+
+def get_shared_pool(n_workers: int = 16):
+    """Session-global worker pool (reference shared_mem.py:21-27).
+
+    Returns a ``multiprocessing`` fork pool, reused across calls until
+    :func:`close_shared_pool`. If an accelerator backend is already live
+    in this process, forking is unsafe — a thread pool with the same
+    interface is returned instead (callers' workloads here release the
+    GIL in numpy/native kernels)."""
+    global _SHARED_POOL
+    if _SHARED_POOL is None:
+        if _accelerator_backend_live():
+            logging.warning("accelerator backend already initialized; "
+                            "shared pool uses threads (fork is unsafe)")
+            from multiprocessing.dummy import Pool as ThreadPool
+            _SHARED_POOL = ThreadPool(n_workers)
+        else:
+            _SHARED_POOL = mp.get_context("fork").Pool(n_workers)
+    return _SHARED_POOL
+
+
+def close_shared_pool() -> None:
+    """Close the session-global pool (reference shared_mem.py:30-34)."""
+    global _SHARED_POOL
+    if _SHARED_POOL is not None:
+        _SHARED_POOL.close()
+        _SHARED_POOL.join()
+        _SHARED_POOL = None
+
+
 def map_over_chunks(fn, chunks, n_workers):
     """Generic fork-pool map over independent work chunks (the reference's
     chunked_imap over VCF-variant chunks, command_line_interface.py:352-364).

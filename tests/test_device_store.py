@@ -33,3 +33,24 @@ def test_free_all():
         assert False, "expected KeyError"
     except KeyError:
         pass
+
+
+def test_single_shared_array_roundtrip():
+    from graph_kmer_index_tpu.parallel.device_store import (
+        SingleSharedArray, to_device_memory, from_device_memory, free)
+    a = np.arange(17, dtype=np.int64)
+    to_device_memory(SingleSharedArray(a), "t_ssa")
+    back = from_device_memory(SingleSharedArray, "t_ssa")
+    assert np.array_equal(np.asarray(back.array), a)
+    free("t_ssa")
+
+
+def test_shared_pool_roundtrip():
+    from graph_kmer_index_tpu.parallel.host_pool import (
+        get_shared_pool, close_shared_pool)
+    pool = get_shared_pool(2)
+    assert pool is get_shared_pool(2)  # session-global: same object
+    try:
+        assert sorted(pool.map(abs, [-3, 1, -2])) == [1, 2, 3]
+    finally:
+        close_shared_pool()

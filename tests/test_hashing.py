@@ -97,3 +97,22 @@ def test_encode_ascii_device():
     raw = np.frombuffer(b"ACGTacgtNnxM", dtype=np.uint8)
     got = np.asarray(encode_ascii(jnp.asarray(raw)))
     assert got.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 0, 0, 0, 0]
+
+
+def test_update_hash_rolling_matches_window_hashes():
+    """The scalar rolling rule (reference kmer_finder.py:15-34) rebuilt
+    incrementally must equal the vectorized window hashes, incl. k=31
+    (python-int arithmetic: 4^31 overflows float64-safe range)."""
+    from graph_kmer_index_tpu.hashing import (update_hash,
+                                              sliding_window_hashes)
+    rng = np.random.default_rng(3)
+    seq = rng.integers(0, 4, 80).astype(np.uint64)
+    for k in (4, 31):
+        expected = sliding_window_hashes(seq, k)
+        h = 0
+        for i in range(k):  # build-up phase: only_add = position
+            h = update_hash(seq[i], h, 0, k, only_add=i)
+        assert h == int(expected[0])
+        for w in range(1, len(seq) - k + 1):  # rolling phase
+            h = update_hash(seq[w + k - 1], h, seq[w - 1], k)
+            assert h == int(expected[w]), (k, w)
