@@ -410,6 +410,90 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
     return run
 
 
+def make_member_step_packed(mesh, shards: PackedTableShards, k: int,
+                            data_axis: str = "data",
+                            table_axis: str = "table"):
+    """Membership mirror of :func:`make_count_step_packed`: each table
+    shard answers its own queries from one group-row gather (+ deep
+    scan; dup2 buckets need none — a lane hit is definitive), then a
+    psum over the table axis ORs the per-shard verdicts. The (reads, L)
+    hit matrix stays sharded over the data axis (positions past L-k are
+    False). Raises at call time on compaction-capacity overflow."""
+    from jax import shard_map
+    from ..ops.encode import sliding_hashes
+    from ..ops.lookup import _decode_group_rows, _compact_overflow
+
+    m2_local = shards.m2_local
+    max_scan = shards.max_scan
+    modulo2 = shards.modulo2
+
+    def local_step(reads, records, row_kmers, row_nodes):
+        records = records[0]
+        row_kmers = row_kmers[0]
+        t_idx = jax.lax.axis_index(table_axis).astype(jnp.int64)
+
+        r_loc, L = reads.shape
+        n_q = r_loc * L
+        flat = reads.reshape(-1)
+        hashes = sliding_hashes(flat, k)
+        pos = jnp.arange(n_q) % L
+        valid = pos <= L - k
+        kmers = jnp.where(valid, hashes, jnp.uint64(0))
+
+        bucket = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
+        owner = bucket // m2_local
+        mine = (owner == t_idx) & valid
+        lb = jnp.clip(bucket - t_idx * m2_local, 0,
+                      m2_local - 1).astype(jnp.int32)
+        q_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        q_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+        n0, r3, sz, dup2, hit0, hit1 = _decode_group_rows(
+            records, lb // 16, lb % 16, q_lo, q_hi)
+        hit = (hit0 | hit1) & mine
+
+        dropped = jnp.int32(0)
+        if max_scan > 2:
+            # a lane hit answers membership outright: dup2 buckets and
+            # first-row-matched deep buckets skip the scan
+            deep = (sz > 2) & mine & ~hit
+            cap = min(max(1024, n_q // 8), n_q)
+            oq, ostart, osz, oi, n_over = _compact_overflow(
+                kmers, deep, r3, sz, cap)
+            scan = jnp.arange(max_scan, dtype=jnp.int32)
+            rows = jnp.minimum(ostart[:, None] + scan[None, :],
+                               row_kmers.shape[0] - 1)
+            ovalid = jnp.arange(oq.shape[0]) < jnp.minimum(n_over, cap)
+            mask = ((scan[None, :] < osz[:, None])
+                    & (row_kmers[rows] == oq[:, None]) & ovalid[:, None])
+            ohit = jnp.any(mask, axis=1)
+            hit = hit.at[jnp.where(ovalid & ohit, oi, n_q)].set(
+                True, mode="drop")
+            dropped = jnp.maximum(0, n_over - cap)
+
+        hit = jax.lax.psum(hit.astype(jnp.int32), table_axis) > 0
+        dropped = jax.lax.psum(dropped, (data_axis, table_axis))
+        return hit.reshape(r_loc, L), dropped
+
+    P_ = P
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P_(data_axis, None), P_(table_axis, None, None),
+                  P_(table_axis, None), P_(table_axis, None)),
+        out_specs=(P_(data_axis, None), P_()),
+    )
+    jitted = jax.jit(step)
+
+    def run(reads, records, row_kmers, row_nodes):
+        hit, dropped = jitted(reads, records, row_kmers, row_nodes)
+        if int(dropped) > 0:
+            raise RuntimeError(
+                "packed sharded membership: deep-query compaction "
+                "capacity exceeded; use the CSR step for this batch")
+        return hit
+
+    return run
+
+
 def merge_flat_kmers_all_gather(mesh, shard_arrays, axis: str = "data"):
     """Merge per-device FlatKmers shards with an all_gather collective.
 

@@ -265,3 +265,45 @@ def test_packed_sharded_dup2_buckets():
                              (shards.row_nodes, P("table", None)))]
     got = np.asarray(step(reads_j, *targs))
     assert np.array_equal(got, 4 * expected)
+
+
+def test_packed_sharded_member_step_matches_single_device():
+    """Packed table-sharded membership == single-device has_kmers, for
+    every viable mesh shape (positions past L-k are always False)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+    from graph_kmer_index_tpu.parallel.sharded import (
+        PackedTableShards, make_member_step_packed)
+
+    k = 5
+    graph, flat, index = _toy_index()
+    rng = np.random.default_rng(4)
+    ref_seq = np.concatenate([graph.get_numeric_node_sequence(v)
+                              for v in [1, 2, 4]])
+    reads = np.stack([
+        np.resize(np.roll(ref_seq, -int(s)), 16) for s in
+        rng.integers(0, len(ref_seq), 8)]).astype(np.int32)
+    # corrupt half the reads so misses are exercised too
+    reads[::2, 3:9] = rng.integers(0, 4, (4, 6))
+
+    hashes = np.asarray(sliding_hashes(jnp.asarray(reads.reshape(-1)), k))
+    pos = np.arange(reads.size) % reads.shape[1]
+    valid = pos <= reads.shape[1] - k
+    expected = np.zeros(reads.size, dtype=bool)
+    expected[valid] = index.has_kmers(hashes[valid].astype(np.uint64))
+    expected = expected.reshape(reads.shape)
+
+    for n_data, n_table in ((4, 2), (2, 4), (8, 1), (1, 8)):
+        devices = np.asarray(jax.devices()[:8]).reshape(n_data, n_table)
+        mesh = Mesh(devices, ("data", "table"))
+        shards = PackedTableShards.from_index(index, n_table)
+        step = make_member_step_packed(mesh, shards, k)
+        reads_j = jax.device_put(jnp.asarray(reads),
+                                 NamedSharding(mesh, P("data", None)))
+        targs = [jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+                 for a, spec in ((shards.records, P("table", None, None)),
+                                 (shards.row_kmers, P("table", None)),
+                                 (shards.row_nodes, P("table", None)))]
+        got = np.asarray(step(reads_j, *targs))
+        assert np.array_equal(got, expected), (n_data, n_table)
