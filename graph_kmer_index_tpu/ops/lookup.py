@@ -886,6 +886,19 @@ class DeviceKmerIndex:
                                         out[-1], ks, max_sz)
         return hit, ultra
 
+    def _has_kmers_packed_device(self, qj, n):
+        """Packed membership for ONE padded device batch. ``qj`` may be
+        sharded over a data mesh (the packed tables must then be
+        replicated on the same devices, see parallel.sharded)."""
+        out, host_mask = self._member_packed_full(qj, n)
+        km, mult = self._fetch_masked_kmers(qj, host_mask)
+        if len(km):
+            present = {kq for kq, _m, nodes in
+                       self._ultra_rows(km, mult) if len(nodes)}
+            out = _fixup_membership(out, host_mask, qj,
+                                    jnp.asarray(_present_padded(present)))
+        return out
+
     def has_kmers(self, kmers: np.ndarray) -> np.ndarray:
         if len(kmers) > self.QUERY_CHUNK:
             return np.concatenate(
@@ -895,14 +908,7 @@ class DeviceKmerIndex:
         q, n = _pad_queries(kmers)
         packed = self._packed()
         if packed is not None:
-            qj = jnp.asarray(q)
-            out, host_mask = self._member_packed_full(qj, n)
-            km, mult = self._fetch_masked_kmers(qj, host_mask)
-            if len(km):
-                present = {kq for kq, _m, nodes in
-                           self._ultra_rows(km, mult) if len(nodes)}
-                out = _fixup_membership(out, host_mask, qj,
-                                        jnp.asarray(_present_padded(present)))
+            out = self._has_kmers_packed_device(jnp.asarray(q), n)
             return np.asarray(out)[:n]
         out = _has_kmers(jnp.asarray(q), n, self.table_kmers,
                          self.starts_tbl, self.sizes_tbl, self.modulo,
@@ -980,6 +986,17 @@ class DeviceKmerIndex:
             return np.zeros(0, dtype=bool)
         return np.concatenate(out)
 
+    def _map_kmers_packed_device(self, qj, n, n_nodes):
+        """Packed node counts for ONE padded device batch (``qj`` may be
+        sharded over a data mesh, packed tables replicated alongside)."""
+        counts, host_mask = self._counts_packed_full(qj, n, n_nodes)
+        res = np.asarray(counts).astype(np.int64)
+        km, mult = self._fetch_masked_kmers(qj, host_mask)
+        if len(km):
+            for _kq, m, nodes in self._ultra_rows(km, mult):
+                np.add.at(res, nodes.astype(np.int64), m)
+        return res
+
     def map_kmers(self, kmers: np.ndarray, n_nodes: int) -> np.ndarray:
         """Node hit counts for a read-kmer batch (kmer_mapper contract).
         Fast path: one packed-record gather per query + compacted
@@ -996,14 +1013,8 @@ class DeviceKmerIndex:
         q, n = _pad_queries(kmers)
         packed = self._packed()
         if packed is not None:
-            qj = jnp.asarray(q)
-            counts, host_mask = self._counts_packed_full(qj, n, n_nodes)
-            res = np.asarray(counts).astype(np.int64)
-            km, mult = self._fetch_masked_kmers(qj, host_mask)
-            if len(km):
-                for _kq, m, nodes in self._ultra_rows(km, mult):
-                    np.add.at(res, nodes.astype(np.int64), m)
-            return res
+            return self._map_kmers_packed_device(jnp.asarray(q), n,
+                                                 n_nodes)
         counts = _node_counts(jnp.asarray(q), n, self.table_kmers,
                               self.table_nodes, self.starts_tbl,
                               self.sizes_tbl, self.modulo, int(n_nodes),

@@ -24,22 +24,58 @@ from ..ops.lookup import _has_kmers, _node_counts
 
 
 def _shard_pad(kmers: np.ndarray, n_shards: int):
-    n = len(kmers)
-    per = -(-max(n, 1) // n_shards)
-    out = np.zeros(per * n_shards, dtype=np.uint64)
-    out[:n] = kmers
-    return out, n
+    """Pad onto the jit size ladder (so compiles are shared with the
+    single-chip path) — ladder sizes are multiples of 1024, hence of any
+    mesh size up to 1024."""
+    from ..ops.lookup import _pad_queries
+    q, n = _pad_queries(np.asarray(kmers, dtype=np.uint64))
+    if len(q) % n_shards:  # odd shard counts: extend past the ladder
+        q = np.concatenate([q, np.zeros(n_shards - len(q) % n_shards,
+                                        dtype=np.uint64)])
+    return q, n
+
+
+def _mesh_view(dev, mesh):
+    """A shallow clone of the DeviceKmerIndex whose packed tables are
+    replicated over ``mesh`` (cached per device set): sharded query
+    batches then flow through the SAME packed kernels as the single-chip
+    path — GSPMD partitions the decode by query, the tables stay whole
+    on every device. Returns None when the index has no packed tables
+    (over the HBM budget)."""
+    import copy
+
+    packed = dev._packed()
+    if packed is None:
+        return None
+    key = tuple(d.id for d in mesh.devices.flat)
+    cache = getattr(dev, "_mesh_packed", None)
+    if cache is None:
+        cache = dev._mesh_packed = {}
+    if key not in cache:
+        rep = NamedSharding(mesh, P())
+        rec, ks, ns, m2, mx = packed
+        cache[key] = (jax.device_put(rec, rep), jax.device_put(ks, rep),
+                      jax.device_put(ns, rep), m2, mx)
+    view = copy.copy(dev)
+    view._packed_tables = cache[key]
+    return view
 
 
 def has_kmers_sharded(index, kmers: np.ndarray, n_shards: int | None = None):
-    """Data-parallel membership query (reference has_kmers_parallel)."""
+    """Data-parallel membership query (reference has_kmers_parallel):
+    queries shard over the mesh data axis, the packed record table is
+    replicated, and the single-chip packed kernels run under GSPMD."""
     dev = index._device()
     n_devices = len(jax.devices())
     n_shards = min(n_shards or n_devices, n_devices)
     mesh = data_mesh(n_shards)
     q, n = _shard_pad(kmers, n_shards)
-    q = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
-    out = _has_kmers(q, n, dev.table_kmers, dev.starts_tbl, dev.sizes_tbl,
+    qj = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    view = _mesh_view(dev, mesh)
+    if view is not None:
+        out = view._has_kmers_packed_device(qj, n)
+        return np.asarray(out)[:n]
+    out = _has_kmers(qj, n, dev.table_kmers, dev.starts_tbl, dev.sizes_tbl,
                      dev.modulo, dev.max_scan)
     return np.asarray(out)[:n]
 
@@ -53,8 +89,11 @@ def map_kmers_sharded(index, kmers: np.ndarray, n_nodes: int,
     n_shards = min(n_shards or n_devices, n_devices)
     mesh = data_mesh(n_shards)
     q, n = _shard_pad(kmers, n_shards)
-    q = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
-    counts = _node_counts(q, n, dev.table_kmers, dev.table_nodes,
+    qj = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    view = _mesh_view(dev, mesh)
+    if view is not None:
+        return view._map_kmers_packed_device(qj, n, int(n_nodes))
+    counts = _node_counts(qj, n, dev.table_kmers, dev.table_nodes,
                           dev.starts_tbl, dev.sizes_tbl, dev.modulo,
                           int(n_nodes), dev.max_scan)
     return np.asarray(counts)
