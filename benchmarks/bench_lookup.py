@@ -60,6 +60,13 @@ def main():
     outA = _counts_decode_packed(q0, n_q, rec, modulo2, n_nodes, cap_hi,
                                  True)
     n_over = int(outA[-1])
+    if n_over > cap_hi:
+        # production (_overflow_pieces) re-runs stage A at a bigger
+        # compaction cap in this case; mirror it so stage B measures
+        # the full deep workload instead of a truncated slice
+        cap_hi = min(n_q, 1 << int(n_over - 1).bit_length())
+        outA = _counts_decode_packed(q0, n_q, rec, modulo2, n_nodes,
+                                     cap_hi, True)
     scan_cap = (0 if n_over == 0 else
                 min(cap_hi, max(1024, 1 << int(n_over - 1).bit_length())))
     print(f"deep queries: {n_over}/{n_q} (compaction cap {cap_hi}, "

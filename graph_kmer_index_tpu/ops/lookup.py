@@ -215,6 +215,23 @@ def _packed_sizes(bs, modulo2):
     return sizes_tbl[bs], jnp.max(sizes_tbl)
 
 
+def _dup2_masks(is_second, sz_row, ks, xp=jnp):
+    """The dup2-bucket masks, shared by every packed-record builder
+    (device build here, numpy shard build in parallel.sharded).
+
+    A "dup2" bucket holds the SAME kmer twice (two nodes): its lane
+    hits would otherwise double-count, so the second slot is
+    suppressed and the bucket is flagged deep (_DUP2 bit in the size
+    lane) to resolve in the scan. Returns ``(dup_b, dup_a)``:
+    ``dup_b`` marks the second row of such a bucket, ``dup_a`` its
+    first row (the one whose size lane carries the flag)."""
+    zero = xp.zeros(1, bool)
+    dup_b = (is_second & (sz_row == 2)
+             & xp.concatenate([zero, ks[1:] == ks[:-1]]))
+    dup_a = xp.concatenate([dup_b[1:], zero])
+    return dup_b, dup_a
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
 def _packed_records(bs, ks, ns, sz_row, modulo2):
     """Stage 3: the flat 8-lane uint32 record buffer.
@@ -246,9 +263,7 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     rec = jnp.full(flat_len, jnp.uint32(0xFFFFFFFF))
     # dup2 buckets (see _DUP2): second slot suppressed, size lane
     # flagged, lane 6 re-purposed as the bucket's start row
-    dup_b = (is_second & (sz_row == 2)
-             & jnp.concatenate([jnp.zeros(1, bool), ks[1:] == ks[:-1]]))
-    dup_a = jnp.concatenate([dup_b[1:], jnp.zeros(1, bool)])
+    dup_b, dup_a = _dup2_masks(is_second, sz_row, ks)
     # ONE scatter triple covers both slots — the bucket's first row
     # targets lane base 8b, its second (size-2 buckets only) 8b+4; the
     # n-sized scatters dominate this stage, so 5 instead of 8 of them
@@ -291,10 +306,11 @@ def _build_packed(kmers, nodes, modulo2):
     # through the same compaction (an all-hit batch's deep share
     # approaches this number)
     if n:
-        dup_b = (sz_row == 2) & jnp.concatenate(
-            [jnp.zeros(1, bool), ks[1:] == ks[:-1]])
-        dup_row = dup_b | jnp.concatenate([dup_b[1:], jnp.zeros(1, bool)])
-        deep_frac = float(jnp.sum((sz_row > 2) | dup_row)) / n
+        is_first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
+        is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
+            & ~is_first
+        dup_b, dup_a = _dup2_masks(is_second, sz_row, ks)
+        deep_frac = float(jnp.sum((sz_row > 2) | dup_a | dup_b)) / n
     else:
         deep_frac = 0.0
     rec_flat = _packed_records(bs, ks, ns, sz_row, modulo2)
@@ -785,6 +801,13 @@ class DeviceKmerIndex:
         cross the link, instead of the full chunk and mask (32 + 4 MB
         per 4M-query chunk; this sandbox's host link runs ~5 MB/s, so
         the full fetch would cost more than the lookup itself)."""
+        packed = self._packed()
+        if packed is not None and packed[4] <= SCAN_CAP:
+            # no bucket exceeds SCAN_CAP, so the ultra mask is provably
+            # all-False — skip the two full-chunk device sorts
+            # _compact_masked_unique would launch (the common case:
+            # real tables rarely have >SCAN_CAP-deep buckets at all)
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
         uq, mult, n_unique = _compact_masked_unique(
             chunk_dev, host_mask, self.ULTRA_FETCH_CAP)
         n_unique = int(n_unique)

@@ -25,7 +25,19 @@ _WORKER_STATE: dict = {}
 
 def _accelerator_backend_live() -> bool:
     """True if a non-CPU jax backend has already been initialized in this
-    process (private-API probe, deliberately non-initializing)."""
+    process (private-API probe, deliberately non-initializing).
+
+    A live CPU backend deliberately does NOT count: forking with only
+    XLA:CPU live is tolerated because (a) the pool workers here are
+    jax-free by construction (pure numpy / native-walker chunk fns), so
+    an inherited XLA-internal mutex is never re-entered in the child,
+    and (b) glibc's malloc at-fork handlers plus CPython's at-fork lock
+    re-init cover the generic threads+fork hazard — the same bargain the
+    reference's pathos fork pools make under threaded numpy. Counting
+    CPU would silently serialize host ``-t N`` parallelism (the
+    reference's main CPU speed feature) whenever any jax op ran first.
+    Accelerator backends stay guarded: their device handles/IPC state do
+    deadlock forked children."""
     try:
         from jax._src import xla_bridge
         backends = getattr(xla_bridge, "_backends", {})

@@ -24,13 +24,19 @@ from ..ops.lookup import _has_kmers, _node_counts
 
 
 def _shard_pad(kmers: np.ndarray, n_shards: int):
-    """Pad onto the jit size ladder (so compiles are shared with the
-    single-chip path) — ladder sizes are multiples of 1024, hence of any
-    mesh size up to 1024."""
+    """Pad onto the jit size ladder. Ladder sizes are multiples of 1024,
+    hence divisible by any power-of-two mesh size up to 1024 — those
+    shapes are shared with the single-chip path. Non-power-of-two shard
+    counts can't ride that ladder; they pad to the next multiple of
+    lcm(1024, n_shards) so the set of compiled shapes stays bounded
+    (one per ladder step) instead of one per batch length."""
+    import math
     from ..ops.lookup import _pad_queries
     q, n = _pad_queries(np.asarray(kmers, dtype=np.uint64))
-    if len(q) % n_shards:  # odd shard counts: extend past the ladder
-        q = np.concatenate([q, np.zeros(n_shards - len(q) % n_shards,
+    if len(q) % n_shards:
+        step = math.lcm(1024, n_shards)
+        new_len = -(-len(q) // step) * step
+        q = np.concatenate([q, np.zeros(new_len - len(q),
                                         dtype=np.uint64)])
     return q, n
 
@@ -330,9 +336,8 @@ class PackedTableShards:
         tb = bs * 8
         ks_lo = (ks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         ks_hi = (ks >> np.uint64(32)).astype(np.uint32)
-        dup_b = (second & (sz_row == 2)
-                 & np.concatenate([[False], ks[1:] == ks[:-1]]))
-        dup_a = np.concatenate([dup_b[1:], [False]])
+        from ..ops.lookup import _dup2_masks
+        dup_b, dup_a = _dup2_masks(second, sz_row, ks, xp=np)
         sec2 = second & (sz_row == 2) & ~dup_b
         rec[tb[first]] = ks_lo[first]
         rec[tb[first] + 1] = ks_hi[first]
