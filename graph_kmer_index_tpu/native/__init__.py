@@ -390,6 +390,8 @@ def build_packed(kmers: np.ndarray, nodes: np.ndarray, modulo2: int):
 
 def packed_map_kmers(kmers, rec, rows_k, rows_n, modulo2, n_nodes):
     lib = get_lib()
+    if lib is None:
+        return None
     kmers = np.ascontiguousarray(kmers, np.uint64)
     counts = hp_zeros(n_nodes, np.int64)
     lib.gki_packed_map_kmers(_ptr(kmers, ctypes.c_uint64), len(kmers),
@@ -402,6 +404,8 @@ def packed_map_kmers(kmers, rec, rows_k, rows_n, modulo2, n_nodes):
 
 def packed_has_kmers(kmers, rec, rows_k, modulo2):
     lib = get_lib()
+    if lib is None:
+        return None
     kmers = np.ascontiguousarray(kmers, np.uint64)
     out = hp_zeros(len(kmers), np.uint8)
     lib.gki_packed_has_kmers(_ptr(kmers, ctypes.c_uint64), len(kmers),

@@ -87,30 +87,39 @@ def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
     return starts, sizes, rows, perm
 
 
-@jax.jit
-def _frequencies_full_device(kmers, ref_offsets):
+@functools.partial(jax.jit, static_argnums=(2,))
+def _frequencies_full_device(kmers, ref_offsets, wide_offsets=False):
     """Fully on-device per-row frequencies: lexicographic sort by
     (kmer, ref_offset), segment distinct-pair count, scatter back.
     frequency[row] = #distinct ref offsets among rows with the same kmer
     (vectorized equivalent of reference collision_free_kmer_index.py
     :267-293).
 
-    Sort keys are THREE native u32 lanes (kmer hi, kmer lo, ref offset
-    as u32 — genome offsets are < 2^32) instead of u64+i64: int64 keys
-    are X64Combine-emulated on this TPU and sort ~25% slower as 4
-    lanes."""
+    Sort keys are native u32 lanes (kmer hi, kmer lo, ref offset)
+    instead of u64+i64: int64 keys are X64Combine-emulated on this TPU
+    and sort ~25% slower. ``wide_offsets`` adds a fourth lane for the
+    ref offset's high 32 bits — required when any offset reaches 2^32
+    (a >4.29 Gb PositionId space), where the narrow key would alias
+    distinct offsets congruent mod 2^32 and undercount."""
     n = kmers.shape[0]
     k_hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
     k_lo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    ro = ref_offsets.astype(jnp.uint64).astype(jnp.uint32)
-    hi_s, lo_s, ro_s, sidx = jax.lax.sort(
-        (k_hi, k_lo, ro, jnp.arange(n, dtype=jnp.int32)),
-        num_keys=3, is_stable=True)
+    ro64 = ref_offsets.astype(jnp.uint64)
+    ro = ro64.astype(jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if wide_offsets:
+        ro_hi = (ro64 >> jnp.uint64(32)).astype(jnp.uint32)
+        hi_s, lo_s, roh_s, ro_s, sidx = jax.lax.sort(
+            (k_hi, k_lo, ro_hi, ro, idx), num_keys=4, is_stable=True)
+        ro_changed = (ro_s[1:] != ro_s[:-1]) | (roh_s[1:] != roh_s[:-1])
+    else:
+        hi_s, lo_s, ro_s, sidx = jax.lax.sort(
+            (k_hi, k_lo, ro, idx), num_keys=3, is_stable=True)
+        ro_changed = ro_s[1:] != ro_s[:-1]
     new_kmer = jnp.concatenate(
         [jnp.ones(1, bool),
          (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
-    new_pair = new_kmer | jnp.concatenate(
-        [jnp.ones(1, bool), ro_s[1:] != ro_s[:-1]])
+    new_pair = new_kmer | jnp.concatenate([jnp.ones(1, bool), ro_changed])
     seg_id = jnp.cumsum(new_kmer.astype(jnp.int32)) - 1
     counts = jnp.zeros(n, jnp.int32).at[seg_id].add(
         new_pair.astype(jnp.int32))
@@ -125,6 +134,10 @@ def frequencies_device(kmers_sorted, ref_offsets_sorted) -> np.ndarray:
     n = len(kmers_sorted)
     if n == 0:
         return np.zeros(0, dtype=np.uint16)
+    ro = jnp.asarray(ref_offsets_sorted).astype(jnp.int64)
+    # one scalar reduce picks the key width; offsets >= 2^32 need the
+    # 4-lane sort key (see _frequencies_full_device)
+    wide = bool(int(jnp.max(ro)) >= 1 << 32) if n else False
     return _frequencies_full_device(
-        jnp.asarray(kmers_sorted).astype(jnp.uint64),
-        jnp.asarray(ref_offsets_sorted).astype(jnp.int64)).astype(jnp.uint16)
+        jnp.asarray(kmers_sorted).astype(jnp.uint64), ro,
+        wide).astype(jnp.uint16)

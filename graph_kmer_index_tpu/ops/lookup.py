@@ -974,6 +974,11 @@ class DeviceKmerIndex:
         for chunk, nvc in self._iter_device_chunks(read_kmers):
             counts, host_mask = self._counts_packed_full(chunk, nvc,
                                                          n_nodes)
+            # accumulate across chunks in int64 (emulated but one
+            # n_nodes-sized add per chunk): int32 totals wrap negative
+            # past 2^31 hits/node on billion-kmer read sets, and the
+            # numpy-input map_kmers path sums chunks in int64 already
+            counts = counts.astype(jnp.int64)
             total = counts if total is None else total + counts
             km, mult = self._fetch_masked_kmers(chunk, host_mask)
             if len(km):

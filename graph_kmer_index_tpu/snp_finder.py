@@ -476,6 +476,7 @@ class SnpKmerFinder:
                 else:
                     self._n_skipped_due_to_max_variant_nodes += 1
             self._n_paths_searched = 1
+            self._n_kmers_added_current_position = 0
             self._current_ref_offset = int(pos_b[-1])
             self._has_traversed_variant = False
             return
@@ -489,7 +490,11 @@ class SnpKmerFinder:
         n_ok = int(ok.sum())
         self._n_skipped_due_to_frequency += n - n_ok
         self._kmers_found += n_ok
+        # per-position counters end at the LAST position's values, as if
+        # each window had gone through _emit (_n_paths_searched: a
+        # fork-free position searches exactly one path)
         self._n_paths_searched = 1
+        self._n_kmers_added_current_position = 1 if bool(ok[-1]) else 0
         self._has_traversed_variant = False
         self._current_ref_offset = int(pos_b[-1])
         if n_ok:

@@ -4,8 +4,8 @@ This host runs THP in ``madvise`` mode and first-touch page faults cost
 ~150us each (sandboxed kernel): filling a fresh 64MB buffer takes ~4s at
 4KB pages but ~17ms after MADV_HUGEPAGE (measured).  Every allocate-then-
 fill of a large array should therefore go through :func:`hp_empty` /
-:func:`hp_zeros` / :func:`hp_concatenate`, which advise the kernel to
-back the range with 2MB pages *before* the first write.
+:func:`hp_zeros`, which advise the kernel to back the range with 2MB
+pages *before* the first write.
 
 No-ops anywhere madvise is unavailable.  Safe on already-touched memory
 (madvise(MADV_HUGEPAGE) only affects future faults).
@@ -54,15 +54,3 @@ def hp_zeros(shape, dtype) -> np.ndarray:
     return a
 
 
-def hp_concatenate(arrays) -> np.ndarray:
-    """np.concatenate into a hugepage-advised destination."""
-    arrays = [np.asarray(a) for a in arrays]
-    if not arrays:
-        raise ValueError("need at least one array")
-    if len(arrays) == 1:
-        return arrays[0]
-    n = sum(a.shape[0] for a in arrays)
-    out = hp_empty((n,) + arrays[0].shape[1:],
-                   np.result_type(*[a.dtype for a in arrays]))
-    np.concatenate(arrays, out=out)
-    return out

@@ -55,7 +55,18 @@ class VcfVariants:
     def from_vcf(cls, file_name, skip_index=True, make_generator=False,
                  dont_encode_chromosomes=True, limit_to_n_lines=None):
         """Minimal VCF reader (plain or gzipped); CHROM kept as string when
-        ``dont_encode_chromosomes``, else parsed to int where possible."""
+        ``dont_encode_chromosomes``, else parsed to int where possible.
+
+        ``vcf_line_number`` indexes EMITTED variants (it is what
+        UniqueVariantKmersFinder uses to row-index VariantToNodes, so
+        the two must come from the same reader). On bi-allelic files —
+        the case the reference pipeline supports — it equals the VCF
+        data-line ordinal, matching the reference numbering exactly.
+        Files with multi-allelic or symbolic-ALT records shift the
+        numbering relative to data lines (split records emit several
+        numbers, skipped records none); the warnings below flag this,
+        and a VariantToNodes built elsewhere from such a file must use
+        the same splitting to stay aligned."""
         opener = gzip.open if str(file_name).endswith(".gz") else open
         variants = []
         n = 0
@@ -82,8 +93,10 @@ class VcfVariants:
                 for alt in alts:
                     if not alt or not alt.replace("*", "").isalpha():
                         logging.warning(
-                            "skipping unsupported ALT %r at %s:%s",
-                            alt, chrom, cols[1])
+                            "skipping unsupported ALT %r at %s:%s "
+                            "(vcf_line_numbers of later variants shift; "
+                            "pair with a VariantToNodes from this same "
+                            "reader)", alt, chrom, cols[1])
                         continue
                     variants.append(VcfVariant(
                         chrom, int(cols[1]), cols[3], alt,
@@ -94,7 +107,9 @@ class VcfVariants:
         if n_multiallelic:
             logging.warning(
                 "split %d multi-allelic VCF records into bi-allelic "
-                "variants", n_multiallelic)
+                "variants (vcf_line_numbers index emitted variants, not "
+                "data lines; pair with a VariantToNodes from this same "
+                "reader)", n_multiallelic)
         logging.info("Read %d variants from %s", n, file_name)
         return cls(variants)
 

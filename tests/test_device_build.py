@@ -72,3 +72,22 @@ def test_skip_singletons_host_and_device():
     u, c = np.unique(np.asarray(flat._hashes), return_counts=True)
     gone = set(u[c == 1].tolist())
     assert not (set(np.asarray(host._kmers).tolist()) & gone)
+
+
+def test_frequencies_wide_ref_offsets():
+    """Offsets past 2^32 must stay distinct in the frequency count: the
+    narrow 3-lane u32 sort key would alias offsets congruent mod 2^32
+    (ops/build.py _frequencies_full_device wide_offsets)."""
+    from graph_kmer_index_tpu.ops.build import frequencies_device
+
+    base = np.uint64(7)
+    offs = np.array([5, 5 + (1 << 32), 5, 9], dtype=np.uint64)
+    kmers = np.array([base, base, base, np.uint64(11)], dtype=np.uint64)
+    freqs = frequencies_device(kmers, offs)
+    # kmer 7: offsets {5, 5+2^32} -> 2 distinct; kmer 11: 1
+    assert freqs.tolist() == [2, 2, 2, 1]
+    # narrow path unaffected
+    freqs_small = frequencies_device(
+        np.array([3, 3, 4], dtype=np.uint64),
+        np.array([1, 2, 1], dtype=np.uint64))
+    assert freqs_small.tolist() == [2, 2, 1]

@@ -3,7 +3,7 @@ plain numpy calls (the THP advice is a kernel hint, not a semantic)."""
 import numpy as np
 
 from graph_kmer_index_tpu.utils.hugepages import (
-    hp_concatenate, hp_empty, hp_zeros, madvise_hugepage)
+    hp_empty, hp_zeros, madvise_hugepage)
 
 
 def test_hp_empty_zeros_shapes_dtypes():
@@ -12,14 +12,6 @@ def test_hp_empty_zeros_shapes_dtypes():
     z = hp_zeros(11, np.uint64)
     assert z.shape == (11,) and z.dtype == np.uint64
     assert not z.any()
-
-
-def test_hp_concatenate_matches_numpy():
-    parts = [np.arange(5, dtype=np.int64), np.arange(3, dtype=np.int64)]
-    out = hp_concatenate(parts)
-    assert np.array_equal(out, np.concatenate(parts))
-    single = hp_concatenate([np.arange(4)])
-    assert np.array_equal(single, np.arange(4))
 
 
 def test_madvise_large_buffer_reports_and_preserves_contents():
