@@ -101,18 +101,27 @@ def measure_kernel(kernel: str) -> float:
     return N_DEVICE / per_iter
 
 
-def measure_kernel_subprocess(kernel: str) -> float | None:
+def measure_kernel_subprocess(kernel: str,
+                              timeout_s: float = KERNEL_TIMEOUT_S
+                              ) -> float | None:
+    if timeout_s <= 5:
+        return None
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--kernel", kernel],
-            capture_output=True, text=True, timeout=KERNEL_TIMEOUT_S)
+            capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        print(f"[bench] {kernel}: timed out after {timeout_s:.0f}s",
+              file=sys.stderr, flush=True)
         return None
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             return float(json.loads(line)["rate"])
         except (ValueError, KeyError):
             continue
+    print(f"[bench] {kernel}: no rate (stderr tail: "
+          f"{out.stderr.strip().splitlines()[-1:] })",
+          file=sys.stderr, flush=True)
     return None
 
 
@@ -137,28 +146,62 @@ def main():
         return
 
     import os
-    kernels = os.environ.get("GKI_BENCH_KERNELS", "p16,pallas").split(",")
+    # global deadline: the driver gives this script a bounded budget;
+    # worst-case per-candidate timeouts must never add up past it or
+    # the JSON line is lost entirely (observed with a degraded remote
+    # compile helper: one XLA compile can eat 10+ minutes)
+    budget_s = float(os.environ.get("GKI_BENCH_BUDGET_S", "540"))
+    deadline = time.monotonic() + budget_s
+    remaining = lambda: deadline - time.monotonic()  # noqa: E731
+
+    # CPU baseline first: seconds of work, and it guarantees the
+    # vs_baseline denominator exists whatever the device side does
+    cpu_rate = bench_cpu_reference()
+
+    kernels = os.environ.get(
+        "GKI_BENCH_KERNELS", "u32,p16,pallas").split(",")
     rates = {}
     for kernel in kernels:
-        rate = measure_kernel_subprocess(kernel)
+        if kernel in ("p16", "pallas") and "p16" in rates:
+            break  # p16 measured: no later candidate can beat it
+        # floor-first ordering: u32 is XLA-only (cheapest compile) and
+        # guarantees a line; p16 (the headline, ~2.5x) gets the bulk of
+        # the remaining budget; pallas only runs if p16 failed. u32 is
+        # capped low — if the helper can't compile plain XLA in 150s it
+        # won't compile a Pallas kernel either, so hoarding budget for
+        # p16 after a u32 timeout would be wasted anyway.
+        t = (min(150, remaining() - 90) if kernel == "u32"
+             else min(KERNEL_TIMEOUT_S, remaining() - 10))
+        rate = measure_kernel_subprocess(kernel, t)
         if rate is not None:
             rates[kernel] = rate
-            # keep going: the fastest kernel (p16) has the slowest
-            # compile, which can time out under the degraded remote
-            # compile helper — a later candidate guarantees a floor
+    if "p16" not in rates and remaining() > 90:
+        # p16's compile timed out once; a second attempt often hits a
+        # less-loaded helper and it is ~2.5x the fallback kernel
+        retry = measure_kernel_subprocess(
+            "p16", min(KERNEL_TIMEOUT_S, remaining() - 10))
+        if retry is not None:
+            rates["p16"] = retry
     if not rates:
         # last resort: never leave the driver without a JSON line — run
         # the XLA kernel in-process (compiles are the usual timeout cause;
-        # a second attempt in a warm process often fits)
+        # a second attempt in a warm process often fits), under SIGALRM
+        # so a wedged backend still yields an honest failure record
+        import signal
+
+        def _give_up(signum, frame):
+            print(json.dumps({
+                "metric": "kmers_hashed_per_sec_per_chip",
+                "value": 0, "unit": "kmers/s", "vs_baseline": 0,
+                "error": "device compile timed out repeatedly; no "
+                         "on-chip measurement this run"}), flush=True)
+            os._exit(0)
+
+        signal.signal(signal.SIGALRM, _give_up)
+        signal.alarm(max(30, int(min(remaining() - 5, 300))))
         rates["inproc"] = measure_kernel("u32")
-    elif "p16" not in rates:
-        # p16's compile timed out once; a second attempt often hits a
-        # less-loaded helper and it is ~2.5x the fallback kernel
-        retry = measure_kernel_subprocess("p16")
-        if retry is not None:
-            rates["p16"] = retry
+        signal.alarm(0)
     device_rate = max(rates.values())
-    cpu_rate = bench_cpu_reference()
 
     print(json.dumps({
         "metric": "kmers_hashed_per_sec_per_chip",
