@@ -70,7 +70,7 @@ def get_lib():
         lib.gki_map_kmers.argtypes = [
             p(ctypes.c_uint64), i64, p(ctypes.c_uint64), p(ctypes.c_uint32),
             p(ctypes.c_int64), p(ctypes.c_uint32), u64, i64,
-            p(ctypes.c_uint32)]
+            p(ctypes.c_int64)]
         lib.gki_has_kmers.restype = None
         lib.gki_has_kmers.argtypes = [
             p(ctypes.c_uint64), i64, p(ctypes.c_uint64), p(ctypes.c_int64),
@@ -94,6 +94,8 @@ def get_lib():
             p(ctypes.c_int32), p(ctypes.c_int32)]
         lib.gki_walk_free.restype = None
         lib.gki_walk_free.argtypes = [ctypes.c_void_p]
+        lib.gki_finalize_free.restype = None
+        lib.gki_finalize_free.argtypes = [ctypes.c_void_p]
         lib.gki_finalize_count.restype = ctypes.c_void_p
         lib.gki_finalize_count.argtypes = [
             p(ctypes.c_int32), p(ctypes.c_int32), p(ctypes.c_int32),
@@ -128,6 +130,14 @@ def _ptr(a, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _check_modulo(modulo):
+    # guard BEFORE entering C: `kmer % 0` there is a SIGFPE that kills
+    # the whole process instead of raising (a corrupt/empty index file
+    # is the realistic source of modulo == 0)
+    if int(modulo) <= 0:
+        raise ValueError(f"modulo must be positive, got {modulo}")
+
+
 def available() -> bool:
     return get_lib() is not None
 
@@ -145,6 +155,10 @@ def sliding_hashes(seq: np.ndarray, k: int) -> np.ndarray | None:
     lib = get_lib()
     if lib is None:
         return None
+    if not 1 <= k <= 31:
+        # k=0 shifts by a negative amount in C (UB); k=32 collides the
+        # all-T hash with the packed-table empty sentinel (2^64-1)
+        raise ValueError(f"k must be in [1, 31], got {k}")
     seq = np.ascontiguousarray(seq, dtype=np.int8)
     n = len(seq)
     if n < k:
@@ -162,6 +176,7 @@ def bucket_lookup(kmers, table_kmers, table_nodes, table_ref_offsets,
     lib = get_lib()
     if lib is None:
         return None
+    _check_modulo(modulo)
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
     args = (
         _ptr(kmers, ctypes.c_uint64), len(kmers),
@@ -188,15 +203,18 @@ def map_kmers(kmers, table_kmers, table_nodes, starts_tbl, sizes_tbl,
     lib = get_lib()
     if lib is None:
         return None
+    _check_modulo(modulo)
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
-    counts = hp_zeros(n_nodes, np.uint32)
+    # int64 like the packed path: uint32 silently wrapped at 2^32
+    # accumulated hits per node, and the two backends must agree
+    counts = hp_zeros(n_nodes, np.int64)
     lib.gki_map_kmers(
         _ptr(kmers, ctypes.c_uint64), len(kmers),
         _ptr(np.ascontiguousarray(table_kmers, np.uint64), ctypes.c_uint64),
         _ptr(np.ascontiguousarray(table_nodes, np.uint32), ctypes.c_uint32),
         _ptr(np.ascontiguousarray(starts_tbl, np.int64), ctypes.c_int64),
         _ptr(np.ascontiguousarray(sizes_tbl, np.uint32), ctypes.c_uint32),
-        int(modulo), n_nodes - 1, _ptr(counts, ctypes.c_uint32))
+        int(modulo), n_nodes - 1, _ptr(counts, ctypes.c_int64))
     return counts
 
 
@@ -205,6 +223,7 @@ def has_kmers(kmers, table_kmers, starts_tbl, sizes_tbl,
     lib = get_lib()
     if lib is None:
         return None
+    _check_modulo(modulo)
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
     out = hp_zeros(len(kmers), np.uint8)
     lib.gki_has_kmers(
@@ -272,13 +291,19 @@ def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
         return None
     n_spans, tape_len, sn_len = (int(out_sizes[0]), int(out_sizes[1]),
                                  int(out_sizes[2]))
-    tape = hp_empty(tape_len, np.int8)
-    ts = hp_empty(n_spans, np.int64)
-    nw = hp_empty(n_spans, np.int32)
-    s_node = hp_empty(n_spans, np.int32)
-    s_off = hp_empty(n_spans, np.int32)
-    nl = hp_empty(n_spans, np.int32)
-    span_nodes = hp_empty(sn_len, np.int32)
+    try:
+        tape = hp_empty(tape_len, np.int8)
+        ts = hp_empty(n_spans, np.int64)
+        nw = hp_empty(n_spans, np.int32)
+        s_node = hp_empty(n_spans, np.int32)
+        s_off = hp_empty(n_spans, np.int32)
+        nl = hp_empty(n_spans, np.int32)
+        span_nodes = hp_empty(sn_len, np.int32)
+    except BaseException:
+        # allocation failure (exactly the high-memory case): the walker
+        # handle would otherwise leak its tape + span vectors
+        lib.gki_walk_free(handle)
+        raise
     lib.gki_walk_fetch(handle, _ptr(tape, ctypes.c_int8),
                        _ptr(ts, ctypes.c_int64), _ptr(nw, ctypes.c_int32),
                        _ptr(s_node, ctypes.c_int32),
@@ -327,14 +352,21 @@ def finalize_rows(tape, k, ts, nw, s_node, s_off, raw_nl, raw_nodes,
     if not plan:
         return None
     n = int(n_rows[0])
-    # int64 buffer, filled through a uint64 pointer: hash values are
-    # < 4^31 so the bit patterns agree, and the finder's consumer wants
-    # int64 — writing it directly saves a 20MB/2.5M-row astype copy
-    kmers = hp_empty(n, np.int64)
-    nodes = hp_empty(n, np.int32)
-    start_nodes = hp_empty(n, np.int32)
-    start_offsets = hp_empty(n, np.int16)
-    af = hp_empty(n, np.float64)
+    try:
+        # int64 buffer, filled through a uint64 pointer: hash values are
+        # < 4^31 so the bit patterns agree, and the finder's consumer
+        # wants int64 — writing it directly saves a 20MB/2.5M-row astype
+        kmers = hp_empty(n, np.int64)
+        nodes = hp_empty(n, np.int32)
+        start_nodes = hp_empty(n, np.int32)
+        start_offsets = hp_empty(n, np.int16)
+        af = hp_empty(n, np.float64)
+    except BaseException:
+        # fill (which consumes the plan) will never run: free the plan's
+        # per-span vectors — this is the out-of-memory path where GBs of
+        # cached node sets matter most
+        lib.gki_finalize_free(plan)
+        raise
     lib.gki_finalize_fill(
         plan, _ptr(tape, ctypes.c_int8), len(tape), int(k),
         _ptr(ts, ctypes.c_int64), _ptr(nw, ctypes.c_int32),
@@ -372,6 +404,7 @@ def build_packed(kmers: np.ndarray, nodes: np.ndarray, modulo2: int):
     lib = get_lib()
     if lib is None:
         return None
+    _check_modulo(modulo2)
     kmers = np.ascontiguousarray(kmers, np.uint64)
     nodes = np.ascontiguousarray(nodes, np.uint32)
     n = len(kmers)
@@ -392,6 +425,7 @@ def packed_map_kmers(kmers, rec, rows_k, rows_n, modulo2, n_nodes):
     lib = get_lib()
     if lib is None:
         return None
+    _check_modulo(modulo2)
     kmers = np.ascontiguousarray(kmers, np.uint64)
     counts = hp_zeros(n_nodes, np.int64)
     lib.gki_packed_map_kmers(_ptr(kmers, ctypes.c_uint64), len(kmers),
@@ -406,6 +440,7 @@ def packed_has_kmers(kmers, rec, rows_k, modulo2):
     lib = get_lib()
     if lib is None:
         return None
+    _check_modulo(modulo2)
     kmers = np.ascontiguousarray(kmers, np.uint64)
     out = hp_zeros(len(kmers), np.uint8)
     lib.gki_packed_has_kmers(_ptr(kmers, ctypes.c_uint64), len(kmers),

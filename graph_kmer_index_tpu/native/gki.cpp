@@ -16,18 +16,25 @@ extern "C" {
 
 // ASCII -> 2-bit encode (a/A=0 c/C=1 g/G=2 t/T=3, others 0); returns n.
 // Mirrors reference flat_kmers.py:134-145.
-int64_t gki_encode_ascii(const char* seq, int64_t n, int8_t* out) {
-    static int8_t table[256];
-    static bool init = false;
-    if (!init) {
-        memset(table, 0, sizeof(table));
-        table[(unsigned char)'c'] = table[(unsigned char)'C'] = 1;
-        table[(unsigned char)'g'] = table[(unsigned char)'G'] = 2;
-        table[(unsigned char)'t'] = table[(unsigned char)'T'] = 3;
-        init = true;
+namespace {
+struct EncodeTable {
+    int8_t t[256];
+    EncodeTable() {
+        memset(t, 0, sizeof(t));
+        t[(unsigned char)'c'] = t[(unsigned char)'C'] = 1;
+        t[(unsigned char)'g'] = t[(unsigned char)'G'] = 2;
+        t[(unsigned char)'t'] = t[(unsigned char)'T'] = 3;
     }
+};
+}  // namespace
+
+int64_t gki_encode_ascii(const char* seq, int64_t n, int8_t* out) {
+    // C++11 magic static: thread-safe one-time init (the host thread
+    // pool calls these kernels concurrently with the GIL released; a
+    // plain bool guard was a data race)
+    static const EncodeTable table;
     for (int64_t i = 0; i < n; ++i)
-        out[i] = table[(unsigned char)seq[i]];
+        out[i] = table.t[(unsigned char)seq[i]];
     return n;
 }
 
@@ -82,8 +89,14 @@ int64_t gki_bucket_lookup(
                 out[1 * out_capacity + n_hits] = table_ref_offsets[r];
                 out[2 * out_capacity + n_hits] = (uint64_t)q;
                 out[3 * out_capacity + n_hits] = table_frequencies[r];
+                // clamp before the float->unsigned cast: out-of-range
+                // (negative/NaN from a corrupt index file) conversion
+                // to uint64 is UB and platform-dependent
+                float af1000 = table_allele_frequencies[r] * 1000.0f;
                 out[4 * out_capacity + n_hits] =
-                    (uint64_t)(table_allele_frequencies[r] * 1000.0f);
+                    (af1000 >= 0.0f)
+                        ? (af1000 <= 1.8e19f ? (uint64_t)af1000 : ~0ULL)
+                        : 0;
             }
             ++n_hits;
         }
@@ -96,7 +109,7 @@ void gki_map_kmers(
     const uint64_t* kmers, int64_t n_kmers,
     const uint64_t* table_kmers, const uint32_t* table_nodes,
     const int64_t* starts_tbl, const uint32_t* sizes_tbl,
-    uint64_t modulo, int64_t max_node_id, uint32_t* counts /* size max+1 */) {
+    uint64_t modulo, int64_t max_node_id, int64_t* counts /* size max+1 */) {
     for (int64_t q = 0; q < n_kmers; ++q) {
         uint64_t kmer = kmers[q];
         uint64_t bucket = kmer % modulo;
@@ -145,18 +158,29 @@ int64_t gki_fasta_encode(
         // line [i, j)
         int64_t j = i;
         while (j < n_text && text[j] != '\n') ++j;
-        if (j > i) {
-            char c0 = text[i];
+        // strip whitespace from both ends and skip lines that are empty
+        // afterwards WITHOUT touching the quality state — mirrors the
+        // python fallback's `l = l.strip(); if not l: continue`
+        // (read_kmers.py), so CRLF files and blank lines agree between
+        // the two paths
+        int64_t b = i, e = j;
+        while (b < e && (text[b] == ' ' || text[b] == '\t' ||
+                         text[b] == '\r' || text[b] == '\v' ||
+                         text[b] == '\f')) ++b;
+        while (e > b && (text[e - 1] == ' ' || text[e - 1] == '\t' ||
+                         text[e - 1] == '\r' || text[e - 1] == '\v' ||
+                         text[e - 1] == '\f')) --e;
+        if (e > b) {
+            char c0 = text[b];
             if (skip_quality) {
                 skip_quality = 0;  // quality line: drop regardless of c0
             } else if (c0 == '+') {
                 skip_quality = 1;
             } else if (c0 != '>' && c0 != '@') {
-                int64_t len = j - i;
-                if (text[j - 1] == '\r') --len;
+                int64_t len = e - b;
                 if (out_pos + len > out_capacity || n_reads >= max_reads)
                     return -1;
-                gki_encode_ascii(text + i, len, out + out_pos);
+                gki_encode_ascii(text + b, len, out + out_pos);
                 read_starts[n_reads] = out_pos;
                 read_lens[n_reads] = len;
                 out_pos += len;
@@ -229,6 +253,8 @@ void gki_packed_map_kmers(
         if (q + AHEAD < n_kmers)
             __builtin_prefetch(rec + 4 * (kmers[q + AHEAD] % modulo2));
         uint64_t kmer = kmers[q];
+        if (kmer == GKI_EMPTY) continue;  // sentinel collides with the
+        // empty-slot marker; legit hashes are < 4^31 (k <= 31)
         const uint64_t* r = rec + 4 * (kmer % modulo2);
         int64_t sz = (int64_t)(r[1] >> 32);
         if (sz <= 2) {
@@ -259,6 +285,7 @@ void gki_packed_has_kmers(
         if (q + AHEAD < n_kmers)
             __builtin_prefetch(rec + 4 * (kmers[q + AHEAD] % modulo2));
         uint64_t kmer = kmers[q];
+        if (kmer == GKI_EMPTY) { out[q] = 0; continue; }  // see map above
         const uint64_t* r = rec + 4 * (kmer % modulo2);
         int64_t sz = (int64_t)(r[1] >> 32);
         uint8_t hit = (r[0] == kmer) | (r[2] == kmer);

@@ -83,8 +83,9 @@ struct Walker {
     // and usually an inline merge.
     struct TSlot {
         uint64_t fp = 0;
+        int64_t mem_off = 0;          // arena can exceed 2^31 entries
         int32_t node = -1;            // -1 = empty slot
-        int32_t mem_off = 0, mem_len = 0;
+        int32_t mem_len = 0;
         int32_t o1 = 1, o2 = 0;       // inline interval; o1 > o2 = none
         int32_t spill = -1;
     };
@@ -146,7 +147,7 @@ struct Walker {
         TSlot& s = tslots[i];
         s.fp = fp;
         s.node = key.node;
-        s.mem_off = (int32_t)tarena.size();
+        s.mem_off = (int64_t)tarena.size();
         s.mem_len = (int32_t)key.members.size();
         tarena.insert(tarena.end(), key.members.begin(), key.members.end());
         ++tcount;
@@ -601,7 +602,8 @@ void* gki_finalize_count(
     int64_t pos = 0, n_rows = 0;
     for (int64_t sp = 0; sp < n_spans; ++sp) {
         const int32_t* raw = raw_nodes + pos;
-        int32_t nraw = raw_nl[sp];
+        int32_t nraw = raw_nl[sp] > 0 ? raw_nl[sp] : 0;  // defensive:
+        // a negative length would make uniq.assign UB and desync pos
         pos += nraw;
         double af = 1e300;
         uniq.assign(raw, raw + nraw);
@@ -621,7 +623,10 @@ void* gki_finalize_count(
         p->uniq_start[sp] = (int64_t)p->uniq.size();
         p->uniq.insert(p->uniq.end(), uniq.begin(), uniq.end());
         p->span_af[sp] = af;
-        n_rows += (int64_t)uniq.size() * nw[sp];
+        // same nw <= 0 skip as fill: count and fill MUST agree on the
+        // row total or fill overruns the caller-sized buffers
+        if (nw[sp] > 0)
+            n_rows += (int64_t)uniq.size() * nw[sp];
     }
     p->uniq_start[n_spans] = (int64_t)p->uniq.size();
     *out_n_rows = n_rows;
@@ -668,5 +673,9 @@ void gki_finalize_fill(
     (void)n_tape;
     delete p;
 }
+
+// Release a count plan whose fill never ran (e.g. the caller's output
+// allocation failed); fill consumes the plan itself.
+void gki_finalize_free(void* plan) { delete (FinalizePlan*)plan; }
 
 }  // extern "C"

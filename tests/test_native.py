@@ -77,3 +77,55 @@ def test_native_fasta_encode_matches_readkmers():
     assert lens.tolist() == [10, 12]
     assert flat[:4].tolist() == [0, 1, 2, 3]
     assert flat[starts[1]:starts[1] + 4].tolist() == [3, 3, 3, 3]
+
+
+def test_native_fasta_encode_crlf_and_blank_lines():
+    """CRLF endings, blank/whitespace-only lines, and FASTQ quality
+    state must match the python fallback exactly: strip both ends, skip
+    empty lines WITHOUT consuming the post-'+' quality state."""
+    if not native.available():
+        return
+    # CRLF FASTA with a blank line and an indented sequence line
+    fa = b">r1\r\nACGT\r\n\r\n>r2\r\n  TTAA\r\n"
+    flat, starts, lens = native.fasta_encode(fa)
+    assert lens.tolist() == [4, 4]
+    assert flat[:4].tolist() == [0, 1, 2, 3]
+    assert flat[starts[1]:starts[1] + 4].tolist() == [3, 3, 0, 0]
+    # FASTQ: a CR-only line between '+' and the quality line must not
+    # consume the skip state (quality 'ACGT'-looking line still dropped)
+    fq = b"@r1\nGGGG\n+\n\r\nACGT\n@r2\nCCCC\n+\nFFFF\n"
+    flat, starts, lens = native.fasta_encode(fq)
+    assert lens.tolist() == [4, 4]
+    assert flat[:4].tolist() == [2, 2, 2, 2]
+    assert flat[starts[1]:starts[1] + 4].tolist() == [1, 1, 1, 1]
+
+
+def test_native_rejects_bad_modulo_and_k():
+    if not native.available():
+        return
+    import pytest
+    tk = np.array([5], np.uint64)
+    st = np.array([0], np.int64)
+    sz = np.array([1], np.uint32)
+    with pytest.raises(ValueError):
+        native.has_kmers(np.array([5], np.uint64), tk, st, sz, 0)
+    with pytest.raises(ValueError):
+        native.sliding_hashes(np.zeros(8, np.int8), 0)
+    with pytest.raises(ValueError):
+        native.sliding_hashes(np.zeros(40, np.int8), 32)
+
+
+def test_native_map_kmers_int64_counts():
+    """Both native count backends return int64 (the bucket-chase path
+    used to return uint32, diverging overflow behavior from packed)."""
+    if not native.available():
+        return
+    # modulo 2: kmers 5 and 9 both land in bucket 1 (rows [0, 2))
+    tk = np.array([5, 9], np.uint64)
+    tn = np.array([1, 2], np.uint32)
+    st = np.array([0, 0], np.int64)
+    sz = np.array([0, 2], np.uint32)
+    counts = native.map_kmers(np.array([5, 5, 9], np.uint64), tk, tn,
+                              st, sz, 2, 3)
+    assert counts.dtype == np.int64
+    assert counts.tolist() == [0, 2, 1]
