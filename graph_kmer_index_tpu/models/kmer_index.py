@@ -50,7 +50,10 @@ def _build_modulo_layout(hashes, modulo, row_arrays):
         return out
     hashes = take(hashes)
     rows = [take(a) for a in row_arrays]
-    diffs = np.ediff1d(hashes, to_begin=hashes.dtype.type(1))
+    # NB ediff1d on an EMPTY array still emits the to_begin element,
+    # which would fabricate a bucket start at row 0 of a 0-row table
+    diffs = (np.ediff1d(hashes, to_begin=hashes.dtype.type(1))
+             if len(hashes) else np.zeros(0, np.int64))
     starts = np.nonzero(diffs)[0]
     unique_hashes = hashes[starts].astype(np.int64)
     lookup = hp_zeros(modulo, np.int64)

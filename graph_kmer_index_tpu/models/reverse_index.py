@@ -48,6 +48,9 @@ class ReverseKmerIndex:
         kmers = np.asarray(flat_kmers._hashes)
         ref_positions = np.asarray(flat_kmers._ref_offsets)
 
+        if len(nodes) == 0:
+            return cls(np.zeros(1, np.uint32), np.zeros(1, np.uint16),
+                       kmers, ref_positions)
         max_node = int(np.max(nodes))
         order = np.argsort(nodes, kind="stable")
         nodes_s, kmers_s = nodes[order], kmers[order]

@@ -577,3 +577,20 @@ def test_packed_lookup_deep_overflow_retry():
     assert bool(index.has_kmers(queries).all())
     miss = index.has_kmers(np.array([3, 5], dtype=np.uint64))
     assert not miss.any()
+
+
+def test_empty_flat_kmers_builds():
+    """Zero-row FlatKmers must build queryable (all-miss) indexes:
+    np.ediff1d on an empty array still emits its to_begin element, which
+    used to fabricate a bucket start into the empty table."""
+    from graph_kmer_index_tpu import (CollisionFreeKmerIndex, FlatKmers,
+                                      ReverseKmerIndex)
+    ef = FlatKmers(np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                   np.zeros(0, np.uint64), np.zeros(0, np.float32))
+    idx = CollisionFreeKmerIndex.from_flat_kmers(ef, modulo=101)
+    assert not idx.has_kmers(np.array([5], np.uint64)).any()
+    assert idx.map_kmers(np.array([5], np.uint64), 4).sum() == 0
+    assert idx.get(5)[0] is None
+    assert len(idx.has_kmers(np.zeros(0, np.uint64))) == 0
+    rev = ReverseKmerIndex.from_flat_kmers(ef)
+    assert len(rev.get_node_kmers(0)) == 0
