@@ -531,6 +531,12 @@ class KmerIndex2:
     def count_unique_kmer_occurences(self):
         """Vectorized: distinct (start_node, start_offset) pairs per kmer."""
         kmers = self._data.get_all_keys()
+        if len(np.asarray(kmers)) == 0:
+            # ediff1d on empty arrays still emits to_begin: guard like
+            # _build_modulo_layout
+            self._frequencies = HashTable(np.zeros(0, np.int64),
+                                          np.zeros(0, np.int64))
+            return
         sn = self._data._values["start_nodes"]
         so = self._data._values["start_offsets"]
         order = np.lexsort((np.asarray(so), np.asarray(sn), np.asarray(kmers)))

@@ -85,6 +85,8 @@ class ReferenceKmerIndex:
         nodes = np.asarray(flat_kmers._nodes)[sorting]
         assert len(kmers) < 4294967295, "Too many kmers (32 bit row limit)"
 
+        if len(kmers) == 0:
+            return cls(np.zeros(1, np.uint32), kmers, ref_positions, nodes)
         new_pos = np.where(np.ediff1d(ref_positions, to_begin=ref_positions.dtype.type(0)))[0]
         ref_position_to_index = np.zeros(int(ref_positions[-1]) + 1,
                                          dtype=np.uint32)

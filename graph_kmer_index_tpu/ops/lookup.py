@@ -225,6 +225,8 @@ def _dup2_masks(is_second, sz_row, ks, xp=jnp):
     lane) to resolve in the scan. Returns ``(dup_b, dup_a)``:
     ``dup_b`` marks the second row of such a bucket, ``dup_a`` its
     first row (the one whose size lane carries the flag)."""
+    if ks.shape[0] == 0:  # concatenate([zeros(1), empty]) is length 1
+        return is_second, is_second
     zero = xp.zeros(1, bool)
     dup_b = (is_second & (sz_row == 2)
              & xp.concatenate([zero, ks[1:] == ks[:-1]]))

@@ -303,8 +303,12 @@ class PackedTableShards:
         order = np.argsort(bucket, kind="stable")
         bs, ks, ns = bucket[order], kmers[order], nodes[order]
 
-        first = np.ediff1d(bs, to_begin=1) != 0
-        second = np.concatenate([[False], first[:-1]]) & ~first
+        # ediff1d on an empty array still emits to_begin — guard so a
+        # 0-row index builds all-empty shards instead of a mask mismatch
+        first = (np.ediff1d(bs, to_begin=1) != 0) if n \
+            else np.zeros(0, bool)
+        second = np.concatenate([[False], first[:-1]]) & ~first \
+            if n else first
         sizes_at = np.zeros(modulo2, np.int64)
         np.add.at(sizes_at, bs, 1)
         sz_row = sizes_at[bs]

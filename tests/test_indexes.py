@@ -594,3 +594,27 @@ def test_empty_flat_kmers_builds():
     assert len(idx.has_kmers(np.zeros(0, np.uint64))) == 0
     rev = ReverseKmerIndex.from_flat_kmers(ef)
     assert len(rev.get_node_kmers(0)) == 0
+
+
+def test_empty_flat_kmers_other_indexes():
+    """KmerIndex2, ReferenceKmerIndex, and the packed table shards must
+    also accept zero-row inputs (same ediff1d/concatenate-on-empty
+    family of quirks)."""
+    from graph_kmer_index_tpu.flat_kmers import FlatKmers, FlatKmers2
+    from graph_kmer_index_tpu.models.kmer_index import (
+        CollisionFreeKmerIndex, KmerIndex2)
+    from graph_kmer_index_tpu.models.reference_index import (
+        ReferenceKmerIndex)
+    from graph_kmer_index_tpu.parallel.sharded import PackedTableShards
+
+    ef = FlatKmers(np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                   np.zeros(0, np.uint64), np.zeros(0, np.float32))
+    ef2 = FlatKmers2(np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                     np.zeros(0, np.uint16), np.zeros(0, np.uint32),
+                     np.zeros(0, np.float32))
+    KmerIndex2.from_flat_kmers(ef2)
+    ri = ReferenceKmerIndex.from_flat_kmers(ef)
+    assert len(ri.get_between(0, 5)) == 0
+    idx = CollisionFreeKmerIndex.from_flat_kmers(ef, modulo=101)
+    sh = PackedTableShards.from_index(idx, 4)
+    assert sh.records.shape[0] == 4
