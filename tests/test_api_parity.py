@@ -230,3 +230,56 @@ def test_cli_subcommand_superset():
     ours = set(sub.choices)
     missing = ref_cmds - ours
     assert not missing, f"reference CLI subcommands missing here: {missing}"
+
+
+def test_cli_flag_superset():
+    """Every flag of every reference CLI subcommand exists on our
+    subcommand too (reference add_argument calls attributed to their
+    subparser by a line-order sweep; the reference reuses one variable
+    name for all subparsers)."""
+    import ast
+
+    src = (REF / "command_line_interface.py").read_text()
+    tree = ast.parse(src)
+    events = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and isinstance(node.value, ast.Call):
+            c = node.value
+            if (isinstance(c.func, ast.Attribute)
+                    and c.func.attr == "add_parser" and c.args
+                    and isinstance(c.args[0], ast.Constant)
+                    and node.targets
+                    and isinstance(node.targets[0], ast.Name)):
+                events.append((node.lineno, "parser", node.targets[0].id,
+                               c.args[0].value))
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument"
+                and isinstance(node.func.value, ast.Name)):
+            flags = [a.value for a in node.args
+                     if isinstance(a, ast.Constant)]
+            if flags:
+                events.append((node.lineno, "arg", node.func.value.id,
+                               tuple(flags)))
+    events.sort()
+    ref_flags, cur = {}, {}
+    for _ln, kind, var, val in events:
+        if kind == "parser":
+            cur[var] = val
+            ref_flags.setdefault(val, set())
+        elif var in cur:
+            ref_flags[cur[var]].add(val)
+    assert sum(len(v) for v in ref_flags.values()) >= 100  # sanity
+
+    from graph_kmer_index_tpu.cli import build_argument_parser
+    parser = build_argument_parser()
+    sub = next(a for a in parser._actions
+               if isinstance(a, type(parser._subparsers._group_actions[0])))
+    missing = []
+    for cmd, flagsets in ref_flags.items():
+        ours = {s for a in sub.choices[cmd]._actions
+                for s in a.option_strings}
+        for flags in flagsets:
+            if not (set(flags) & ours):
+                missing.append((cmd, flags))
+    assert not missing, f"reference CLI flags missing here: {missing}"
