@@ -283,3 +283,67 @@ def test_cli_flag_superset():
             if not (set(flags) & ours):
                 missing.append((cmd, flags))
     assert not missing, f"reference CLI flags missing here: {missing}"
+
+
+def test_cli_flag_defaults_match():
+    """Every reference flag default (literal `default=` values from the
+    reference argparse source) matches our built parser's default —
+    pins the magic numbers (modulo 452930477, chunk-size 10000,
+    max-variant-nodes 5/6, genome-size 3e9, ...)."""
+    import ast
+
+    src = (REF / "command_line_interface.py").read_text()
+    tree = ast.parse(src)
+    events = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and isinstance(node.value, ast.Call):
+            c = node.value
+            if (isinstance(c.func, ast.Attribute)
+                    and c.func.attr == "add_parser" and c.args
+                    and isinstance(c.args[0], ast.Constant)
+                    and node.targets
+                    and isinstance(node.targets[0], ast.Name)):
+                events.append((node.lineno, "parser", node.targets[0].id,
+                               c.args[0].value, None))
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument"
+                and isinstance(node.func.value, ast.Name)):
+            flags = tuple(a.value for a in node.args
+                          if isinstance(a, ast.Constant))
+            dflt = None
+            for kw in node.keywords:
+                if kw.arg == "default":
+                    try:
+                        dflt = ast.literal_eval(kw.value)
+                    except Exception:
+                        dflt = None  # non-literal: skip comparison
+            if flags:
+                events.append((node.lineno, "arg", node.func.value.id,
+                               flags, dflt))
+    events.sort()
+    ref_defaults, cur = {}, {}
+    for _ln, kind, var, val, dflt in events:
+        if kind == "parser":
+            cur[var] = val
+            ref_defaults.setdefault(val, {})
+        elif var in cur:
+            ref_defaults[cur[var]][val] = dflt
+
+    from graph_kmer_index_tpu.cli import build_argument_parser
+    parser = build_argument_parser()
+    sub = next(a for a in parser._actions
+               if isinstance(a, type(parser._subparsers._group_actions[0])))
+    diffs = []
+    for cmd, flags in ref_defaults.items():
+        byflag = {s: a for a in sub.choices[cmd]._actions
+                  for s in a.option_strings}
+        for fl, d in flags.items():
+            a = next((byflag[f] for f in fl if f in byflag), None)
+            if a is None:
+                continue  # absence is test_cli_flag_superset's job
+            if d is None and a.default in (None, False):
+                continue  # unset vs store_true-default-False: equivalent
+            if d != a.default:
+                diffs.append((cmd, fl, d, a.default))
+    assert not diffs, f"CLI default divergences: {diffs}"
