@@ -347,3 +347,51 @@ def test_cli_flag_defaults_match():
             if d != a.default:
                 diffs.append((cmd, fl, d, a.default))
     assert not diffs, f"CLI default divergences: {diffs}"
+
+
+def test_core_signatures_superset():
+    """Every parameter of the reference's core public methods exists on
+    ours (callers porting from the reference never hit a TypeError).
+    Uses the in-process reference loader (benchmarks/reference_harness)."""
+    import inspect
+    import pathlib as _pl
+    import sys as _sys
+    _sys.path.insert(0, str(
+        _pl.Path(__file__).resolve().parents[1] / "benchmarks"))
+    from reference_harness import load_reference
+    ref = load_reference()
+
+    import graph_kmer_index_tpu as gki
+    from graph_kmer_index_tpu import flat_kmers as our_fk
+    from graph_kmer_index_tpu import unique_variant_kmers as our_uvk
+    from graph_kmer_index_tpu.models import kmer_index as our_ki
+
+    pairs = [
+        (ref.DenseKmerFinder.__init__, gki.DenseKmerFinder.__init__),
+        (ref.SnpKmerFinder.__init__, gki.SnpKmerFinder.__init__),
+        (ref.unique_variant_kmers.UniqueVariantKmersFinder.__init__,
+         our_uvk.UniqueVariantKmersFinder.__init__),
+        (ref.CollisionFreeKmerIndex.from_flat_kmers.__func__,
+         our_ki.CollisionFreeKmerIndex.from_flat_kmers.__func__),
+        (ref.CollisionFreeKmerIndex.get, our_ki.CollisionFreeKmerIndex.get),
+        (ref.CollisionFreeKmerIndex.map_kmers,
+         our_ki.CollisionFreeKmerIndex.map_kmers),
+        (ref.FlatKmers.__init__, our_fk.FlatKmers.__init__),
+        (ref.ReverseKmerIndex.get_node_kmers_and_ref_positions,
+         gki.ReverseKmerIndex.get_node_kmers_and_ref_positions),
+        (ref.ReadKmers.from_fasta_file.__func__,
+         gki.ReadKmers.from_fasta_file.__func__),
+        (ref.CriticalGraphPaths.from_graph.__func__,
+         gki.CriticalGraphPaths.from_graph.__func__),
+        (ref.SnpKmerFinder.find_kmers, gki.SnpKmerFinder.find_kmers),
+        (ref.DenseKmerFinder.find_only_kmers_starting_at_position,
+         gki.DenseKmerFinder.find_only_kmers_starting_at_position),
+    ]
+    diffs = []
+    for rf, of in pairs:
+        rp = list(inspect.signature(rf).parameters)
+        op = list(inspect.signature(of).parameters)
+        missing = [p for p in rp if p not in op]
+        if missing:
+            diffs.append((rf.__qualname__, missing))
+    assert not diffs, f"reference parameters missing here: {diffs}"
