@@ -618,3 +618,54 @@ def test_empty_flat_kmers_other_indexes():
     idx = CollisionFreeKmerIndex.from_flat_kmers(ef, modulo=101)
     sh = PackedTableShards.from_index(idx, 4)
     assert sh.records.shape[0] == 4
+
+
+def test_all_lookup_backends_agree_on_adversarial_table():
+    """One randomized cross-backend blast: a table engineered to hit
+    every lookup path at once — dup2 buckets (same kmer twice), deep
+    buckets (> 2 rows), ultra-deep buckets (> SCAN_CAP rows, e.g.
+    poly-A), bucket-0 kmers, kmer 0, and the max 62-bit kmer — must give
+    identical map_kmers/has_kmers through the numpy, device-packed, and
+    native C++ backends, and identical get() row sets via get_batched."""
+    from graph_kmer_index_tpu import native
+    from graph_kmer_index_tpu.flat_kmers import FlatKmers
+    from graph_kmer_index_tpu.models.kmer_index import CollisionFreeKmerIndex
+    from graph_kmer_index_tpu.ops.lookup import SCAN_CAP
+
+    rng = np.random.default_rng(99)
+    n_base = 4000
+    kmers = rng.integers(1, 1 << 50, n_base).astype(np.uint64)
+    # engineered structure
+    dup2 = rng.integers(1, 1 << 50, 30).astype(np.uint64)
+    deep = np.repeat(rng.integers(1, 1 << 50, 10).astype(np.uint64), 5)
+    ultra = np.repeat(np.uint64(0), SCAN_CAP + 40)        # kmer 0, ultra
+    edge = np.array([4**31 - 1, 101, 202], dtype=np.uint64)  # max + b0s
+    kmers = np.concatenate([kmers, dup2, dup2, deep, ultra, edge])
+    n = len(kmers)
+    nodes = rng.integers(1, 300, n).astype(np.uint32)
+    flat = FlatKmers(kmers, nodes, rng.integers(0, 10000, n).astype(
+        np.uint64), np.ones(n, np.float32))
+    idx = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101,
+                                                 skip_frequencies=True)
+
+    q = np.concatenate([
+        kmers[rng.integers(0, n, 2000)],                   # hits
+        rng.integers(1 << 51, 1 << 60, 1000).astype(np.uint64),  # misses
+        np.array([0, 4**31 - 1, 101], dtype=np.uint64)])
+    rng.shuffle(q)
+
+    counts_np = idx.map_kmers(q, 301, backend="numpy")
+    has_np = idx.has_kmers(q, backend="numpy")
+    counts_dev = idx.map_kmers(q, 301, backend="device")
+    has_dev = idx.has_kmers(q, backend="device")
+    assert np.array_equal(np.asarray(counts_np, np.int64),
+                          np.asarray(counts_dev, np.int64))
+    assert np.array_equal(np.asarray(has_np, bool),
+                          np.asarray(has_dev, bool))
+    if native.available():
+        counts_nat = idx.map_kmers(q, 301, backend="native")
+        has_nat = idx.has_kmers(q, backend="native")
+        assert np.array_equal(np.asarray(counts_np, np.int64),
+                              np.asarray(counts_nat, np.int64))
+        assert np.array_equal(np.asarray(has_np, bool),
+                              np.asarray(has_nat, bool))
