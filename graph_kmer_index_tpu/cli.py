@@ -46,8 +46,13 @@ def create_index_single_thread(args, interval=None):
         assert args["reference_fasta"] is not None
         assert args["reference_name"] is not None, \
             "Reference name must be specified"
-        reference = read_fasta_sequence(args["reference_fasta"],
-                                        args["reference_name"])
+        # create_index pre-reads the sequence ONCE and shares it with
+        # every worklist job via the fork pool's COW pages; parsing the
+        # whole FASTA per job (threads*10 jobs) dominated startup
+        reference = args.get("reference_sequence")
+        if reference is None:
+            reference = read_fasta_sequence(args["reference_fasta"],
+                                            args["reference_name"])
         assert len(reference) > 0, "Length of ref sequence is 0"
 
     whitelist = None
@@ -92,6 +97,10 @@ def create_index(args):
     args.pop("func")
     args["graph"] = (Graph.from_file(args["graph_file_name"])
                      if args["graph_file_name"] is not None else None)
+    if args["graph"] is None and args.get("reference_fasta") is not None:
+        from .utils.fasta import read_fasta_sequence
+        args["reference_sequence"] = read_fasta_sequence(
+            args["reference_fasta"], args["reference_name"])
 
     if args["threads"] == 1:
         kmers = create_index_single_thread(args)
@@ -340,6 +349,18 @@ def make_unique_variant_kmers_batched(args):
     all variants built as dense arrays, one hashing kernel pass, one
     batched frequency lookup, argmin selection per variant
     (UniqueVariantKmersFinder.find_unique_kmers_batched)."""
+    if getattr(args, "minimize_overlaps", False) or \
+            getattr(args, "align_windows", False):
+        # the reference forwards these to the external kivs C++ library
+        # (command_line_interface.py:413-415); this implementation uses
+        # the reference's own candidate scoring rule instead, which has
+        # no overlap-minimization/window-alignment modes — accept the
+        # flags for CLI compatibility but say so rather than silently
+        # ignoring them
+        logging.warning(
+            "--minimize-overlaps/--align-windows are kivs-specific "
+            "selection modes; this implementation selects signatures "
+            "with the reference scoring rule and ignores them")
     args.use_dense_kmer_finder = False
     args.do_not_choose_lowest_frequency_kmers = False
     args.simple = False

@@ -82,9 +82,10 @@ class HashTable:
 
     Sorted-unique-key layout (searchsorted lookup). Replaces
     npstructures.HashTable for this package's needs; repeated keys are
-    allowed and ``table[key]`` returns ALL values for that key in insertion
-    order (what KmerIndex2 relies on, reference collision_free_kmer_index.py
-    :110-158).
+    allowed and scalar ``table[key]`` returns ALL values for that key in
+    insertion order (what KmerIndex2 relies on, reference
+    collision_free_kmer_index.py:110-158). Vectorized ``table[keys]``
+    returns one value per key (missing -> 0) and raises on multi-maps.
     """
 
     def __init__(self, keys, values, mod=None):
@@ -109,7 +110,14 @@ class HashTable:
                 return self._sorted_values[:0]
             s = self._starts[i]
             return self._sorted_values[s : s + self._counts[i]]
-        # vectorized: one value per key (first hit); missing -> 0
+        # vectorized: one value per key; missing -> 0. Only meaningful on
+        # unique-key tables — a multi-map would need a ragged result, so
+        # refuse loudly instead of silently returning first-hits only
+        # (use the scalar path per key for multi-maps)
+        if len(self._unique_keys) != len(self._sorted_keys):
+            raise ValueError(
+                "vectorized HashTable lookup on a table with repeated "
+                "keys would drop values; query multi-maps per key")
         key = np.asarray(key)
         i = np.clip(np.searchsorted(self._unique_keys, key), 0,
                     max(len(self._unique_keys) - 1, 0))
@@ -125,11 +133,17 @@ class Counter:
     npstructures.Counter as used by KmerCounter / CounterKmerIndex)."""
 
     def __init__(self, keys, values=0, mod=None, value_dtype=np.int64):
-        self._keys = np.unique(np.asarray(keys))
+        keys = np.asarray(keys)
+        self._keys, inverse = np.unique(keys, return_inverse=True)
         if np.ndim(values) == 0:
             counts = np.full(len(self._keys), values, dtype=value_dtype)
         else:
-            counts = np.asarray(values).astype(value_dtype)
+            # values align with the CALLER's key order; np.unique sorted
+            # and dedup'd the keys, so scatter them through the inverse
+            # permutation (duplicate keys sum their values)
+            counts = np.zeros(len(self._keys), dtype=value_dtype)
+            np.add.at(counts, inverse,
+                      np.asarray(values).astype(value_dtype))
         self._counts = counts
 
     def count(self, kmers):

@@ -40,7 +40,7 @@ class Graph:
     def __init__(self, node_sizes, sequence, seq_start, edge_targets,
                  edge_index, linear_ref_mask, ref_dummy_mask,
                  node_to_ref_offset, allele_frequencies,
-                 chromosome_start_nodes_array):
+                 chromosome_start_nodes_array, chromosome_names=None):
         self.node_sizes = node_sizes
         self.sequence = sequence
         self.seq_start = seq_start
@@ -51,6 +51,10 @@ class Graph:
         self.node_to_ref_offset = node_to_ref_offset
         self.allele_frequencies = allele_frequencies
         self.chromosome_start_nodes_array = chromosome_start_nodes_array
+        # optional, parallel to chromosome_start_nodes_array: the VCF/FASTA
+        # chromosome names ("1", "chr1", "X", ...) for offset conversion
+        self.chromosome_names = (None if chromosome_names is None
+                                 else [str(c) for c in chromosome_names])
 
         self._ref_nodes_in_order = None
         self._ref_cum_offsets = None
@@ -62,7 +66,7 @@ class Graph:
     @classmethod
     def from_dicts(cls, node_sequences: dict, edges: dict, linear_ref_nodes,
                    allele_frequencies: dict | None = None,
-                   chromosome_start_nodes=None):
+                   chromosome_start_nodes=None, chromosome_names=None):
         """Build from literals, same shape as the reference's test fixtures
         (e.g. tests/test_kmer_finder.py:12-16): ``{node: "ACGT..."}``,
         ``{node: [next, ...]}``, ``[ref nodes in reference-path order]``.
@@ -125,7 +129,8 @@ class Graph:
             chromosome_start_nodes = [linear_ref_nodes[0]]
         return cls(node_sizes, sequence, seq_start, edge_targets, edge_index,
                    linear_ref_mask, ref_dummy_mask, node_to_ref_offset,
-                   af, np.asarray(chromosome_start_nodes, dtype=np.int32))
+                   af, np.asarray(chromosome_start_nodes, dtype=np.int32),
+                   chromosome_names=chromosome_names)
 
     @staticmethod
     def _compute_ref_offsets(n, node_sizes, edge_targets, edge_index,
@@ -300,11 +305,33 @@ class Graph:
         i = min(max(int(i), 0), len(nodes) - 1)
         return int(ref_offset - cum[i])
 
+    def _chromosome_index(self, chromosome):
+        """Index into chromosome_start_nodes_array for a VCF-style
+        chromosome identifier. Resolution order: stored chromosome names
+        (exact, then with/without a 'chr' prefix), then numeric 1-based
+        ('1' = first chromosome — VCF numbering, NOT array index), then
+        index 0 for single-chromosome graphs."""
+        starts = self.chromosome_start_nodes_array
+        c = str(chromosome)
+        names = self.chromosome_names
+        if names:
+            for cand in (c, c[3:] if c.startswith("chr") else "chr" + c):
+                if cand in names:
+                    return names.index(cand)
+        s = c[3:] if c.startswith("chr") else c
+        if s.isdigit() and 1 <= int(s) <= len(starts):
+            return int(s) - 1
+        if len(starts) == 1:
+            return 0
+        raise ValueError(
+            f"cannot resolve chromosome {chromosome!r} on a "
+            f"{len(starts)}-chromosome graph (known names: {names})")
+
     def convert_chromosome_ref_offset_to_graph_ref_offset(self, ref_offset,
                                                           chromosome):
         starts = self.chromosome_start_nodes_array
-        idx = int(chromosome) if int(chromosome) < len(starts) else 0
-        base = int(self.node_to_ref_offset[starts[idx]])
+        base = int(self.node_to_ref_offset[
+            starts[self._chromosome_index(chromosome)]])
         return base + int(ref_offset)
 
     def get_node_at_chromosome_and_chromosome_offset(self, chromosome, offset):
@@ -318,7 +345,11 @@ class Graph:
     # -- serialization -------------------------------------------------------
 
     def to_file(self, file_name):
-        np.savez(file_name, **{p: getattr(self, p) for p in self.properties})
+        extra = {}
+        if self.chromosome_names is not None:
+            extra["chromosome_names"] = np.asarray(self.chromosome_names)
+        np.savez(file_name, **{p: getattr(self, p) for p in self.properties},
+                 **extra)
 
     @classmethod
     def from_file(cls, file_name):
@@ -326,7 +357,10 @@ class Graph:
             data = np.load(file_name)
         except FileNotFoundError:
             data = np.load(str(file_name) + ".npz")
-        return cls(**{p: data[p] for p in cls.properties})
+        names = (list(data["chromosome_names"])
+                 if "chromosome_names" in data.files else None)
+        return cls(**{p: data[p] for p in cls.properties},
+                   chromosome_names=names)
 
 
 class PositionId:

@@ -61,31 +61,35 @@ def build_graph_from_vcf(reference_sequences: dict, variants: VcfVariants):
 
         for v in chrom_variants:
             pos0 = v.position - 1  # VCF is 1-based
-            if v.type == "SNP":
-                seg_end, after = pos0, pos0 + 1
-                ref_allele_seq = seq[pos0]
-                alt_allele_seq = v.variant_sequence
-                if ref_allele_seq.upper() != v.ref_sequence.upper():
-                    logging.warning("REF mismatch at %s:%d (have %s, vcf %s)"
-                                    " — skipping", chrom, v.position,
-                                    ref_allele_seq, v.ref_sequence)
-                    n_skipped += 1
-                    continue
-            elif v.type == "INSERTION":
-                # anchored: ref 'C' alt 'CTC' -> insert after the anchor
-                seg_end = after = pos0 + 1
-                ref_allele_seq = ""
-                alt_allele_seq = v.variant_sequence[1:]
-            elif v.type == "DELETION":
-                seg_end = pos0 + 1
-                after = pos0 + len(v.ref_sequence)
-                ref_allele_seq = seq[pos0 + 1: after]
-                alt_allele_seq = ""
-            else:
+            if v.type not in ("SNP", "INSERTION", "DELETION"):
                 logging.warning("unsupported variant type %s at %s:%d — "
                                 "skipping", v.type, chrom, v.position)
                 n_skipped += 1
                 continue
+            ref_s = v.ref_sequence.upper()
+            alt_s = v.variant_sequence.upper()
+            if seq[pos0:pos0 + len(ref_s)].upper() != ref_s:
+                logging.warning("REF mismatch at %s:%d (have %s, vcf %s)"
+                                " — skipping", chrom, v.position,
+                                seq[pos0:pos0 + len(ref_s)], ref_s)
+                n_skipped += 1
+                continue
+            # general anchored encoding: consume the common REF/ALT
+            # prefix into the linear segment (the VCF anchor bases —
+            # possibly more than one on non-minimal records), then one
+            # node per remaining allele. Minimal records reduce to the
+            # classic shapes: SNP -> two 1-bp nodes, insertion -> empty
+            # ref node + inserted bases, deletion -> deleted bases +
+            # empty alt node. Non-minimal records (REF 'CA' ALT 'CATG')
+            # used to duplicate the unconsumed anchor base.
+            pre = 0
+            while (pre < len(ref_s) and pre < len(alt_s)
+                   and ref_s[pre] == alt_s[pre]):
+                pre += 1
+            seg_end = pos0 + pre
+            after = pos0 + len(ref_s)
+            ref_allele_seq = seq[seg_end:after]
+            alt_allele_seq = alt_s[pre:]
             if seg_end < cursor:
                 logging.warning("overlapping variant at %s:%d — skipping",
                                 chrom, v.position)
@@ -117,8 +121,10 @@ def build_graph_from_vcf(reference_sequences: dict, variants: VcfVariants):
     if n_skipped:
         logging.warning("build_graph_from_vcf: skipped %d variants",
                         n_skipped)
-    graph = Graph.from_dicts(node_seqs, edges, linear_ref,
-                             chromosome_start_nodes=chromosome_start_nodes)
+    graph = Graph.from_dicts(
+        node_seqs, edges, linear_ref,
+        chromosome_start_nodes=chromosome_start_nodes,
+        chromosome_names=[str(c) for c in reference_sequences])
     return graph, VariantToNodes(ref_nodes_v, var_nodes_v)
 
 

@@ -21,26 +21,37 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import pickle
 
 import numpy as np
 
 
 def _known_classes():
+    from ..containers import Counter, HashTable
     from ..graph import Graph, VariantToNodes
-    from .kmer_index import CollisionFreeKmerIndex
+    from .counters import KmerCounter
+    from .kmer_index import (CollisionFreeKmerIndex, CounterKmerIndex)
     return {
         "VariantToNodes": VariantToNodes,
         "KmerIndex": CollisionFreeKmerIndex,
         "CollisionFreeKmerIndex": CollisionFreeKmerIndex,
         "Graph": Graph,
+        "Counter": Counter,
+        "HashTable": HashTable,
+        "KmerCounter": KmerCounter,
+        "CounterKmerIndex": CounterKmerIndex,
     }
 
 
-def _decompose(obj):
+def _decompose(obj, _depth=0):
     """(arrays dict, meta) for one index object: arrays from
-    ``properties`` when declared, else every public ndarray attribute."""
-    arrays, scalars = {}, {}
+    ``properties`` when declared, else every public ndarray attribute.
+    Object-valued properties (e.g. CounterKmerIndex's Counter) decompose
+    one level deep as ``prop.subprop`` arrays with their class recorded
+    in ``meta["nested"]``; anything that still cannot be serialized is
+    dropped WITH a warning, never silently."""
+    arrays, scalars, nested = {}, {}, {}
     props = getattr(obj, "properties", None)
     names = sorted(props) if props else [
         a for a in vars(obj) if not a.startswith("__")]
@@ -53,13 +64,38 @@ def _decompose(obj):
         elif np.isscalar(value):
             scalars[name] = (value.item() if hasattr(value, "item")
                              else value)
-    return arrays, {"class": type(obj).__name__, "scalars": scalars}
+        elif _depth == 0 and hasattr(value, "__dict__"):
+            sub_arrays, sub_meta = _decompose(value, _depth=1)
+            if sub_arrays or sub_meta["scalars"]:
+                for sp, arr in sub_arrays.items():
+                    arrays[f"{name}.{sp}"] = arr
+                nested[name] = sub_meta
+            else:
+                logging.warning(
+                    "IndexBundle: dropping property %r of %s (%s has no "
+                    "serializable arrays)", name, type(obj).__name__,
+                    type(value).__name__)
+        else:
+            logging.warning(
+                "IndexBundle: dropping un-serializable property %r of %s "
+                "(type %s)", name, type(obj).__name__,
+                type(value).__name__)
+    meta = {"class": type(obj).__name__, "scalars": scalars}
+    if nested:
+        meta["nested"] = nested
+    return arrays, meta
 
 
-def _reconstruct(class_name, arrays, scalars):
+def _reconstruct(class_name, arrays, scalars, nested=None):
     cls = _known_classes().get(class_name)
-    kwargs = dict(arrays)
+    kwargs = {k: v for k, v in arrays.items() if "." not in k}
     kwargs.update(scalars)
+    for prop, sub_meta in (nested or {}).items():
+        sub_arrays = {k.split(".", 1)[1]: v for k, v in arrays.items()
+                      if k.startswith(prop + ".")}
+        kwargs[prop] = _reconstruct(sub_meta["class"], sub_arrays,
+                                    sub_meta.get("scalars", {}),
+                                    sub_meta.get("nested"))
     if cls is None:
         # unknown index type: hand back a plain namespace so callers can
         # still reach the arrays
@@ -153,7 +189,15 @@ class IndexBundle:
                 indexes[name] = arrays["__array__"]
             else:
                 indexes[name] = _reconstruct(meta["class"], arrays,
-                                             meta.get("scalars", {}))
+                                             meta.get("scalars", {}),
+                                             meta.get("nested"))
+        # manifest entries with no array keys at all (scalar-only or
+        # nested-only indexes) must still reconstruct
+        for name, meta in manifest.items():
+            if name not in indexes:
+                indexes[name] = _reconstruct(meta["class"], {},
+                                             meta.get("scalars", {}),
+                                             meta.get("nested"))
         # flat foreign npz without hierarchy: expose arrays directly
         for key in data.files:
             if "/" not in key and key != "__manifest__":

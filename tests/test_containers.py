@@ -84,11 +84,28 @@ def test_hashtable_multi_values():
     assert list(t[3]) == [30, 31]
     assert list(t[1]) == [10]
     assert len(t[99]) == 0
-    # vectorized: first value per key, 0 for missing
-    assert list(t[np.array([1, 3, 99])]) == [10, 30, 0]
+    # vectorized lookup on a multi-map would have to drop values — it
+    # refuses loudly instead (scalar path per key is the multi-map API)
+    import pytest
+    with pytest.raises(ValueError):
+        t[np.array([1, 3, 99])]
+    # on a unique-key table it is the batched fast path: value or 0
+    u = HashTable(np.array([3, 1, 7]), np.array([30, 10, 70]))
+    assert list(u[np.array([1, 3, 99])]) == [10, 30, 0]
 
 
 def test_counter():
     c = Counter(np.array([2, 4, 6]))
     c.count(np.array([2, 2, 6, 9]))
     assert list(c[np.array([2, 4, 6, 9])]) == [2, 0, 1, 0]
+
+
+def test_counter_array_values_align_with_caller_keys():
+    """Counter(keys, values-array): values follow the CALLER's key order
+    even though the stored keys are sorted/dedup'd (they used to be
+    applied positionally to the sorted order, silently misaligning)."""
+    c = Counter(np.array([5, 2, 9]), values=np.array([10, 20, 30]))
+    assert list(c[np.array([2, 5, 9])]) == [20, 10, 30]
+    # duplicate keys sum their values
+    d = Counter(np.array([4, 4, 1]), values=np.array([3, 4, 7]))
+    assert list(d[np.array([1, 4])]) == [7, 7]

@@ -87,3 +87,78 @@ def test_multiallelic_vcf_records_split(tmp_path):
             for v in variants] == [
         (3, "A", "G", "SNP"), (3, "A", "T", "SNP"), (9, "T", "A", "SNP")]
     assert [v.vcf_line_number for v in variants] == [0, 1, 2]
+
+
+def test_non_minimal_indels():
+    """Non-minimal indel records (multi-base shared anchor) must spell
+    the correct alt haplotype: the unconsumed anchor bases used to be
+    duplicated (insertion) or dropped (deletion)."""
+    #            0123456
+    ref = {"1": "ACCATTT"}
+    # REF 'CA' ALT 'CATG' at pos 3: insert 'TG' after the 2-base anchor
+    variants = VcfVariants([VcfVariant("1", 3, "CA", "CATG",
+                                       vcf_line_number=0)])
+    graph, v2n = build_graph_from_vcf(ref, variants)
+    ref_node, var_node = int(v2n.ref_nodes[0]), int(v2n.var_nodes[0])
+    assert graph.get_node_size(ref_node) == 0
+    assert graph.get_node_sequence(var_node) == "tg"
+    # alt haplotype = ACCA + TG + TTT
+    finder = DenseKmerFinder(graph, k=6)
+    finder.find()
+    idx = KmerIndex.from_flat_kmers(finder.get_flat_kmers(v="0"),
+                                    modulo=1021)
+    assert idx.get(sequence_to_kmer_hash("CATGTT"))[0] is not None
+    # the buggy haplotype (duplicated anchor base 'A') must NOT exist
+    assert idx.get(sequence_to_kmer_hash("ATGATT"))[0] is None
+
+    # REF 'CATT' ALT 'CA' at pos 3: delete 'TT' after the 2-base anchor
+    variants = VcfVariants([VcfVariant("1", 3, "CATT", "CA",
+                                       vcf_line_number=0)])
+    graph, v2n = build_graph_from_vcf(ref, variants)
+    ref_node, var_node = int(v2n.ref_nodes[0]), int(v2n.var_nodes[0])
+    assert graph.get_node_sequence(ref_node) == "tt"
+    assert graph.get_node_size(var_node) == 0
+    finder = DenseKmerFinder(graph, k=5)
+    finder.find()
+    idx = KmerIndex.from_flat_kmers(finder.get_flat_kmers(v="0"),
+                                    modulo=1021)
+    # alt haplotype = ACCA + '' + T
+    assert idx.get(sequence_to_kmer_hash("ACCAT"))[0] is not None
+
+
+def test_multi_chromosome_offset_conversion():
+    """Chromosome '1' is the FIRST chromosome (VCF numbering), resolved
+    by stored name; the old code indexed the start-node array 0-based
+    with the raw chromosome number (every multi-chromosome variant
+    searched the wrong chromosome)."""
+    ref = {"chr1": "ACTGAAATGC", "chr2": "TTTTCCCCGG"}
+    variants = VcfVariants([
+        VcfVariant("chr1", 5, "A", "G", vcf_line_number=0),
+        VcfVariant("chr2", 5, "C", "A", vcf_line_number=1),
+    ])
+    graph, v2n = build_graph_from_vcf(ref, variants)
+    # chromosome 2 offset 0 lands past chromosome 1's 10 bases
+    off2 = graph.convert_chromosome_ref_offset_to_graph_ref_offset(0, "chr2")
+    assert off2 >= 10
+    assert graph.convert_chromosome_ref_offset_to_graph_ref_offset(
+        0, "chr1") == 0
+    # name resolution tolerates a missing/extra chr prefix and falls
+    # back to numeric 1-based
+    assert graph.convert_chromosome_ref_offset_to_graph_ref_offset(
+        0, "2") == off2
+    assert graph.convert_chromosome_ref_offset_to_graph_ref_offset(
+        0, 2) == off2
+    # the variant machinery resolves each variant on its own chromosome:
+    # node at chr2:4 (0-based) is on the chr2 segment
+    node = graph.get_node_at_chromosome_and_chromosome_offset("chr2", 1)
+    assert graph.get_node_sequence(node).startswith("tttt")
+
+    # round-trips through npz keep the names
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "g.npz")
+    graph.to_file(p)
+    from graph_kmer_index_tpu import Graph
+    g2 = Graph.from_file(p)
+    assert g2.chromosome_names == ["chr1", "chr2"]
+    assert g2.convert_chromosome_ref_offset_to_graph_ref_offset(
+        0, "chr2") == off2

@@ -669,3 +669,23 @@ def test_all_lookup_backends_agree_on_adversarial_table():
                               np.asarray(counts_nat, np.int64))
         assert np.array_equal(np.asarray(has_np, bool),
                               np.asarray(has_nat, bool))
+
+
+def test_index_bundle_nested_counter_roundtrip():
+    """Object-valued properties (CounterKmerIndex's Counter) survive the
+    bundle round-trip via one-level nested decomposition — they used to
+    be silently dropped."""
+    import tempfile, os
+    from graph_kmer_index_tpu.containers import Counter
+    from graph_kmer_index_tpu.models.bundle import IndexBundle
+    from graph_kmer_index_tpu.models.kmer_index import CounterKmerIndex
+
+    kmers = np.array([3, 7, 9], np.uint64)
+    nodes = np.array([1, 2, 3], np.uint32)
+    cki = CounterKmerIndex(kmers, nodes,
+                           Counter(kmers, values=np.array([5, 6, 7])))
+    p = os.path.join(tempfile.mkdtemp(), "b.npz")
+    IndexBundle({"KmerIndex": cki}).to_file(p)
+    loaded = IndexBundle.from_file(p)["KmerIndex"]
+    assert type(loaded).__name__ == "CounterKmerIndex"
+    assert list(loaded.counter[np.array([3, 7, 9])]) == [5, 6, 7]
