@@ -150,3 +150,49 @@ def test_batched_signatures_match_per_variant_path():
         assert a.n_failed_variants == b.n_failed_variants
         assert a._nodes_found == b._nodes_found
     assert n_vectorized > 20, "vectorized path barely exercised"
+
+
+def test_multi_chromosome_variant_signatures():
+    """Signatures resolve on the right chromosome: the old chromosome
+    conversion indexed start nodes 0-based with the raw VCF chromosome
+    number, so every chr-2 variant searched chr 1's offsets."""
+    from graph_kmer_index_tpu.graph_builder import build_graph_from_vcf
+    from graph_kmer_index_tpu import SnpKmerFinder
+
+    rng = np.random.default_rng(23)
+    refs = {}
+    all_variants = []
+    n = 0
+    for chrom in ("1", "2"):
+        seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 400))
+        refs[chrom] = seq
+        for pos in (100, 250):
+            ref_b = seq[pos - 1]
+            alt_b = "ACGT"[("ACGT".index(ref_b) + 1) % 4]
+            all_variants.append(VcfVariant(chrom, pos, ref_b, alt_b,
+                                           vcf_line_number=n))
+            n += 1
+    variants = VcfVariants(all_variants)
+    graph, v2n = build_graph_from_vcf(refs, variants)
+    kk = 15
+    base_flat = SnpKmerFinder(graph, k=kk).find_kmers()
+    freq_index = KmerIndex.from_flat_kmers(base_flat, modulo=4099)
+
+    finder = UniqueVariantKmersFinder(graph, v2n, variants, k=kk,
+                                      kmer_index_with_frequencies=freq_index)
+    flat = finder.find_unique_kmers()
+    assert finder.n_failed_variants == 0
+    # every variant's ref AND alt node received signature kmers,
+    # including both chr-2 variants
+    got_nodes = set(np.asarray(flat._nodes).tolist())
+    for i in range(n):
+        assert int(v2n.ref_nodes[i]) in got_nodes, f"variant {i} ref"
+        assert int(v2n.var_nodes[i]) in got_nodes, f"variant {i} alt"
+    # batched path agrees
+    finder_b = UniqueVariantKmersFinder(
+        graph, v2n, variants, k=kk, kmer_index_with_frequencies=freq_index)
+    flat_b = finder_b.find_unique_kmers_batched()
+    np.testing.assert_array_equal(np.asarray(flat._hashes),
+                                  np.asarray(flat_b._hashes))
+    np.testing.assert_array_equal(np.asarray(flat._nodes),
+                                  np.asarray(flat_b._nodes))
