@@ -207,6 +207,16 @@ class MultiValueHashTable:
     def get_all_keys(self):
         return self._hash_table._keys.ravel()
 
+    def row_keys(self):
+        """Per-row keys ALIGNED WITH THE VALUE ARRAYS (original insertion
+        order) — get_all_keys returns the hash-sorted layout, which must
+        not be zipped against ``_values``. Reconstructed through the
+        stored arange permutation, so no extra array is kept."""
+        t = self._hash_table
+        rk = np.empty(len(t._sorted_keys), dtype=t._sorted_keys.dtype)
+        rk[t._sorted_values] = t._sorted_keys
+        return rk
+
     def __getitem__(self, key):
         indexes = self._hash_table[key]
         return {name: value[indexes] for name, value in self._values.items()}

@@ -61,6 +61,11 @@ def _decompose(obj, _depth=0):
             continue
         if isinstance(value, np.ndarray):
             arrays[name] = value
+        elif hasattr(value, "__array__") and hasattr(value, "ndim"):
+            # device (jax) arrays — the DEFAULT from_flat_kmers build at
+            # production modulo keeps tables on device; fetch to host so
+            # the bundle actually contains the index
+            arrays[name] = np.asarray(value)
         elif np.isscalar(value):
             scalars[name] = (value.item() if hasattr(value, "item")
                              else value)

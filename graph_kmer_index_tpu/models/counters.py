@@ -72,19 +72,23 @@ class KmerCounter:
 class CountMinSketchKmerCounter:
     def __init__(self, data, modulos):
         self._data = data
-        self._modulos = np.asanyarray(modulos)
+        # uint64 throughout: an int64 modulo promotes uint64 kmers to
+        # FLOAT64 under NumPy 2 — kmers >= 2^53 (most real 62-bit
+        # 31-mers) would round to the wrong bucket on count, and uint64
+        # fancy indexing would crash on the signed/unsigned mix
+        self._modulos = np.asarray(modulos, dtype=np.uint64)
         self._array_positions = np.concatenate(
-            [[0], np.cumsum(self._modulos)[:-1]])
+            [[0], np.cumsum(self._modulos)[:-1]]).astype(np.uint64)
 
     def _indexes(self, kmer):
-        return (kmer % self._modulos) + self._array_positions
+        return (np.uint64(kmer) % self._modulos) + self._array_positions
 
     def get_count(self, kmer):
         return np.min(self._data[self._indexes(kmer)])
 
     def get_counts(self, kmers):
         """Vectorized min-over-rows for a batch."""
-        kmers = np.asarray(kmers)
+        kmers = np.asarray(kmers, dtype=np.uint64)
         per_row = [
             self._data[(kmers % mod) + off]
             for mod, off in zip(self._modulos, self._array_positions)]
@@ -96,6 +100,7 @@ class CountMinSketchKmerCounter:
         return cls(data, np.asanyarray(modulos))
 
     def count_kmers(self, kmers):
+        kmers = np.asarray(kmers, dtype=np.uint64)
         for mod, offset in zip(self._modulos, self._array_positions):
             indexes = (kmers % mod) + offset
             counts = np.bincount(indexes.astype(np.int64)).astype(
@@ -128,7 +133,7 @@ class KmerFrequencyIndex:
 
     @classmethod
     def from_kmers(cls, kmers):
-        unique, frequencies = np.unique(np.sort(kmers), return_counts=True)
+        unique, frequencies = np.unique(kmers, return_counts=True)
         return cls(unique, frequencies)
 
     def to_file(self, file_name):

@@ -56,7 +56,12 @@ def _build_modulo_layout(hashes, modulo, row_arrays):
              if len(hashes) else np.zeros(0, np.int64))
     starts = np.nonzero(diffs)[0]
     unique_hashes = hashes[starts].astype(np.int64)
-    lookup = hp_zeros(modulo, np.int64)
+    # int32 row starts whenever they fit (always, in practice): the
+    # modulo-sized table is the build's dominant allocation and this
+    # host provisions fresh pages at ~22 MB/s — an int64 build plus a
+    # downcast copy would cost 3x the footprint for nothing
+    idx_dtype = np.int32 if len(hashes) < 2**31 else np.int64
+    lookup = hp_zeros(modulo, idx_dtype)
     lookup[unique_hashes] = starts
     n_entries = np.ediff1d(starts, to_end=len(hashes) - starts[-1]) \
         if len(starts) else np.zeros(0, dtype=np.int64)
@@ -147,8 +152,6 @@ class CollisionFreeKmerIndex:
                 hashes, modulo, row_arrays)
         kmers_s, nodes_s, ref_offsets_s, af_s = rows
 
-        if isinstance(lookup, np.ndarray):
-            lookup = lookup.astype(np.int32)  # device tables are int32 too
         obj = cls(lookup, n_kmers, nodes_s, ref_offsets_s,
                   kmers_s, modulo, _allele_frequencies=af_s)
         obj.set_frequencies(skip_frequencies, use_device=use_device)
@@ -412,7 +415,10 @@ class CollisionFreeKmerIndex:
     def get_batched(self, kmers, max_hits=10):
         """Batched ``get``: (5, n_hits) matrix [node, ref_offset,
         query_index, frequency, 1000*allele_frequency] — the
-        CythonKmerIndex.get contract (cython_kmer_index.pyx:101-106)."""
+        CythonKmerIndex.get contract (cython_kmer_index.pyx:101-106),
+        EXCEPT the Cython path's bucket-0 skip (pyx:60-61): bucket-0
+        kmers are looked up like any other, matching this class's python
+        ``get`` (deliberate divergence, see PARITY.md)."""
         return self._device().get_batched(
             np.asarray(kmers, dtype=np.uint64), max_hits=max_hits)
 
@@ -529,8 +535,11 @@ class KmerIndex2:
         return index
 
     def count_unique_kmer_occurences(self):
-        """Vectorized: distinct (start_node, start_offset) pairs per kmer."""
-        kmers = self._data.get_all_keys()
+        """Vectorized: distinct (start_node, start_offset) pairs per kmer.
+        NB keys must come from row_keys() — get_all_keys() returns the
+        hash-sorted layout, which would pair scrambled rows against the
+        insertion-ordered value arrays and miscount."""
+        kmers = self._data.row_keys()
         if len(np.asarray(kmers)) == 0:
             # ediff1d on empty arrays still emits to_begin: guard like
             # _build_modulo_layout

@@ -27,10 +27,16 @@ class NativeKmerIndex:
         af = index._allele_frequencies
         if af is None or np.ndim(af) == 0 or len(np.atleast_1d(af)) != n:
             af = np.zeros(n, dtype=np.float32)
+        ro = np.asarray(index._ref_offsets)
+        if np.ndim(ro) == 0 or len(ro) != n:
+            # remove_ref_offsets() leaves a 1-element placeholder; the
+            # C++ kernel would read past it (UB) — substitute zeros like
+            # the frequency guard above (the reference python get()
+            # raises IndexError here; map/has paths never read offsets)
+            ro = np.zeros(n, dtype=np.uint64)
         self.table_kmers = np.ascontiguousarray(index._kmers, np.uint64)
         self.table_nodes = np.ascontiguousarray(index._nodes, np.uint32)
-        self.table_ref_offsets = np.ascontiguousarray(
-            np.asarray(index._ref_offsets).astype(np.uint64))
+        self.table_ref_offsets = np.ascontiguousarray(ro.astype(np.uint64))
         self.table_frequencies = np.ascontiguousarray(freqs, np.uint16)
         self.table_allele_frequencies = np.ascontiguousarray(af, np.float32)
         self.starts_tbl = np.ascontiguousarray(index._hashes_to_index,

@@ -172,7 +172,8 @@ def sliding_hashes(seq: np.ndarray, k: int) -> np.ndarray | None:
 def bucket_lookup(kmers, table_kmers, table_nodes, table_ref_offsets,
                   table_frequencies, table_allele_frequencies, starts_tbl,
                   sizes_tbl, modulo, hit_cap=10000, freq_cap=20):
-    """(5, n_hits) uint64 matrix — the CythonKmerIndex.get contract."""
+    """(5, n_hits) uint64 matrix — the CythonKmerIndex.get contract,
+    minus the Cython bucket-0 skip (python-get semantics; PARITY.md)."""
     lib = get_lib()
     if lib is None:
         return None

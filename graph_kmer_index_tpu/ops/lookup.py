@@ -702,6 +702,13 @@ class DeviceKmerIndex:
                 if (value is None or np.ndim(value) == 0
                         or np.shape(value)[0] != n):
                     value = np.zeros(n, dtype=np.float32)
+            if name == "table_ref_offsets":
+                # remove_ref_offsets() placeholder: same zero-substitute
+                # as the native table (an n-gather over a 1-element
+                # array would silently return row 0's offset)
+                n = len(self._host._kmers)
+                if np.ndim(value) == 0 or np.shape(value)[0] != n:
+                    value = np.zeros(n, dtype=np.uint64)
             self._cache[name] = jnp.asarray(value).astype(dtype)
         return self._cache[name]
 
@@ -1058,7 +1065,8 @@ class DeviceKmerIndex:
         frequency, 1000*allele_frequency], the CythonKmerIndex.get contract
         (cython_kmer_index.pyx:101-106): queries with more than ``hit_cap``
         rows in their bucket are skipped, as are rows with frequency >
-        ``frequency_cap``. Hit compaction runs on device (prefix-sum
+        ``frequency_cap``. Unlike the Cython original, bucket-0 queries
+        are NOT skipped (python-get semantics; PARITY.md). Hit compaction runs on device (prefix-sum
         scatter into a fixed-size matrix; retried bigger on overflow) so
         only the compact result transfers to host."""
         q, n = _pad_queries(kmers)

@@ -689,3 +689,74 @@ def test_index_bundle_nested_counter_roundtrip():
     loaded = IndexBundle.from_file(p)["KmerIndex"]
     assert type(loaded).__name__ == "CounterKmerIndex"
     assert list(loaded.counter[np.array([3, 7, 9])]) == [5, 6, 7]
+
+
+def test_cms_large_kmers_exact_buckets():
+    """CMS counting must be exact for kmers >= 2^53: int64 modulos
+    promoted uint64 kmers to float64 under NumPy 2, rounding them into
+    the wrong bucket on count (but not on query)."""
+    from graph_kmer_index_tpu.models.counters import (
+        CountMinSketchKmerCounter)
+    c = CountMinSketchKmerCounter.create_empty([101, 103])
+    big = np.array([2**62 + 3, 2**61 + 7], dtype=np.uint64)
+    c.count_kmers(big)
+    assert c.get_count(np.uint64(2**62 + 3)) == 1
+    assert c.get_count(np.uint64(2**61 + 7)) == 1
+    assert list(c.get_counts(big)) == [1, 1]
+
+
+def test_kmer_index2_frequencies_unsorted_input():
+    """KmerIndex2 frequencies pair each row's kmer with ITS OWN
+    (start_node, start_offset): the hash-sorted key layout used to be
+    zipped against the insertion-ordered value arrays."""
+    from graph_kmer_index_tpu.flat_kmers import FlatKmers2
+    from graph_kmer_index_tpu.models.kmer_index import KmerIndex2
+    flat = FlatKmers2(
+        np.array([7, 3, 3], np.uint64),        # NOT sorted by hash
+        np.array([1, 1, 1], np.uint32),
+        np.array([9, 5, 5], np.uint16),
+        np.array([1, 1, 1], np.uint32),
+        np.array([1, 1, 1], np.float32))
+    idx = KmerIndex2.from_flat_kmers(flat)
+    # kmer 3's two rows share the SAME (start_node=1, start_offset=5)
+    # pair -> frequency 1 (reference collision_free_kmer_index.py:148-158)
+    assert int(idx.get_kmer_frequency(3)) == 1
+    assert int(idx.get_kmer_frequency(7)) == 1
+
+
+def test_native_lookup_after_remove_ref_offsets():
+    """get_batched after remove_ref_offsets() must not read out of
+    bounds: the placeholder 1-element offsets array is zero-substituted
+    in both the native and device lookup tables."""
+    from graph_kmer_index_tpu.flat_kmers import FlatKmers
+    from graph_kmer_index_tpu.models.kmer_index import CollisionFreeKmerIndex
+    kmers = np.arange(1, 40, dtype=np.uint64) * 7
+    flat = FlatKmers(kmers, np.arange(1, 40, dtype=np.uint32),
+                     np.arange(40, 79, dtype=np.uint64),
+                     np.ones(39, np.float32))
+    idx = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=101)
+    idx.remove_ref_offsets()
+    out = idx.get_batched(kmers[:8])
+    assert out.shape[0] == 5
+    assert (out[1] == 0).all()  # offsets read as zeros, never garbage
+
+
+def test_index_bundle_device_built_index_roundtrip():
+    """A device-built index (jax-array properties — the DEFAULT at
+    production modulo) must serialize into the bundle; jax arrays used
+    to be silently dropped by the ndarray-only decomposition."""
+    import tempfile, os
+    from graph_kmer_index_tpu.flat_kmers import FlatKmers
+    from graph_kmer_index_tpu.models.bundle import IndexBundle
+    from graph_kmer_index_tpu.models.kmer_index import CollisionFreeKmerIndex
+    kmers = np.arange(1, 200, dtype=np.uint64) * 13
+    flat = FlatKmers(kmers, np.arange(1, 200, dtype=np.uint32),
+                     np.arange(200, 399, dtype=np.uint64),
+                     np.ones(199, np.float32))
+    idx = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=997,
+                                                 use_device=True)
+    p = os.path.join(tempfile.mkdtemp(), "b.npz")
+    IndexBundle({"KmerIndex": idx}).to_file(p)
+    loaded = IndexBundle.from_file(p)["KmerIndex"]
+    assert loaded.has_kmers(kmers[:16]).all()
+    assert not loaded.has_kmers(np.array([999999999], np.uint64))[0]
