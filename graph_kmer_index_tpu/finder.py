@@ -134,6 +134,16 @@ class DenseKmerFinder:
                  stop_at_critical_path_number=None,
                  whitelist=None, only_store_nodes=None,
                  only_follow_nodes=None, use_device=None):
+        if only_store_variant_nodes:
+            # dead flag in the reference too: kmer_finder.py:75 asserts
+            # an undefined name (NameError) and no code ever applies the
+            # filter. Fail loudly rather than silently emitting
+            # unfiltered rows; only_store_nodes covers the use case.
+            raise NotImplementedError(
+                "only_store_variant_nodes is non-functional in the "
+                "reference (kmer_finder.py:74-76 asserts an undefined "
+                "name and never filters); pass only_store_nodes with "
+                "the variant node ids instead")
         self._graph = graph
         self._k = k
         self._only_save_one_node_per_kmer = only_save_one_node_per_kmer

@@ -404,7 +404,13 @@ class SnpKmerFinder:
 
         rev_hashes = None
         if (self._whitelist is not None
-                or self._include_reverse_complements):
+                or self._include_reverse_complements) and len(hashes):
+            # len(hashes) == 0 (linear ref shorter than k) means every
+            # window contains the end-of-reference special -> nothing is
+            # simple and rev_hashes is never consumed; indexing the
+            # empty array would crash. Simple windows otherwise satisfy
+            # p + k <= ref_len, so pos_arr is always in range — the
+            # minimum() only covers the 0-placeholders of non-simple rows
             safe = np.where(simple, pos_arr, 0)
             rev_hashes = kmer_hashes_to_reverse_complement_hash(
                 hashes[np.minimum(safe, max(0, len(hashes) - 1))], k)

@@ -176,3 +176,32 @@ def test_sweep_matches_branch_walk_random_graphs():
             np.testing.assert_array_equal(flat_fast._allele_frequencies,
                                           flat_slow._allele_frequencies)
             assert fast.kmers_found == slow.kmers_found
+
+
+def test_short_ref_with_revcomp_and_whitelist():
+    """Linear reference shorter than k with rc/whitelist flags: the
+    sweep's rev_hashes computation used to index an empty window-hash
+    array (IndexError); all windows are branch-walked instead."""
+    from graph_kmer_index_tpu import Graph, SnpKmerFinder
+    g = Graph.from_dicts(
+        {1: "ACTG", 2: "A", 3: "ATTTTTTTTTTTTTTTT", 4: "AT"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])  # ref len 7 < k
+    # spacing < ref length puts positions in the sweep while the
+    # window-hash array is EMPTY (ref shorter than k)
+    flat = SnpKmerFinder(g, k=15, spacing=2).find_kmers()
+    flat_rc = SnpKmerFinder(g, k=15, spacing=2,
+                            include_reverse_complements=True).find_kmers()
+    flat_wl = SnpKmerFinder(g, k=15, spacing=2, whitelist={0}).find_kmers()
+    # the long variant arm yields kmers via the branch walk; the rc and
+    # whitelist paths must not crash and must filter consistently
+    assert len(flat._hashes) > 0
+    assert len(flat_rc._hashes) == 2 * len(flat._hashes)
+    assert len(flat_wl._hashes) <= len(flat._hashes)
+
+
+def test_dense_finder_rejects_only_store_variant_nodes():
+    from graph_kmer_index_tpu import DenseKmerFinder, Graph
+    import pytest
+    g = Graph.from_dicts({1: "ACTGAC"}, {}, [1])
+    with pytest.raises(NotImplementedError):
+        DenseKmerFinder(g, k=3, only_store_variant_nodes=True)
