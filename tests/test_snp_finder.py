@@ -205,3 +205,56 @@ def test_dense_finder_rejects_only_store_variant_nodes():
     g = Graph.from_dicts({1: "ACTGAC"}, {}, [1])
     with pytest.raises(NotImplementedError):
         DenseKmerFinder(g, k=3, only_store_variant_nodes=True)
+
+
+def test_sweep_flag_combinations_match_branch_walk():
+    """Randomized non-default flag combinations: the vectorized sweep
+    (batched fork-free emission) must be bit-identical to the forced
+    branch walk — the stateful filters (frequency cap, per-position cap)
+    and the flag gates must agree between the two paths."""
+    from graph_kmer_index_tpu import Graph, SnpKmerFinder
+
+    rng = np.random.default_rng(31)
+    for trial in range(6):
+        seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+        nodes, edges, ref = {}, {}, []
+        nid = 1
+        cursor = 0
+        for pos in sorted(rng.choice(np.arange(20, 280), 5, replace=False)):
+            seg = nid; nodes[nid] = seq[cursor:pos]; nid += 1
+            a = nid; nodes[nid] = seq[pos]; nid += 1
+            b = nid; nodes[nid] = "ACGT"[("ACGT".index(seq[pos]) + 1) % 4]
+            nid += 1
+            edges[seg] = [a, b]
+            edges[a] = edges[b] = []
+            ref += [seg, a]
+            cursor = pos + 1
+        tail = nid; nodes[nid] = seq[cursor:]
+        ref.append(tail)
+        # wire edges by walking the (segment, ref-allele) pairs: each
+        # segment forks to its two allele nodes, both rejoin at the
+        # next segment
+        edges = {}
+        for i in range(0, len(ref) - 2, 2):
+            seg, a, nxt = ref[i], ref[i + 1], ref[i + 2]
+            b = a + 1
+            edges[seg] = [a, b]
+            edges[a] = [nxt]
+            edges[b] = [nxt]
+        g = Graph.from_dicts(nodes, edges, ref)
+
+        kwargs = dict(k=9, spacing=int(rng.integers(1, 4)))
+        if trial % 2:
+            kwargs["max_frequency"] = int(rng.integers(2, 5))
+        if trial % 3 == 0:
+            kwargs["include_reverse_complements"] = True
+        if trial in (2, 5):
+            kwargs["max_kmers_same_position"] = int(rng.integers(1, 3))
+        a_ = SnpKmerFinder(g, **kwargs).find_kmers()
+        b_ = SnpKmerFinder(g, **kwargs).find_kmers(_force_branch_walk=True)
+        for attr in ("_hashes", "_nodes", "_ref_offsets",
+                     "_allele_frequencies"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a_, attr)),
+                np.asarray(getattr(b_, attr)),
+                err_msg=f"trial {trial} {attr} kwargs={kwargs}")
