@@ -206,3 +206,70 @@ def test_reference_differential_flagged_configs():
                     np.asarray(getattr(flat_s, attr)),
                     np.asarray(getattr(rflat_s, attr)),
                     err_msg=f"snp {cfg} seed={seed} k={k} {attr}")
+
+
+def test_reference_differential_unique_variant_kmers():
+    """UniqueVariantKmersFinder vs the in-process reference: bit-equal
+    signature rows on random VCF graphs, in both SnpKmerFinder mode
+    (default) and DenseKmerFinder mode."""
+    import os
+    import pytest
+    if not os.path.exists("/root/reference"):
+        pytest.skip("reference checkout not available")
+    import pathlib
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "benchmarks"))
+    from reference_harness import load_reference
+    ref = load_reference()
+
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        n = int(rng.integers(250, 450))
+        seq = "".join(rng.choice(list("ACGT"), size=n))
+        variants, pos, line = [], 25, 0
+        while pos < n - 30:
+            r = seq[pos]
+            a = "ACGT"[("ACGT".index(r) + 1) % 4]
+            variants.append(VcfVariant("1", pos + 1, r, a,
+                                       vcf_line_number=line))
+            line += 1
+            pos += int(rng.integers(25, 70))
+        vs = VcfVariants(variants)
+        graph, v2n = build_graph_from_vcf({"1": seq}, vs)
+        k = int(rng.choice([7, 15]))
+        from graph_kmer_index_tpu import (SnpKmerFinder,
+                                          UniqueVariantKmersFinder)
+        flat = SnpKmerFinder(graph, k=k).find_kmers()
+        our_idx = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=4099)
+        # the reference's ediff1d chokes on uint64 hashes under NumPy 2
+        # (int to_begin is not same_kind); feed it int64 like its own
+        # finders produce
+        ref_flat = ref.FlatKmers(
+            np.asarray(flat._hashes).astype(np.int64),
+            np.asarray(flat._nodes),
+            np.asarray(flat._ref_offsets),
+            np.asarray(flat._allele_frequencies))
+        ref_idx = ref.CollisionFreeKmerIndex.from_flat_kmers(ref_flat,
+                                                             modulo=4099)
+        for dense in (False, True):
+            kw = dict(kmer_index_with_frequencies=None,
+                      use_dense_kmer_finder=dense)
+            if dense:
+                kw["position_id_index"] = PositionId.from_graph(graph)
+            ours = UniqueVariantKmersFinder(
+                graph, v2n, vs, k=k,
+                kmer_index_with_frequencies=our_idx,
+                **{k2: v for k2, v in kw.items()
+                   if k2 != "kmer_index_with_frequencies"})
+            theirs = ref.unique_variant_kmers.UniqueVariantKmersFinder(
+                graph, v2n, vs, k=k,
+                kmer_index_with_frequencies=ref_idx,
+                **{k2: v for k2, v in kw.items()
+                   if k2 != "kmer_index_with_frequencies"})
+            a = ours.find_unique_kmers()
+            b = theirs.find_unique_kmers()
+            for attr in ("_hashes", "_nodes", "_ref_offsets"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, attr)),
+                    np.asarray(getattr(b, attr)),
+                    err_msg=f"uvk trial={trial} k={k} dense={dense} {attr}")
