@@ -109,6 +109,13 @@ def load_reference():
     for mod in _MODULES:
         os.symlink(os.path.join(REF, "graph_kmer_index", mod),
                    os.path.join(pkg, mod))
+    # the reference's bionumpy_wrapper shells out to the external
+    # bionumpy package (unavailable); back it with our own window-hash
+    # kernel, which is bit-equal (tests/test_hashing.py) — this lets
+    # ref.structural_variants run its own sampling algorithm unmodified
+    with open(os.path.join(pkg, "bionumpy_wrapper.py"), "w") as f:
+        f.write("from graph_kmer_index_tpu.bionumpy_wrapper "
+                "import bionumpy_hash\n")
     with open(os.path.join(pkg, "__init__.py"), "w") as f:
         f.write(_INIT)
     sys.path.insert(0, d)

@@ -43,3 +43,58 @@ def test_sample_kmers_from_structural_variants():
     assert np.all(index.get_nodes(sequence_to_kmer_hash("AAAAA")) == [1])
     assert np.all(index.get_nodes(sequence_to_kmer_hash("GGGGA")) == [3])
     assert np.all(index.get_nodes(sequence_to_kmer_hash("AAACC")) == [3])
+
+
+def test_reference_differential_structural_variants():
+    """Our sampler vs the reference's own algorithm (run in-process with
+    our window-hash kernel backing its bionumpy call): identical rows on
+    randomized long-node variants and frequency tables."""
+    import os
+    import pytest
+    if not os.path.exists("/root/reference"):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "benchmarks"))
+    from reference_harness import load_reference
+    ref = load_reference()
+    import importlib
+    ref_sv = importlib.import_module("graph_kmer_index.structural_variants")
+
+    rng = np.random.default_rng(5)
+
+    class FreqIndex:
+        def __init__(self, table):
+            self.table = table
+
+        def get_frequency(self, kmer):
+            return self.table.get(int(kmer), 0)
+
+    for trial in range(5):
+        seqs = {}
+        n_nodes = int(rng.integers(4, 10)) * 2
+        for node in range(1, n_nodes + 1):
+            ln = int(rng.integers(3, 60))
+            seqs[node] = "".join(rng.choice(list("ACGT"), size=ln))
+        graph = DummyGraph(seqs)
+        v2n = VariantToNodes(np.arange(1, n_nodes + 1, 2),
+                             np.arange(2, n_nodes + 1, 2))
+        k = int(rng.choice([4, 7]))
+        # random frequency table over the kmers that occur
+        from graph_kmer_index_tpu.hashing import sliding_window_hashes
+        from graph_kmer_index_tpu import letter_sequence_to_numeric
+        table = {}
+        for s in seqs.values():
+            if len(s) >= k:
+                for h in sliding_window_hashes(
+                        letter_sequence_to_numeric(s).astype(np.uint64), k):
+                    table[int(h)] = int(rng.integers(0, 4))
+        fi = FreqIndex(table)
+        ours = sample_kmers_from_structural_variants(graph, v2n, fi, k,
+                                                     max_frequency=2)
+        theirs = ref_sv.sample_kmers_from_structural_variants(
+            graph, v2n, fi, k, max_frequency=2)
+        for attr in ("_hashes", "_nodes", "_ref_offsets"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ours, attr)).astype(np.int64),
+                np.asarray(getattr(theirs, attr)).astype(np.int64),
+                err_msg=f"trial {trial} {attr}")
