@@ -92,3 +92,40 @@ def test_hash_fastq_quality_lines_not_encoded(tmp_path):
                 kmers = ReadKmers.hash_fasta_file(str(fq), k,
                                                   use_device=False)
         assert list(kmers) == expected
+
+
+def test_reference_differential_read_kmers():
+    """ReadKmers.from_fasta_file vs the in-process reference: same kmer
+    streams (single-k: reads then revcomps; multi-k: zipped triples)."""
+    import os
+    import pytest
+    if not os.path.exists("/root/reference"):
+        pytest.skip("reference checkout not available")
+    import pathlib, sys, tempfile
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "benchmarks"))
+    from reference_harness import load_reference
+    ref = load_reference()
+
+    rng = np.random.default_rng(13)
+    fa = os.path.join(tempfile.mkdtemp(), "r.fa")
+    with open(fa, "w") as f:
+        for i in range(6):
+            ln = int(rng.integers(20, 60))
+            f.write(f">r{i}\n" +
+                    "".join(rng.choice(list("ACGT"), size=ln)) + "\n")
+
+    def drain(rk):
+        return [np.asarray(x).tolist() for x in rk]
+
+    ours = drain(ReadKmers.from_fasta_file(fa, k=7))
+    theirs = drain(ref.ReadKmers.from_fasta_file(fa, k=7))
+    assert ours == theirs
+
+    def drain_multi(rk):
+        return [[[int(v) for v in p] for p in triple] for triple in rk]
+
+    ours_m = drain_multi(ReadKmers.from_fasta_file(fa, k=15, small_k=7))
+    theirs_m = drain_multi(ref.ReadKmers.from_fasta_file(fa, k=15,
+                                                         small_k=7))
+    assert ours_m == theirs_m
