@@ -211,7 +211,10 @@ class MultiValueHashTable:
         """Per-row keys ALIGNED WITH THE VALUE ARRAYS (original insertion
         order) — get_all_keys returns the hash-sorted layout, which must
         not be zipped against ``_values``. Reconstructed through the
-        stored arange permutation, so no extra array is kept."""
+        stored arange permutation, so no extra array is kept. Requires
+        the ``from_keys_and_values`` construction (whose HashTable values
+        are the arange row indices); a hand-built table with other
+        values has no recoverable row order."""
         t = self._hash_table
         rk = np.empty(len(t._sorted_keys), dtype=t._sorted_keys.dtype)
         rk[t._sorted_values] = t._sorted_keys
