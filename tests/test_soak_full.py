@@ -25,6 +25,7 @@ from graph_kmer_index_tpu import DenseKmerFinder, SnpKmerFinder
 from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
 
 N_TRIALS = int(os.environ.get("GKI_SOAK_TRIALS", "300"))  # 10k pass: 124s, green
+SOAK_SEED = int(os.environ.get("GKI_SOAK_SEED", "1234"))
 _HAVE_REF = os.path.exists("/root/reference")
 
 
@@ -38,7 +39,7 @@ def test_soak_walker_and_reference_differential():
     if _HAVE_REF:
         from reference_harness import load_reference
         ref = load_reference()
-    rng = np.random.default_rng(1234)
+    rng = np.random.default_rng(SOAK_SEED)
     for trial in range(N_TRIALS):
         seed = int(rng.integers(0, 1 << 30))
         k = int(rng.choice([3, 5, 7, 16, 31]))
