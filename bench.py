@@ -152,7 +152,9 @@ def main():
     # compile helper: one XLA compile can eat 10+ minutes)
     budget_s = float(os.environ.get("GKI_BENCH_BUDGET_S", "540"))
     deadline = time.monotonic() + budget_s
-    remaining = lambda: deadline - time.monotonic()  # noqa: E731
+
+    def remaining():
+        return deadline - time.monotonic()
 
     # CPU baseline first: seconds of work, and it guarantees the
     # vs_baseline denominator exists whatever the device side does

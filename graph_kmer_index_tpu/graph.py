@@ -313,12 +313,12 @@ class Graph:
         index 0 for single-chromosome graphs."""
         starts = self.chromosome_start_nodes_array
         c = str(chromosome)
+        s = c[3:] if c.startswith("chr") else c
         names = self.chromosome_names
         if names:
-            for cand in (c, c[3:] if c.startswith("chr") else "chr" + c):
+            for cand in (c, s if c.startswith("chr") else "chr" + c):
                 if cand in names:
                     return names.index(cand)
-        s = c[3:] if c.startswith("chr") else c
         if s.isdigit() and 1 <= int(s) <= len(starts):
             return int(s) - 1
         if len(starts) == 1:
