@@ -720,8 +720,8 @@ def test_kmer_index2_frequencies_unsorted_input():
     idx = KmerIndex2.from_flat_kmers(flat)
     # kmer 3's two rows share the SAME (start_node=1, start_offset=5)
     # pair -> frequency 1 (reference collision_free_kmer_index.py:148-158)
-    assert int(idx.get_kmer_frequency(3)) == 1
-    assert int(idx.get_kmer_frequency(7)) == 1
+    assert int(np.atleast_1d(idx.get_kmer_frequency(3))[0]) == 1
+    assert int(np.atleast_1d(idx.get_kmer_frequency(7))[0]) == 1
 
 
 def test_native_lookup_after_remove_ref_offsets():
