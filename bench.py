@@ -4,29 +4,45 @@ This is the hot kernel of the whole framework — every finder, read mapper
 and index build goes through sliding-window hashing (the reference's
 ``np.convolve(seq, power_array(k))`` hot path, read_kmers.py:68-70 /
 kmer_finder.py:350-352). Baseline = the reference's numpy convolve method
-measured on this host's CPU. Prints ONE json line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+measured on this host's CPU. Prints json lines of the form
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}; the LAST such
+line is the result (records are re-emitted after every measurement event,
+success or failure, so the last line of combined output always parses).
 
-Each device kernel candidate is measured in a subprocess with a hard
-timeout so a pathological compile can never hang the harness.
+Hardening contract (round-2 postmortem: BENCH_r02.json was rc=124 with
+no parseable line because every candidate timed out and an in-process
+fallback wedged inside a C call where SIGALRM cannot fire):
+  * the PARENT process never imports jax and never talks to the device —
+    every measurement (CPU baseline included) runs in a subprocess with a
+    parent-owned hard timeout;
+  * a provisional record is printed the moment the CPU baseline exists,
+    and the current-best record is re-printed after every candidate, so
+    "last line wins" parsing can never come up empty;
+  * the total budget (GKI_BENCH_BUDGET_S, default 420 s) leaves >= 60 s
+    of margin under the driver's own timeout, and the relay is
+    TCP-prechecked so a dead backend costs seconds, not the budget.
 """
 import json
+import os
+import socket
 import subprocess
 import sys
 import time
-
-import numpy as np
 
 K = 31
 N_DEVICE = 1 << 24   # bases hashed per device iteration
 N_CPU = 1 << 20      # bases for the CPU reference measurement
 REPS = 16
-# the remote compile helper degrades over a session's lifetime (first
-# Pallas compile ~30s, hours later 400s+); give each candidate room
-KERNEL_TIMEOUT_S = 420
+METRIC = "kmers_hashed_per_sec_per_chip"
+RELAY_PORTS = (2025, 2297)
 
+
+# ---------------------------------------------------------------------------
+# child-process measurement modes (the only code that imports jax)
+# ---------------------------------------------------------------------------
 
 def _median_time(fn, reps=REPS):
+    import numpy as np
     times = []
     for _ in range(reps):
         t = time.perf_counter()
@@ -43,9 +59,9 @@ def measure_kernel(kernel: str) -> float:
     applications ending in a sum() for two chain lengths and difference
     them — constant dispatch/fetch overhead cancels, leaving pure kernel
     time per iteration."""
-    import functools
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from graph_kmer_index_tpu.ops.encode import (
         sliding_hashes, sliding_hashes_pallas, sliding_hashes_pallas_p16,
         sliding_hashes_u32)
@@ -101,33 +117,12 @@ def measure_kernel(kernel: str) -> float:
     return N_DEVICE / per_iter
 
 
-def measure_kernel_subprocess(kernel: str,
-                              timeout_s: float = KERNEL_TIMEOUT_S
-                              ) -> float | None:
-    if timeout_s <= 5:
-        return None
-    try:
-        out = subprocess.run(
-            [sys.executable, __file__, "--kernel", kernel],
-            capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        print(f"[bench] {kernel}: timed out after {timeout_s:.0f}s",
-              file=sys.stderr, flush=True)
-        return None
-    for line in reversed(out.stdout.strip().splitlines()):
-        try:
-            return float(json.loads(line)["rate"])
-        except (ValueError, KeyError):
-            continue
-    print(f"[bench] {kernel}: no rate (stderr tail: "
-          f"{out.stderr.strip().splitlines()[-1:] })",
-          file=sys.stderr, flush=True)
-    return None
-
-
 def bench_cpu_reference(n=N_CPU):
     """The reference implementation's own vectorized hot path:
-    np.convolve(numeric_seq, power_array(k)) (reference read_kmers.py:68-70)."""
+    np.convolve(numeric_seq, power_array(k)) (reference read_kmers.py:68-70).
+    Runs in a JAX_PLATFORMS=cpu subprocess (power_array is pure numpy, but
+    the package import pulls in jax — the parent must stay jax-free)."""
+    import numpy as np
     from graph_kmer_index_tpu.hashing import power_array
 
     seq = np.random.randint(0, 4, n).astype(np.uint64)
@@ -140,77 +135,149 @@ def bench_cpu_reference(n=N_CPU):
     return n / _median_time(run, reps=3)
 
 
+# ---------------------------------------------------------------------------
+# parent-process orchestration (jax-free by construction)
+# ---------------------------------------------------------------------------
+
+def _run_child(args, timeout_s, env=None):
+    """Run a child bench mode; return its reported rate or None."""
+    if timeout_s <= 5:
+        return None
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__] + args,
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] {args}: timed out after {timeout_s:.0f}s",
+              file=sys.stderr, flush=True)
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return float(json.loads(line)["rate"])
+        except (ValueError, KeyError):
+            continue
+    print(f"[bench] {args}: no rate (stderr tail: "
+          f"{out.stderr.strip().splitlines()[-1:] })",
+          file=sys.stderr, flush=True)
+    return None
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _relay_up(timeout_s=3.0):
+    """True iff the axon relay accepts TCP on at least one known port.
+
+    Connection-refused and connect-timeout both count as down: the former
+    is a dead relay, the latter a black-holed one — in either case a
+    device subprocess would burn its whole timeout for nothing."""
+    host = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
+    for port in RELAY_PORTS:
+        s = socket.socket()
+        s.settimeout(timeout_s)
+        try:
+            s.connect((host, port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--kernel":
         print(json.dumps({"rate": measure_kernel(sys.argv[2])}))
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--cpu-baseline":
+        print(json.dumps({"rate": bench_cpu_reference()}))
+        return
 
-    import os
-    # global deadline: the driver gives this script a bounded budget;
-    # worst-case per-candidate timeouts must never add up past it or
-    # the JSON line is lost entirely (observed with a degraded remote
-    # compile helper: one XLA compile can eat 10+ minutes)
-    budget_s = float(os.environ.get("GKI_BENCH_BUDGET_S", "540"))
+    # global deadline: the driver gives this script a bounded budget and
+    # parses the last JSON line of the combined output; worst-case
+    # per-candidate timeouts must never add up past it (observed with a
+    # degraded remote compile helper: one XLA compile can eat 10+ min)
+    budget_s = float(os.environ.get("GKI_BENCH_BUDGET_S", "420"))
     deadline = time.monotonic() + budget_s
 
     def remaining():
         return deadline - time.monotonic()
 
-    # CPU baseline first: seconds of work, and it guarantees the
-    # vs_baseline denominator exists whatever the device side does
-    cpu_rate = bench_cpu_reference()
+    state = {"metric": METRIC, "value": 0, "unit": "kmers/s",
+             "vs_baseline": 0.0,
+             "error": "no device measurement yet"}
+
+    def emit():
+        # stdout AND stderr are interleaved in the driver's tail: the
+        # record must be re-printed after every event so it is always
+        # the final line
+        print(json.dumps(state), flush=True)
+
+    # CPU baseline first (subprocess, forced-cpu env): seconds of work,
+    # and it guarantees the vs_baseline denominator exists whatever the
+    # device side does
+    cpu_rate = _run_child(["--cpu-baseline"],
+                          min(120, remaining() - 30), env=_cpu_env())
+    if not cpu_rate:
+        state["error"] = "cpu baseline failed; no measurements"
+        emit()
+        cpu_rate = None
+    emit()
+
+    def record(kernel, rate):
+        if rate is None:
+            emit()   # failure: re-assert the current best as last line
+            return
+        if rate > state["value"]:
+            state.update(value=round(rate),
+                         vs_baseline=(round(rate / cpu_rate, 2)
+                                      if cpu_rate else 0.0))
+            state.pop("error", None)
+            state["kernel"] = kernel
+        emit()
+
+    # relay precheck: a dead/black-holed relay fails fast here instead of
+    # eating per-candidate timeouts. Re-check a couple of times in case
+    # it is restarting.
+    up = _relay_up()
+    for _ in range(2):
+        if up or remaining() < 90:
+            break
+        time.sleep(20)
+        up = _relay_up()
+    if not up:
+        if state["value"] == 0:
+            state["error"] = ("axon relay down (TCP connect failed); no "
+                              "on-chip measurement this run")
+        emit()
+        return
 
     kernels = os.environ.get(
         "GKI_BENCH_KERNELS", "u32,p16,pallas").split(",")
-    rates = {}
+    done = set()
     for kernel in kernels:
-        if kernel in ("p16", "pallas") and "p16" in rates:
+        if kernel in ("p16", "pallas") and "p16" in done:
             break  # p16 measured: no later candidate can beat it
         # floor-first ordering: u32 is XLA-only (cheapest compile) and
         # guarantees a line; p16 (the headline, ~2.5x) gets the bulk of
         # the remaining budget; pallas only runs if p16 failed. u32 is
-        # capped low — if the helper can't compile plain XLA in 150s it
+        # capped low — if the helper can't compile plain XLA in 120s it
         # won't compile a Pallas kernel either, so hoarding budget for
         # p16 after a u32 timeout would be wasted anyway.
-        t = (min(150, remaining() - 90) if kernel == "u32"
-             else min(KERNEL_TIMEOUT_S, remaining() - 10))
-        rate = measure_kernel_subprocess(kernel, t)
+        t = (min(120, remaining() - 120) if kernel == "u32"
+             else remaining() - 15)
+        rate = _run_child(["--kernel", kernel], t)
         if rate is not None:
-            rates[kernel] = rate
-    if "p16" not in rates and remaining() > 90:
+            done.add(kernel)
+        record(kernel, rate)
+    if "p16" not in done and remaining() > 60:
         # p16's compile timed out once; a second attempt often hits a
         # less-loaded helper and it is ~2.5x the fallback kernel
-        retry = measure_kernel_subprocess(
-            "p16", min(KERNEL_TIMEOUT_S, remaining() - 10))
-        if retry is not None:
-            rates["p16"] = retry
-    if not rates:
-        # last resort: never leave the driver without a JSON line — run
-        # the XLA kernel in-process (compiles are the usual timeout cause;
-        # a second attempt in a warm process often fits), under SIGALRM
-        # so a wedged backend still yields an honest failure record
-        import signal
-
-        def _give_up(signum, frame):
-            print(json.dumps({
-                "metric": "kmers_hashed_per_sec_per_chip",
-                "value": 0, "unit": "kmers/s", "vs_baseline": 0,
-                "error": "device compile timed out repeatedly; no "
-                         "on-chip measurement this run"}), flush=True)
-            os._exit(0)
-
-        signal.signal(signal.SIGALRM, _give_up)
-        signal.alarm(max(30, int(min(remaining() - 5, 300))))
-        rates["inproc"] = measure_kernel("u32")
-        signal.alarm(0)
-    device_rate = max(rates.values())
-
-    print(json.dumps({
-        "metric": "kmers_hashed_per_sec_per_chip",
-        "value": round(device_rate),
-        "unit": "kmers/s",
-        "vs_baseline": round(device_rate / cpu_rate, 2),
-    }))
+        record("p16", _run_child(["--kernel", "p16"], remaining() - 15))
 
 
 if __name__ == "__main__":
