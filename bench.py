@@ -278,6 +278,11 @@ def main():
         # p16's compile timed out once; a second attempt often hits a
         # less-loaded helper and it is ~2.5x the fallback kernel
         record("p16", _run_child(["--kernel", "p16"], remaining() - 15))
+    if not done and state["value"] == 0:
+        state["error"] = ("relay accepted TCP but every device candidate "
+                          "timed out (wedged backend / degraded compile "
+                          "helper); no on-chip measurement this run")
+        emit()
 
 
 if __name__ == "__main__":

@@ -123,17 +123,11 @@ class FlatKmers:
     # -- frequency scoring (used by UniqueVariantKmersFinder) -------------
 
     def sum_of_kmer_frequencies(self, kmer_index_with_frequencies):
-        if hasattr(kmer_index_with_frequencies, "get_frequencies"):
-            freqs = kmer_index_with_frequencies.get_frequencies(
-                np.asarray(self._hashes, dtype=np.uint64))
-            return int(np.maximum(1, freqs).sum())
-        return sum([0] + [max(1, kmer_index_with_frequencies.get_frequency(int(h)))
-                          for h in self._hashes])
+        freqs = kmer_index_with_frequencies.get_frequencies(
+            np.asarray(self._hashes, dtype=np.uint64))
+        return int(np.maximum(1, freqs).sum()) if len(freqs) else 0
 
     def maximum_kmer_frequency(self, kmer_index_with_frequencies):
-        if hasattr(kmer_index_with_frequencies, "get_frequencies"):
-            freqs = kmer_index_with_frequencies.get_frequencies(
-                np.asarray(self._hashes, dtype=np.uint64))
-            return int(freqs.max()) if len(freqs) else 0
-        return max([0] + [kmer_index_with_frequencies.get_frequency(int(h))
-                          for h in self._hashes])
+        freqs = kmer_index_with_frequencies.get_frequencies(
+            np.asarray(self._hashes, dtype=np.uint64))
+        return int(np.max(freqs)) if len(freqs) else 0

@@ -61,6 +61,14 @@ class KmerCounter:
             return int(hit)
         return int(hit[0]) if len(hit) else 0
 
+    def get_frequencies(self, kmers):
+        """Vectorized get_frequency over a kmer batch (missing -> 0).
+
+        Both backing containers (HashTable from from_kmers, Counter from
+        from_flat_kmers) build over unique keys, so their vectorized
+        one-value-per-key lookup applies."""
+        return np.asarray(self.counter[np.asarray(kmers, dtype=np.uint64)])
+
     def score_kmers(self, kmers):
         hits = [self.counter[int(k)] for k in kmers]
         hits = [h[0] for h in hits if len(h) > 0]
@@ -93,6 +101,11 @@ class CountMinSketchKmerCounter:
             self._data[(kmers % mod) + off]
             for mod, off in zip(self._modulos, self._array_positions)]
         return np.min(np.stack(per_row), axis=0)
+
+    # duck-typed frequency protocol (sketch counts ARE the frequency
+    # estimates when a CMS stands in for an exact counter)
+    get_frequency = get_count
+    get_frequencies = get_counts
 
     @classmethod
     def create_empty(cls, modulos, dtype=np.uint16):
@@ -130,6 +143,17 @@ class KmerFrequencyIndex:
             return self._frequencies[index]
         logging.warning("No hit for kmer %d", kmer)
         return 0
+
+    get_frequency = get
+
+    def get_frequencies(self, kmers):
+        """Vectorized get (missing -> 0, without the per-miss warning)."""
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        if len(self._kmers) == 0:
+            return np.zeros(len(kmers), dtype=np.int64)
+        i = np.clip(np.searchsorted(self._kmers, kmers, side="left"),
+                    0, len(self._kmers) - 1)
+        return np.where(self._kmers[i] == kmers, self._frequencies[i], 0)
 
     @classmethod
     def from_kmers(cls, kmers):

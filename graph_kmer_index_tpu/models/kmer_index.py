@@ -177,11 +177,7 @@ class CollisionFreeKmerIndex:
         """(reference collision_free_kmer_index.py:252-265, vectorized)"""
         self._invalidate_query_caches()
         unique = np.unique(self._kmers)
-        if hasattr(other, "get_frequencies"):
-            freqs = np.asarray(other.get_frequencies(unique), dtype=np.int64)
-        else:  # counter-style indexes with only a scalar accessor
-            freqs = np.array([other.get_frequency(int(k)) for k in unique],
-                             dtype=np.int64)
+        freqs = np.asarray(other.get_frequencies(unique), dtype=np.int64)
         idx = np.searchsorted(unique, self._kmers)
         self._frequencies = np.maximum(
             min_frequency, freqs[idx] * multiplier).astype(

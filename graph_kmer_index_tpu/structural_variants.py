@@ -29,13 +29,8 @@ def sample_kmers_from_structural_variants(graph, variant_to_nodes,
             node_sequence = np.asarray(
                 graph.get_numeric_node_sequence(node), dtype=np.uint64)
             node_kmers = sliding_window_hashes(node_sequence, k)
-            if hasattr(kmer_index_with_frequencies, "get_frequencies"):
-                kmer_frequencies = np.asarray(
-                    kmer_index_with_frequencies.get_frequencies(node_kmers))
-            else:  # test doubles with only a scalar accessor
-                kmer_frequencies = np.array(
-                    [kmer_index_with_frequencies.get_frequency(int(h))
-                     for h in node_kmers])
+            kmer_frequencies = np.asarray(
+                kmer_index_with_frequencies.get_frequencies(node_kmers))
             valid = np.where(kmer_frequencies < max_frequency)[0]
 
             # greedy non-overlapping selection

@@ -28,6 +28,9 @@ class DummyKmerIndex:
     def get_frequency(self, kmer):
         return 1
 
+    def get_frequencies(self, kmers):
+        return np.ones(len(kmers), dtype=np.int64)
+
 
 def test_sample_kmers_from_structural_variants():
     graph = DummyGraph({
@@ -68,6 +71,9 @@ def test_reference_differential_structural_variants():
 
         def get_frequency(self, kmer):
             return self.table.get(int(kmer), 0)
+
+        def get_frequencies(self, kmers):
+            return np.array([self.table.get(int(h), 0) for h in kmers])
 
     for trial in range(5):
         seqs = {}
