@@ -1,0 +1,122 @@
+"""Worker process for the 2-process ``jax.distributed`` CPU test.
+
+Spawned (twice) by ``tests/test_parallel.py::
+test_two_process_distributed_matches_single_process`` with a clean env
+(no axon registration, JAX_PLATFORMS=cpu, 4 virtual devices per
+process). Each process joins a 2-process / 8-global-device cluster and
+runs the two collectives whose single-process behavior is already
+pinned — the packed-table sharded count step and the all_gather
+FlatKmers merge — asserting bit-equality with host-side serial results.
+
+This is the closest DCN analog this sandbox allows: sharding metadata
+and collectives actually cross an OS process boundary (the reference's
+L7 is fork+shm, shared_mem.py:123-176; ours claims a process-spanning
+superset, so it must be tested at the process boundary).
+
+Usage: dist_worker.py <process_id> <coordinator_port>
+Prints ``DIST_WORKER_OK pid=N`` on success; ``DIST_UNSUPPORTED: <why>``
+(exit 0) if the backend refuses multi-process CPU so the parent test
+can skip with a reason.
+"""
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = int(sys.argv[2])
+    try:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=2, process_id=pid,
+            local_device_ids=[0, 1, 2, 3])
+    except Exception as e:  # backend refuses multi-process CPU
+        print(f"DIST_UNSUPPORTED: {type(e).__name__}: {e}", flush=True)
+        return
+    assert len(jax.local_devices()) == 4, jax.local_devices()
+    assert len(jax.devices()) == 8, jax.devices()
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    def make_global(mesh, spec, host):
+        """Global array from identical host data in every process."""
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx])
+
+    # --- A: packed-table sharded count step (data axis spans processes)
+    from graph_kmer_index_tpu import DenseKmerFinder, KmerIndex
+    from graph_kmer_index_tpu.graph import Graph
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+    from graph_kmer_index_tpu.parallel.sharded import (
+        PackedTableShards, make_count_step_packed,
+        merge_flat_kmers_all_gather)
+
+    k = 5
+    graph = Graph.from_dicts(
+        {1: "ACTGACTGAC", 2: "A", 3: "G", 4: "CCTGACTGAT"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    finder = DenseKmerFinder(graph, k=k)
+    finder.find()
+    index = KmerIndex.from_flat_kmers(finder.get_flat_kmers(v="1"),
+                                      modulo=4099)
+    n_nodes = graph.n_nodes()
+
+    rng = np.random.default_rng(2)
+    ref_seq = np.concatenate([graph.get_numeric_node_sequence(v)
+                              for v in (1, 2, 4)])
+    reads = np.stack([
+        np.resize(np.roll(ref_seq, -int(s)), 16) for s in
+        rng.integers(0, len(ref_seq), 8)]).astype(np.int32)
+
+    # serial truth, computed host-side in both processes identically
+    hashes = np.asarray(sliding_hashes(jnp.asarray(reads.reshape(-1)), k))
+    pos = np.arange(reads.size) % reads.shape[1]
+    valid = pos <= reads.shape[1] - k
+    expected = np.asarray(index.map_kmers(
+        hashes[valid].astype(np.uint64), n_nodes))
+
+    # 4 (data) x 2 (table) over the 8 global devices: the data axis
+    # spans both processes, the table axis stays intra-process
+    devices = np.asarray(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "table"))
+    shards = PackedTableShards.from_index(index, 2)
+    step = make_count_step_packed(mesh, shards, n_nodes, k)
+    got = np.asarray(step(
+        make_global(mesh, P("data", None), reads),
+        make_global(mesh, P("table", None, None),
+                    np.asarray(shards.records)),
+        make_global(mesh, P("table", None), np.asarray(shards.row_kmers)),
+        make_global(mesh, P("table", None), np.asarray(shards.row_nodes))))
+    np.testing.assert_array_equal(got, expected,
+                                  err_msg="packed count step")
+
+    # --- B: all_gather FlatKmers merge (1-D mesh over both processes)
+    mesh1 = Mesh(np.asarray(jax.devices()), ("data",))
+    n = 64
+    h = rng.integers(0, 1 << 62, n).astype(np.uint64)
+    nd = rng.integers(1, 100, n).astype(np.uint32)
+    r = rng.integers(0, 1000, n).astype(np.uint64)
+    a = rng.random(n).astype(np.float32)
+    merged = merge_flat_kmers_all_gather(
+        mesh1, [make_global(mesh1, P("data"), x) for x in (h, nd, r, a)])
+    for got_col, want_col, name in zip(merged, (h, nd, r, a),
+                                       ("hashes", "nodes", "ref_offsets",
+                                        "allele_frequencies")):
+        np.testing.assert_array_equal(np.asarray(got_col), want_col,
+                                      err_msg=f"all_gather merge {name}")
+
+    print(f"DIST_WORKER_OK pid={pid}", flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

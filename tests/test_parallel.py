@@ -307,3 +307,53 @@ def test_packed_sharded_member_step_matches_single_device():
                                  (shards.row_nodes, P("table", None)))]
         got = np.asarray(step(reads_j, *targs))
         assert np.array_equal(got, expected), (n_data, n_table)
+
+
+def test_two_process_distributed_matches_single_process():
+    """The packed count step and the all_gather FlatKmers merge across
+    TWO OS processes via jax.distributed (2 x 4 virtual CPU devices,
+    8-device global mesh), bit-equal to host-serial results.
+
+    The in-process virtual mesh never crosses the boundary where
+    sharding metadata actually bites; this does — it is the closest DCN
+    analog this sandbox allows (reference L7 contract: fork + POSIX shm,
+    shared_mem.py:123-176). Assertions live in tests/dist_worker.py."""
+    import os
+    import socket
+    import subprocess
+
+    worker = str(pathlib.Path(__file__).resolve().parent / "dist_worker.py")
+    env = dict(os.environ)
+    # a fresh interpreter re-runs sitecustomize: drop the axon trigger
+    # and give each process 4 virtual CPU devices
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    with socket.socket() as s:  # free coordinator port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(port)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:  # exact PIDs only, never by pattern
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+    if any("DIST_UNSUPPORTED" in o for o in outs):
+        import pytest
+        pytest.skip("backend refuses multi-process CPU: "
+                    + next(o for o in outs if "DIST_UNSUPPORTED" in o)
+                    .split("DIST_UNSUPPORTED:")[1].strip())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} rc={p.returncode}:\n{out}"
+        assert f"DIST_WORKER_OK pid={pid}" in out, f"worker {pid}:\n{out}"
