@@ -52,6 +52,12 @@ class UniqueVariantKmersFinder:
         self._position_id_index = position_id_index
         self._nodes_found = set()
         self._use_simple = use_simple
+        # skip-counter discipline (SURVEY §5.5 "no silent caps"): the
+        # batched selector must report how much of a run degraded to the
+        # exact per-variant fallback (~2k/s vs ~26k/s batched)
+        self.n_batched_variants = 0
+        self.n_fallback_variants = 0
+        self.n_zero_node_variants = 0
 
         if self._use_dense_kmer_finder:
             assert self._position_id_index is not None, \
@@ -394,8 +400,10 @@ class UniqueVariantKmersFinder:
         for v, variant in enumerate(variants):
             ref_node, variant_node = int(rn_a[v]), int(vn_a[v])
             if ref_node == 0 or variant_node == 0:
+                self.n_zero_node_variants += 1
                 continue
             if not eligible[v]:
+                self.n_fallback_variants += 1
                 n_before = len(self.flat_kmers_found) + len(slots)
                 found = self.find_unique_kmers_over_variant(
                     variant, ref_node, variant_node)
@@ -405,6 +413,7 @@ class UniqueVariantKmersFinder:
                     logging.warning("DID NOT FIND KMERS ON %s", variant)
                 continue
 
+            self.n_batched_variants += 1
             store_ref = ref_node not in nodes_found
             store_var = variant_node not in nodes_found
             hr_row, ha_row = h_ref[v], h_alt[v]
@@ -500,6 +509,20 @@ class UniqueVariantKmersFinder:
                      len(self.flat_kmers_found))
         logging.info("Done with all variants. N that failed: %d",
                      self.n_failed_variants)
+        n_routed = self.n_batched_variants + self.n_fallback_variants
+        logging.info(
+            "batched selection: %d/%d variants batched, %d exact-fallback"
+            "%s", self.n_batched_variants, n_routed,
+            self.n_fallback_variants,
+            (", %d skipped (zero nodes)" % self.n_zero_node_variants
+             if self.n_zero_node_variants else ""))
+        if n_routed >= 100 and self.n_fallback_variants > n_routed // 2:
+            logging.warning(
+                "batched variant-signature selection degraded: %.0f%% of "
+                "%d variants took the exact per-variant fallback (dense "
+                "variant clusters / non-isolated bubbles) — expect "
+                "per-variant-search throughput, not the batched rate",
+                100.0 * self.n_fallback_variants / n_routed, n_routed)
         return FlatKmers.from_multiple_flat_kmers(self.flat_kmers_found)
 
     def find_unique_kmers(self):

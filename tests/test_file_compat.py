@@ -159,3 +159,63 @@ def test_reference_written_logn_hash_map_loads(tmp_path):
     np.save(f, np.array([2, 5, 9], dtype=np.int64))
     m = LogNHashMap.from_file(f)
     assert m.hash(5) == 1 and m.unhash(2) == 9
+
+
+def test_foreign_bundle_npz_fixture_reconstructs_indexes(tmp_path):
+    """The tolerant foreign-bundle loader against a hand-constructed npz
+    emulating a reference-side bundle: hierarchical ``<DictKey>/<prop>``
+    keys, NO ``__manifest__``, property names exactly as the reference's
+    ``properties`` sets declare them (collision_free_kmer_index.py:
+    164-174, to_file'd via shared_memory_wrapper per index_bundle.py:
+    15-19 — the package itself is unobtainable offline, so this fixture
+    pins the derivable contract: each bundle dict key maps to that
+    index's decomposed property arrays). The loader must hand back REAL
+    index objects, not raw arrays."""
+    from graph_kmer_index_tpu.models.bundle import IndexBundle
+
+    # a small collision-bearing KmerIndex (modulo 4 forces bucket reuse)
+    payload = {
+        "KmerIndex/_hashes_to_index": np.array([0, 0, 1, 0],
+                                               dtype=np.int64),
+        "KmerIndex/_n_kmers": np.array([0, 1, 2, 0], dtype=np.uint32),
+        "KmerIndex/_nodes": np.array([7, 8, 9], dtype=np.uint32),
+        "KmerIndex/_ref_offsets": np.array([1, 2, 3], dtype=np.uint64),
+        "KmerIndex/_kmers": np.array([5, 6, 10], dtype=np.uint64),
+        "KmerIndex/_modulo": np.int64(4),
+        "KmerIndex/_frequencies": np.array([1, 1, 1], dtype=np.uint16),
+        "KmerIndex/_allele_frequencies": np.ones(3, dtype=np.single),
+        "VariantToNodes/ref_nodes": np.array([7, 9], dtype=np.uint32),
+        "VariantToNodes/var_nodes": np.array([8, 10], dtype=np.uint32),
+        # an index type this package does not know must still surface
+        "TrickyVariants/tricky_variants": np.array([0, 1, 0],
+                                                   dtype=np.uint8),
+    }
+    f = str(tmp_path / "foreign_bundle.npz")
+    np.savez(f, **payload)
+
+    bundle = IndexBundle.from_file(f)
+    idx = bundle["KmerIndex"]
+    assert isinstance(idx, CollisionFreeKmerIndex), type(idx)
+    assert list(idx.get(5)[0]) == [7]
+    assert list(idx.get(6)[0]) == [8]   # collision bucket, kmer-resolved
+    assert list(idx.get(10)[0]) == [9]
+    v2n = bundle["VariantToNodes"]
+    assert np.array_equal(v2n.ref_nodes, payload["VariantToNodes/ref_nodes"])
+    assert np.array_equal(v2n.var_nodes, payload["VariantToNodes/var_nodes"])
+    assert list(v2n) == [(7, 8), (9, 10)]
+    tricky = bundle["TrickyVariants"]  # unknown class -> namespace
+    assert np.array_equal(tricky.tricky_variants,
+                          payload["TrickyVariants/tricky_variants"])
+
+
+def test_foreign_flat_npz_exposes_arrays(tmp_path):
+    """A foreign npz with no hierarchy at all (arrays at top level) must
+    load with every array reachable by key."""
+    from graph_kmer_index_tpu.models.bundle import IndexBundle
+
+    f = str(tmp_path / "flat_foreign.npz")
+    np.savez(f, counts=np.arange(5, dtype=np.int64),
+             offsets=np.array([10, 20], dtype=np.uint64))
+    bundle = IndexBundle.from_file(f)
+    assert np.array_equal(bundle["counts"], np.arange(5))
+    assert np.array_equal(bundle["offsets"], [10, 20])

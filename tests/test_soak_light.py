@@ -208,6 +208,78 @@ def test_reference_differential_flagged_configs():
                     err_msg=f"snp {cfg} seed={seed} k={k} {attr}")
 
 
+def test_reference_differential_haplotype_matrix():
+    """SnpKmerFinder with a haplotype matrix vs the in-process reference.
+
+    The reference delegates per-kmer allele frequencies to
+    ``haplotype_matrix.get_allele_frequency_for_nodes(nodes,
+    node_to_variants, variant_to_nodes)`` when one is supplied
+    (reference snp_kmer_finder.py:169-170; ours snp_finder.py:210-211).
+    A stub whose result is an order-sensitive deterministic function of
+    the forwarded node list pins that both implementations invoke it at
+    the same emission points with the same arguments, and that the
+    returned value lands on every row's allele_frequency."""
+    import os
+    import pytest
+    if not os.path.exists("/root/reference"):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "benchmarks"))
+    from reference_harness import load_reference
+    from graph_kmer_index_tpu import SnpKmerFinder
+    ref = load_reference()
+
+    class StubHaplotypeMatrix:
+        """Minimal obgraph.haplotype_matrix-compatible double: answers
+        get_allele_frequency_for_nodes with an order-sensitive hash of
+        the node list, and records that the index structures were
+        forwarded untouched."""
+
+        def __init__(self, expected_n2v, expected_v2n):
+            self._n2v = expected_n2v
+            self._v2n = expected_v2n
+            self.n_calls = 0
+
+        def get_allele_frequency_for_nodes(self, nodes, node_to_variants,
+                                           variant_to_nodes):
+            assert node_to_variants is self._n2v
+            assert variant_to_nodes is self._v2n
+            self.n_calls += 1
+            acc = 0
+            for n in nodes:
+                acc = (acc * 31 + int(n) + 1) % 997
+            return acc / 997.0
+
+    rng = np.random.default_rng(2024)
+    n2v_sentinel = object()
+    for trial in range(3):
+        seed = int(rng.integers(0, 1 << 30))
+        k = int(rng.choice([4, 7, 15]))
+        graph, v2n = random_snp_graph(
+            300, 8, seed=seed,
+            indel_fraction=float(rng.choice([0, 0.5])))
+        for extra in ({}, {"spacing": 2},
+                      {"include_reverse_complements": True}):
+            stub_ours = StubHaplotypeMatrix(n2v_sentinel, v2n)
+            ours = SnpKmerFinder(
+                graph, k=k, haplotype_matrix=stub_ours,
+                variant_to_nodes=v2n, node_to_variants=n2v_sentinel,
+                **extra).find_kmers()
+            stub_ref = StubHaplotypeMatrix(n2v_sentinel, v2n)
+            theirs = ref.SnpKmerFinder(
+                graph, k=k, haplotype_matrix=stub_ref,
+                variant_to_nodes=v2n, node_to_variants=n2v_sentinel,
+                **extra).find_kmers()
+            assert stub_ours.n_calls == stub_ref.n_calls > 0, \
+                (trial, seed, k, extra)
+            for attr in ("_hashes", "_nodes", "_ref_offsets",
+                         "_allele_frequencies"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ours, attr)),
+                    np.asarray(getattr(theirs, attr)),
+                    err_msg=f"haplo seed={seed} k={k} {extra} {attr}")
+
+
 def test_reference_differential_unique_variant_kmers():
     """UniqueVariantKmersFinder vs the in-process reference: bit-equal
     signature rows on random VCF graphs, in both SnpKmerFinder mode

@@ -140,8 +140,13 @@ def test_batched_signatures_match_per_variant_path():
         flat_a = a.find_unique_kmers()
         b = make()
         flat_b = b.find_unique_kmers_batched()
-        n_vectorized += int(np.count_nonzero(
+        n_eligible = int(np.count_nonzero(
             b._batched_geometry(list(variants))["eligible"]))
+        n_vectorized += n_eligible
+        # routing counters account for every variant and match geometry
+        assert b.n_batched_variants == n_eligible
+        assert (b.n_batched_variants + b.n_fallback_variants
+                + b.n_zero_node_variants) == len(list(variants))
         for attr in ("_hashes", "_nodes", "_ref_offsets",
                      "_allele_frequencies"):
             np.testing.assert_array_equal(
@@ -196,3 +201,64 @@ def test_multi_chromosome_variant_signatures():
                                   np.asarray(flat_b._hashes))
     np.testing.assert_array_equal(np.asarray(flat._nodes),
                                   np.asarray(flat_b._nodes))
+
+
+def test_batched_fallback_counter_and_warning_on_dense_bubbles():
+    """A dense-variant VCF (every variant within k of its neighbors)
+    must route mostly through the exact per-variant fallback, stay
+    bit-identical to the per-variant path, count the degradation in
+    n_fallback_variants, and say so loudly in the summary log
+    (SURVEY §5.5 "no silent caps")."""
+    import logging
+    from graph_kmer_index_tpu.graph_builder import build_graph_from_vcf
+    from graph_kmer_index_tpu import SnpKmerFinder
+
+    rng = np.random.default_rng(31)
+    kk = 15
+    n_v = 120
+    seq = list(rng.choice(list("ACGT"), size=40 + n_v * 6))
+    variants = []
+    pos = 20
+    for i in range(n_v):  # spacing 5-7 << k: nothing is isolated
+        refb = seq[pos - 1]
+        alt = str(rng.choice([b for b in "ACGT" if b != refb]))
+        variants.append(VcfVariant("1", pos, refb, alt, vcf_line_number=i))
+        pos += int(rng.integers(5, 8))
+    variants = VcfVariants(variants)
+    graph, v2n = build_graph_from_vcf({"1": "".join(seq)}, variants)
+    base_flat = SnpKmerFinder(graph, k=kk).find_kmers()
+    freq_index = KmerIndex.from_flat_kmers(base_flat, modulo=4099)
+
+    def make():
+        return UniqueVariantKmersFinder(
+            graph, v2n, variants, k=kk,
+            kmer_index_with_frequencies=freq_index)
+
+    a = make()
+    flat_a = a.find_unique_kmers()
+    b = make()
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    handler = Capture()
+    logging.getLogger().addHandler(handler)
+    try:
+        flat_b = b.find_unique_kmers_batched()
+    finally:
+        logging.getLogger().removeHandler(handler)
+
+    for attr in ("_hashes", "_nodes", "_ref_offsets",
+                 "_allele_frequencies"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(flat_a, attr)),
+            np.asarray(getattr(flat_b, attr)), err_msg=attr)
+    routed = b.n_batched_variants + b.n_fallback_variants
+    assert routed + b.n_zero_node_variants == n_v
+    assert b.n_fallback_variants > routed // 2, (
+        b.n_batched_variants, b.n_fallback_variants)
+    warned = [r for r in records if r.levelno >= logging.WARNING
+              and "degraded" in r.getMessage()]
+    assert warned, "expected a degraded-selection warning"
