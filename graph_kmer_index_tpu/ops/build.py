@@ -34,6 +34,26 @@ def _sort_rows(kmers, row_ids, modulo):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+def _sort_and_gather(kmers, modulo, *row_arrays):
+    """Sort + sorted-bucket column + row reorders, ONE compile unit.
+
+    These were previously one jit (the sort) plus six eager dispatches
+    (bucket recompute, dtype cast, four permutation gathers); on this
+    sandbox every eager kernel is its own remote compile, which
+    dominated the measured build wall time at production scale. Fused,
+    the whole n-sized stage is one program — the modulo-sized bucket
+    tables stay a separate stage (see _bucket_tables) so their
+    temporaries never coexist with the sort's."""
+    n = kmers.shape[0]
+    buckets = kmers % jnp.uint64(modulo)
+    buckets = (buckets.astype(jnp.int32) if modulo < 2**31
+               else buckets.astype(jnp.int64))
+    sorted_buckets, perm = jax.lax.sort_key_val(
+        buckets, jnp.arange(n, dtype=jnp.int32), is_stable=True)
+    return (perm, sorted_buckets) + tuple(a[perm] for a in row_arrays)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def _bucket_tables(sorted_buckets, modulo):
     """starts[modulo], sizes[modulo] from the sorted bucket column.
 
@@ -74,16 +94,13 @@ def build_modulo_layout_device(hashes: np.ndarray, modulo: int, row_arrays):
         kmers_j = hashes.astype(jnp.uint64)  # device input: zero-copy
     else:
         kmers_j = jnp.asarray(np.asarray(hashes, dtype=np.uint64))
-    perm = _sort_rows(kmers_j, jnp.arange(n, dtype=jnp.int32), int(modulo))
-    sorted_buckets = kmers_j[perm] % jnp.uint64(modulo)
-    # int32 scatter indices when the modulo fits (int64 emulated)
-    sorted_buckets = (sorted_buckets.astype(jnp.int32) if modulo < 2**31
-                      else sorted_buckets.astype(jnp.int64))
+    # one fused program: sort + bucket column + row reorders (the rows
+    # are headed for HBM anyway — a host round-trip of the permutation
+    # costs more than the whole build at scale)
+    perm, sorted_buckets, *rows = _sort_and_gather(
+        kmers_j, int(modulo), *[jnp.asarray(a) for a in row_arrays])
+    jax.block_until_ready(perm)  # stage boundary: free sort temporaries
     starts, sizes = _bucket_tables(sorted_buckets, int(modulo))
-    # row reorder happens on device too: the arrays are headed for HBM
-    # anyway (lookup kernels) and a host round-trip of the permutation
-    # costs more than the whole build at scale
-    rows = [jnp.asarray(a)[perm] for a in row_arrays]
     return starts, sizes, rows, perm
 
 

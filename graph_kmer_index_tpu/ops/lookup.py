@@ -215,6 +215,40 @@ def _packed_sizes(bs, modulo2):
     return sizes_tbl[bs], jnp.max(sizes_tbl)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _packed_stage1(kmers, nodes, modulo2):
+    """Fused stage 1: sort by internal bucket + per-row bucket sizes +
+    max bucket size + deep-row count, ONE compile unit.
+
+    Previously this was two jits (_packed_sort, _packed_sizes) plus
+    ~10 eager kernels for the dup2 masks and the deep-fraction sum; on
+    this sandbox each eager dispatch is its own remote compile, and
+    those dominated the measured packed-build wall time (the scatter
+    campaign itself runs at ~9 M rows/s). The big record buffer still
+    builds in a separate stage (_packed_records) so the sort
+    temporaries here never coexist with it in HBM."""
+    n = kmers.shape[0]
+    bucket = kmers % jnp.uint64(modulo2)
+    bucket = (bucket.astype(jnp.int32) if modulo2 < 2**31
+              else bucket.astype(jnp.int64))
+    bs, perm = jax.lax.sort_key_val(
+        bucket, jnp.arange(n, dtype=jnp.int32), is_stable=True)
+    ks = kmers[perm]
+    ns = nodes[perm].astype(jnp.uint32)
+    sizes_tbl = jnp.zeros(modulo2, jnp.int32).at[bs].add(1, mode="drop")
+    sz_row = sizes_tbl[bs]
+    max_sz = jnp.max(sizes_tbl)
+    # deep rows (size > 2 or dup2 pairs) size the lookup kernels' deep-
+    # query compaction capacity — an all-hit batch's deep share
+    # approaches this fraction
+    is_first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
+    is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
+        & ~is_first
+    dup_b, dup_a = _dup2_masks(is_second, sz_row, ks)
+    deep_count = jnp.sum((sz_row > 2) | dup_a | dup_b)
+    return bs, ks, ns, sz_row, max_sz, deep_count
+
+
 def _dup2_masks(is_second, sz_row, ks, xp=jnp):
     """The dup2-bucket masks, shared by every packed-record builder
     (device build here, numpy shard build in parallel.sharded).
@@ -236,7 +270,7 @@ def _dup2_masks(is_second, sz_row, ks, xp=jnp):
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def _packed_records(bs, ks, ns, sz_row, modulo2):
-    """Stage 3: the flat 8-lane uint32 record buffer.
+    """Stage 2: the (groups, 128) uint32 record table (16 buckets/row).
 
     Record for bucket b, lanes [8b..8b+8): [k0_lo, k0_hi, node0, ~size,
     k1_lo, k1_hi, node1_or_start, spare]. All-uint32 on purpose: uint64
@@ -281,16 +315,10 @@ def _packed_records(bs, ks, ns, sz_row, modulo2):
     rec = rec.at[jnp.where(is_first, tb + 3, oob)].set(~szv, mode="drop")
     t_deep = jnp.where(is_first & ((sz_row > 2) | dup_a), tb + 6, oob)
     rec = rec.at[t_deep].set(idx.astype(jnp.uint32), mode="drop")
-    return rec
-
-
-@functools.partial(jax.jit, static_argnums=(1,))
-def _packed_reshape(rec_flat, modulo2):
-    """Reshape the flat record buffer to (groups, 128) uint32 — 16
-    buckets per row. ANY narrower minor dim gets (8,128)-tile-padded on
-    this TPU (a (m,8) u32 view cost 16x its size); 128 lanes exactly is
-    unpadded, and 512-byte row gathers measure 83M/s."""
-    return rec_flat.reshape(rec_flat.shape[0] // 128, 128)
+    # 16 buckets (16 x 8 lanes) per 128-lane row — the only minor-dim
+    # size the TPU stores without (8,128) tile padding; reshaping here
+    # keeps the whole record stage one compile unit
+    return rec.reshape(rec.shape[0] // 128, 128)
 
 
 def _build_packed(kmers, nodes, modulo2):
@@ -300,24 +328,20 @@ def _build_packed(kmers, nodes, modulo2):
     deep-query compaction capacity of the lookup kernels (an all-hit
     query batch's deep share approaches it)."""
     n = int(kmers.shape[0])
-    bs, ks, ns = _packed_sort(kmers, nodes, modulo2)
-    jax.block_until_ready(ks)
-    sz_row, max_sz = _packed_sizes(bs, modulo2)
-    max_sz = int(max_sz)
-    # dup2 rows count toward the deep fraction: their hit queries go
-    # through the same compaction (an all-hit batch's deep share
-    # approaches this number)
-    if n:
-        is_first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
-        is_second = jnp.concatenate([jnp.zeros(1, bool), is_first[:-1]]) \
-            & ~is_first
-        dup_b, dup_a = _dup2_masks(is_second, sz_row, ks)
-        deep_frac = float(jnp.sum((sz_row > 2) | dup_a | dup_b)) / n
+    if n == 0:
+        bs, ks, ns = _packed_sort(kmers, nodes, modulo2)
+        sz_row = jnp.zeros(0, jnp.int32)
+        max_sz, deep_frac = 0, 0.0
     else:
-        deep_frac = 0.0
-    rec_flat = _packed_records(bs, ks, ns, sz_row, modulo2)
-    jax.block_until_ready(rec_flat)
-    rec = _packed_reshape(rec_flat, modulo2)
+        bs, ks, ns, sz_row, max_sz, deep_count = _packed_stage1(
+            kmers, nodes, modulo2)
+        jax.block_until_ready(ks)  # stage boundary: free sort temporaries
+        max_sz = int(max_sz)
+        # dup2 rows count toward the deep fraction: their hit queries go
+        # through the same compaction (an all-hit batch's deep share
+        # approaches this number)
+        deep_frac = int(deep_count) / n
+    rec = _packed_records(bs, ks, ns, sz_row, modulo2)
     jax.block_until_ready(rec)
     return rec, ks, ns, max_sz, deep_frac
 
