@@ -9,6 +9,14 @@ transfer than uploading expanded rows for the index build that follows
 (the dominant cost of the end-to-end `index` pipeline on this
 environment's slow host link, and a PCIe round-trip saved anywhere).
 
+Transfer diet (round 3): the tape crosses the link 2-bit-packed (4
+bases/byte — tape values are raw graph sequence digits 0..3, dummy
+nodes contribute nothing, finder.py _emit_span), and the two exclusive-
+start columns (span tape starts, span node-list starts) are derived on
+device as cumsums of the lengths instead of being uploaded — span tape
+slices are emitted consecutively (walker emit_span appends exactly
+n_windows + k - 1 bases per span), so the starts are pure prefix sums.
+
 The result feeds ops.build.build_modulo_layout_device without ever
 leaving HBM.  Semantics mirror finder._finalize's vectorized host path
 (itself the batched equivalent of reference kmer_finder.py:128-168 row
@@ -25,15 +33,40 @@ import numpy as np
 from .encode import sliding_hashes
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _expand(k, total_windows, total_rows, tape, ts, nw, cum_nw, s_node,
-            s_off, nl, ns, span_nodes, s_af, start_ids):
-    """One fused device program: sliding-window hash of the tape, then
-    window- and row-index expansion via jnp.repeat with static totals.
-    All index arrays are built on device from the span-level inputs —
-    nothing O(windows) or O(rows) crosses the host link."""
+def _pack_tape(tape: np.ndarray) -> np.ndarray:
+    """Host-side 2-bit packing, base j of byte i at bits [2j, 2j+2)."""
+    tape = np.asarray(tape, dtype=np.uint8)
+    pad = (-len(tape)) % 4
+    if pad:
+        tape = np.concatenate([tape, np.zeros(pad, np.uint8)])
+    q = tape.reshape(-1, 4)
+    return (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+            | (q[:, 3] << 6)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _expand(k, total_tape, total_windows, total_rows, tape_packed, nw,
+            s_node, s_off, nl, span_nodes, s_af, start_ids):
+    """One fused device program: 2-bit tape unpack, sliding-window hash,
+    then window- and row-index expansion via jnp.repeat with static
+    totals. All index arrays are built on device from the span-level
+    inputs — nothing O(windows) or O(rows) crosses the host link.
+
+    The unpack stays strictly 1-D (repeat + iota shift): any 2-D
+    intermediate with a narrow minor dim would be (8,128)-tile-padded
+    on this TPU (see ops/lookup.py layout notes)."""
     n_spans = nw.shape[0]
-    hashes = sliding_hashes(jnp.maximum(tape, 0).astype(jnp.int32), k)
+    rep = jnp.repeat(tape_packed, 4)  # byte b at positions 4b..4b+3
+    shift = (jnp.arange(rep.shape[0], dtype=jnp.uint8) & jnp.uint8(3)) \
+        * jnp.uint8(2)
+    tape = ((rep >> shift) & jnp.uint8(3))[:total_tape].astype(jnp.int32)
+    hashes = sliding_hashes(tape, k)
+    # exclusive prefix sums: spans own consecutive tape slices of
+    # exactly nw + k - 1 bases and consecutive node-list slices of nl
+    tlen = nw + jnp.int32(k - 1)
+    ts = jnp.cumsum(tlen) - tlen
+    ns = jnp.cumsum(nl) - nl
+    cum_nw = jnp.cumsum(nw) - nw
     span_ids = jnp.arange(n_spans, dtype=jnp.int32)
     win_span = jnp.repeat(span_ids, nw, total_repeat_length=total_windows)
     win_local = jnp.arange(total_windows, dtype=jnp.int32) - cum_nw[win_span]
@@ -56,13 +89,17 @@ def _expand(k, total_windows, total_rows, tape, ts, nw, cum_nw, s_node,
     return kmers, nodes, ref_offsets, af
 
 
-def expand_spans_device(tape, ts, nw, s_node, s_off, nl, ns, span_nodes,
+def expand_spans_device(tape, nw, s_node, s_off, nl, span_nodes,
                         s_af, position_start_ids, k):
     """Expand merged span arrays to device-resident FlatKmers columns.
 
-    Inputs are host numpy (span-level, small; plus the int8 tape);
-    returns (hashes u64, nodes i32, ref_offsets u64, allele_freqs f32)
-    as JAX device arrays in finder emission order.
+    Inputs are host numpy (span-level, small; plus the int8 tape, which
+    is 2-bit-packed before crossing the link); returns (hashes u64,
+    nodes i32, ref_offsets u64, allele_freqs f32) as JAX device arrays
+    in finder emission order. Span tape slices must be consecutive in
+    ``tape`` (each exactly ``nw[i] + k - 1`` bases) and node lists
+    consecutive in ``span_nodes`` (each ``nl[i]`` entries) — the
+    emission invariant of finder._emit_span / walker emit_span.
     """
     nw = np.asarray(nw, dtype=np.int64)
     nl = np.asarray(nl, dtype=np.int64)
@@ -74,17 +111,13 @@ def expand_spans_device(tape, ts, nw, s_node, s_off, nl, ns, span_nodes,
                 jnp.zeros(0, jnp.float32))
     assert len(tape) < 2**31 and total_rows < 2**31, \
         "int32 device index space exceeded; chunk the build"
-    cum_nw = np.concatenate([[0], np.cumsum(nw)[:-1]])
     return _expand(
-        int(k), total_windows, total_rows,
-        jnp.asarray(np.asarray(tape, dtype=np.int8)),
-        jnp.asarray(np.asarray(ts, dtype=np.int32)),
+        int(k), int(len(tape)), total_windows, total_rows,
+        jnp.asarray(_pack_tape(tape)),
         jnp.asarray(nw.astype(np.int32)),
-        jnp.asarray(cum_nw.astype(np.int32)),
         jnp.asarray(np.asarray(s_node, dtype=np.int32)),
         jnp.asarray(np.asarray(s_off, dtype=np.int32)),
         jnp.asarray(nl.astype(np.int32)),
-        jnp.asarray(np.asarray(ns, dtype=np.int32)),
         jnp.asarray(np.asarray(span_nodes, dtype=np.int32)),
         jnp.asarray(np.asarray(s_af, dtype=np.float32)),
         jnp.asarray(np.asarray(position_start_ids, dtype=np.int64)))

@@ -244,12 +244,19 @@ def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
     raw_nl = np.concatenate([r[5] for r in results])
     raw_nodes = np.concatenate([r[6] for r in results])
 
+    # the device expansion derives tape starts as cumsum(nw + k - 1) —
+    # pin the emission invariant it relies on (every span's tape slice
+    # is exactly nw + k - 1 bases, emitted consecutively)
+    tlen = nw.astype(np.int64) + (k - 1)
+    assert np.array_equal(ts, np.cumsum(tlen) - tlen), \
+        "span tape slices are not consecutive; device finalize invariant"
+
     from ..finder import _dedup_span_nodes
     from ..ops.finalize import expand_spans_device
     nl, ns, span_nodes, s_af = _dedup_span_nodes(
         raw_nl, raw_nodes, graph.allele_frequencies,
         only_save_one, only_store_nodes)
     hashes, nodes, ref_offsets, af = expand_spans_device(
-        tape, ts, nw, s_node, s_off, nl, ns, span_nodes, s_af,
+        tape, nw, s_node, s_off, nl, span_nodes, s_af,
         position_id._start_ids, k)
     return FlatKmers(hashes, nodes, ref_offsets, af)
