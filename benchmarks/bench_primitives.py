@@ -322,7 +322,105 @@ def k_scatter_add_sorted():
     return _chain_rate(apply, idx0, n_q)
 
 
+def k_pallas_stream_copy():
+    """HBM bandwidth CONTROL: a pure Pallas stream copy (read n bytes,
+    write n bytes, zero compute). Returns BYTES moved per second
+    (read + write). This is the achievable-ceiling measurement the
+    hashing kernel's roofline claim is judged against: if this measures
+    far above the P16 kernel's effective GB/s, the kernel has headroom;
+    if both plateau together, the environment (not the kernel) is the
+    ceiling."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = (1 << 20) if not _SMALL else (1 << 10)   # x 128 f32 = 512 MB
+    block = (1 << 12) if not _SMALL else (1 << 7)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.random((n_rows, 128)).astype(np.float32))
+
+    def kernel(in_ref, out_ref):
+        out_ref[:] = in_ref[:]
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_rows // block,),
+            in_specs=[pl.BlockSpec((block, 128), lambda i: (i, i - i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((block, 128), lambda i: (i, i - i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),
+            interpret=_INTERPRET,
+        )(x)
+
+    return _chain_rate(run, x0, 2 * n_rows * 128 * 4)  # bytes/s
+
+
+def k_pallas_stream_sum():
+    """HBM read bandwidth CONTROL: a read-only Pallas stream sum (read n
+    bytes, write one scalar per block). Returns BYTES READ per second —
+    the read-only sibling of stream_copy; together they bracket the
+    bytes/base-limited hashing kernel's achievable ceiling. The chain's
+    data dependence enters through an SMEM scalar so XLA cannot hoist
+    the constant-table read out of the timing loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = (1 << 20) if not _SMALL else (1 << 10)   # x 128 f32 = 512 MB
+    block = (1 << 12) if not _SMALL else (1 << 7)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.random((n_rows, 128)).astype(np.float32))
+    x0 = jnp.asarray(rng.integers(1, 100, 1024).astype(np.int32))
+
+    def kernel(seed_ref, in_ref, out_ref):
+        out_ref[0] = jnp.sum(in_ref[:]) + seed_ref[0].astype(jnp.float32)
+
+    @jax.jit
+    def run(x, table):
+        seed = x[:1]
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_rows // block,),
+            in_specs=[
+                pl.BlockSpec((1,), lambda i: (i - i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((block, 128), lambda i: (i, i - i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1,), lambda i: (i,),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_rows // block,), jnp.float32),
+            interpret=_INTERPRET,
+        )(seed, table)
+        # fold the sums back into the (tiny) carried vector
+        return (x + jnp.sum(sums).astype(jnp.int32)) % 1000 + 1
+
+    return _chain_rate(run, x0, n_rows * 128 * 4, consts=(table,))
+
+
+def k_xla_stream_scale():
+    """XLA elementwise stream (y = x * c): what plain XLA achieves on
+    the same read-n/write-n pattern as stream_copy. Returns bytes/s."""
+    import jax.numpy as jnp
+    n_rows = (1 << 20) if not _SMALL else (1 << 10)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.random((n_rows, 128)).astype(np.float32) + 0.5)
+
+    def apply(x):
+        return x * jnp.float32(1.0000001)
+
+    return _chain_rate(apply, x0, 2 * n_rows * 128 * 4)
+
+
 KERNELS = {
+    "stream_copy": k_pallas_stream_copy,
+    "stream_sum": k_pallas_stream_sum,
+    "xla_stream_scale": k_xla_stream_scale,
     "gather8": k_gather8,
     "gather32": k_gather32,
     "scatter_add_sorted": k_scatter_add_sorted,

@@ -57,3 +57,26 @@ def test_p16_kernel_matches_numpy(k):
     lo, hi = sliding_hashes_pallas_p16(jnp.asarray(seq), k, interpret=True)
     got = np.asarray(combine_u32_pair(lo, hi))
     np.testing.assert_array_equal(got, want)
+
+
+def test_stream_control_kernels_interpret():
+    """The HBM-bandwidth control kernels (benchmarks/bench_primitives)
+    must be semantically a copy / a sum — their GB/s numbers back the
+    hashing kernel's roofline claim, so their correctness matters."""
+    import os
+    import subprocess
+    import sys
+    import pathlib
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(JAX_PLATFORMS="cpu", GKI_PALLAS_INTERPRET="1",
+               GKI_BENCH_SMALL="1")
+    bench = str(pathlib.Path(__file__).resolve().parents[1]
+                / "benchmarks" / "bench_primitives.py")
+    out = subprocess.run(
+        [sys.executable, bench, "stream_copy,stream_sum"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    for name in ("stream_copy", "stream_sum"):
+        assert f"{name}:" in out.stdout and "FAILED" not in out.stdout, \
+            out.stdout
