@@ -7,8 +7,20 @@ fill of a large array should therefore go through :func:`hp_empty` /
 :func:`hp_zeros`, which advise the kernel to back the range with 2MB
 pages *before* the first write.
 
+MADV_HUGEPAGE alone is NOT enough once the process heap is fragmented:
+with THP defrag in ``madvise`` mode each huge-page fault does
+synchronous compaction, measured at ~27ms per 2MB page in a churned
+process (vs 0.7ms fresh) — a 124MB finalize output set cost 6.6s of
+faults that way.  MADV_POPULATE_WRITE populates the range in one
+syscall at allocation time (0.02s per 128MB measured in BOTH regimes),
+so :func:`hp_empty` — whose contract is allocate-then-fill-everything —
+populates eagerly.  :func:`hp_zeros` keeps lazily-zeroed pages by
+default (its big callers are modulo-sized tables that may stay sparse
+and rely on shared zero pages for RSS).
+
 No-ops anywhere madvise is unavailable.  Safe on already-touched memory
-(madvise(MADV_HUGEPAGE) only affects future faults).
+(madvise(MADV_HUGEPAGE) only affects future faults; POPULATE_WRITE on
+populated pages is a cheap no-op walk).
 """
 import ctypes
 import sys
@@ -16,6 +28,7 @@ import sys
 import numpy as np
 
 _MADV_HUGEPAGE = 14
+_MADV_POPULATE_WRITE = 23
 _PAGE = 4096
 _MIN_BYTES = 1 << 20  # don't bother below 1MB
 
@@ -27,8 +40,7 @@ if sys.platform.startswith("linux"):
         _libc = None
 
 
-def madvise_hugepage(arr: np.ndarray) -> bool:
-    """Advise THP backing for ``arr``'s buffer. Returns True on success."""
+def _madvise(arr: np.ndarray, advice: int) -> bool:
     if _libc is None or arr.nbytes < _MIN_BYTES:
         return False
     addr = arr.ctypes.data
@@ -37,20 +49,35 @@ def madvise_hugepage(arr: np.ndarray) -> bool:
     if end <= start:
         return False
     return _libc.madvise(ctypes.c_void_p(start),
-                         ctypes.c_size_t(end - start), _MADV_HUGEPAGE) == 0
+                         ctypes.c_size_t(end - start), advice) == 0
+
+
+def madvise_hugepage(arr: np.ndarray) -> bool:
+    """Advise THP backing for ``arr``'s buffer. Returns True on success."""
+    return _madvise(arr, _MADV_HUGEPAGE)
+
+
+def madvise_populate(arr: np.ndarray) -> bool:
+    """Populate ``arr``'s pages now (one syscall, no per-page faults).
+    Returns True on success; False on old kernels (< 5.14, EINVAL) —
+    callers then just pay first-touch faults as before."""
+    return _madvise(arr, _MADV_POPULATE_WRITE)
 
 
 def hp_empty(shape, dtype) -> np.ndarray:
     a = np.empty(shape, dtype)
     madvise_hugepage(a)
+    madvise_populate(a)
     return a
 
 
-def hp_zeros(shape, dtype) -> np.ndarray:
+def hp_zeros(shape, dtype, populate=False) -> np.ndarray:
     # np.zeros gets lazily-zeroed pages from calloc; the advice must
     # land before the consumer's first write, which this guarantees
     a = np.zeros(shape, dtype)
     madvise_hugepage(a)
+    if populate:
+        madvise_populate(a)
     return a
 
 
