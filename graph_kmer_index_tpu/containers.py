@@ -27,7 +27,10 @@ class NpList:
         self._data = np.zeros(100, dtype=self._dtype)
 
     def _grow(self, new_length):
-        new_data = hp_zeros(new_length, self._data.dtype)
+        # populate=True: the copy below immediately writes the whole
+        # prefix (>= 1/1.5 of the buffer), and lazily-faulted pages cost
+        # ~27ms/2MB under heap fragmentation (utils/hugepages.py)
+        new_data = hp_zeros(new_length, self._data.dtype, populate=True)
         new_data[: self._n_elements] = self._data[: self._n_elements]
         self._data = new_data
 
