@@ -224,7 +224,9 @@ def main():
                           min(120, remaining() - 30), env=_cpu_env())
     if not cpu_rate:
         state["error"] = "cpu baseline failed; no measurements"
-        emit()
+        # keep a distinct, un-popped marker: a later device success must
+        # not masquerade as a clean 0x-speedup measurement
+        state["baseline_error"] = "cpu baseline failed; vs_baseline unknown"
         cpu_rate = None
     emit()
 

@@ -356,6 +356,13 @@ def k_pallas_stream_copy():
             interpret=_INTERPRET,
         )(x)
 
+    # semantic self-check: the control is only a control if it really
+    # copies (device-side compare; one scalar crosses the link)
+    mism = int(jnp.sum(run(x0) != x0))
+    if mism:
+        raise ValueError(f"stream_copy kernel corrupted {mism} lanes")
+    print(json.dumps({"verified": "stream_copy"}), file=sys.stderr,
+          flush=True)
     return _chain_rate(run, x0, 2 * n_rows * 128 * 4)  # bytes/s
 
 
@@ -380,12 +387,13 @@ def k_pallas_stream_sum():
     def kernel(seed_ref, in_ref, out_ref):
         out_ref[0] = jnp.sum(in_ref[:]) + seed_ref[0].astype(jnp.float32)
 
+    n_blocks = n_rows // block
+
     @jax.jit
-    def run(x, table):
-        seed = x[:1]
-        sums = pl.pallas_call(
+    def block_sums(x, table):
+        return pl.pallas_call(
             kernel,
-            grid=(n_rows // block,),
+            grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec((1,), lambda i: (i - i,),
                              memory_space=pltpu.SMEM),
@@ -394,12 +402,25 @@ def k_pallas_stream_sum():
             ],
             out_specs=pl.BlockSpec((1,), lambda i: (i,),
                                    memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_rows // block,), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_blocks,), jnp.float32),
             interpret=_INTERPRET,
-        )(seed, table)
-        # fold the sums back into the (tiny) carried vector
-        return (x + jnp.sum(sums).astype(jnp.int32)) % 1000 + 1
+        )(x[:1], table)
 
+    def run(x, table):
+        # fold the sums back into the (tiny) carried vector
+        return (x + jnp.sum(block_sums(x, table)).astype(jnp.int32)) \
+            % 1000 + 1
+
+    # semantic self-check: block sums must reduce to the table's sum
+    # (f64 accumulation of the f32 block sums; ordering slack only)
+    import math
+    got = float(jnp.sum(block_sums(x0, table).astype(jnp.float64)))
+    want = float(jnp.sum(table.astype(jnp.float64)))
+    want += n_blocks * float(x0[0])
+    if not math.isclose(got, want, rel_tol=1e-4):
+        raise ValueError(f"stream_sum kernel wrong: {got} vs {want}")
+    print(json.dumps({"verified": "stream_sum"}), file=sys.stderr,
+          flush=True)
     return _chain_rate(run, x0, n_rows * 128 * 4, consts=(table,))
 
 

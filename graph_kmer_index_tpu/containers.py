@@ -165,8 +165,10 @@ class Counter:
                 return self._counts[:0]
             return self._counts[i : i + 1]
         kmers = np.asarray(kmers)
+        if len(self._keys) == 0:
+            return np.zeros(len(kmers), dtype=self._counts.dtype)
         i = np.clip(np.searchsorted(self._keys, kmers), 0,
-                    max(len(self._keys) - 1, 0))
+                    len(self._keys) - 1)
         hit = self._keys[i] == kmers
         return np.where(hit, self._counts[i], 0)
 

@@ -34,8 +34,16 @@ from .encode import sliding_hashes
 
 
 def _pack_tape(tape: np.ndarray) -> np.ndarray:
-    """Host-side 2-bit packing, base j of byte i at bits [2j, 2j+2)."""
-    tape = np.asarray(tape, dtype=np.uint8)
+    """Host-side 2-bit packing, base j of byte i at bits [2j, 2j+2).
+
+    Negative values clamp to base 0 BEFORE packing — the same
+    ``np.maximum(tape, 0)`` the host finalize paths apply (finder.py
+    _finalize), so a foreign graph with a negative sentinel hashes
+    identically on both paths. Codes > 3 violate the 2-bit sequence
+    contract everywhere (our builders never produce them; the host path
+    would hash them as garbage digits) and pack to base 0 here."""
+    tape = np.maximum(np.asarray(tape, dtype=np.int16), 0)
+    tape = np.where(tape > 3, 0, tape).astype(np.uint8)
     pad = (-len(tape)) % 4
     if pad:
         tape = np.concatenate([tape, np.zeros(pad, np.uint8)])

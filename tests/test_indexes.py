@@ -760,3 +760,20 @@ def test_index_bundle_device_built_index_roundtrip():
     loaded = IndexBundle.from_file(p)["KmerIndex"]
     assert loaded.has_kmers(kmers[:16]).all()
     assert not loaded.has_kmers(np.array([999999999], np.uint64))[0]
+
+
+def test_empty_counter_vectorized_frequencies():
+    """Regression: vectorized Counter lookup on a zero-key counter must
+    return zeros like the scalar accessor, not IndexError (reachable
+    from every frequency-scoring path via an empty FlatKmers)."""
+    from graph_kmer_index_tpu.models.counters import KmerCounter
+    from graph_kmer_index_tpu.flat_kmers import FlatKmers
+
+    empty = FlatKmers(np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                      np.zeros(0, np.uint32))
+    kc = KmerCounter.from_flat_kmers(empty, 101)
+    qs = np.array([5, 9], dtype=np.uint64)
+    assert kc.get_frequencies(qs).tolist() == [0, 0]
+    assert kc.get_frequency(5) == 0
+    assert empty.maximum_kmer_frequency(kc) == 0
+    assert empty.sum_of_kmer_frequencies(kc) == 0

@@ -339,9 +339,18 @@ def test_two_process_distributed_matches_single_process():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)]
     outs = []
+    timed_out = False
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                # e.g. one worker refused the backend and exited while
+                # the coordinator blocks in initialize(): kill and keep
+                # whatever output exists so the skip check still runs
+                timed_out = True
+                p.kill()
+                out, _ = p.communicate()
             outs.append(out)
     finally:
         for p in procs:  # exact PIDs only, never by pattern
@@ -354,6 +363,8 @@ def test_two_process_distributed_matches_single_process():
         pytest.skip("backend refuses multi-process CPU: "
                     + next(o for o in outs if "DIST_UNSUPPORTED" in o)
                     .split("DIST_UNSUPPORTED:")[1].strip())
+    assert not timed_out, \
+        "distributed workers hung past 300s:\n" + "\n---\n".join(outs)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} rc={p.returncode}:\n{out}"
         assert f"DIST_WORKER_OK pid={pid}" in out, f"worker {pid}:\n{out}"
