@@ -61,11 +61,14 @@ def _build_modulo_layout(hashes, modulo, row_arrays):
     # host provisions fresh pages at ~22 MB/s — an int64 build plus a
     # downcast copy would cost 3x the footprint for nothing
     idx_dtype = np.int32 if len(hashes) < 2**31 else np.int64
-    lookup = hp_zeros(modulo, idx_dtype)
+    # populate=True: the bucket scatters touch ~every 2MB page of the
+    # tables in random order; lazily-faulted huge pages cost ~27ms each
+    # under heap fragmentation (utils/hugepages.py) vs one bulk populate
+    lookup = hp_zeros(modulo, idx_dtype, populate=True)
     lookup[unique_hashes] = starts
     n_entries = np.ediff1d(starts, to_end=len(hashes) - starts[-1]) \
         if len(starts) else np.zeros(0, dtype=np.int64)
-    n_kmers = hp_zeros(modulo, np.uint32)
+    n_kmers = hp_zeros(modulo, np.uint32, populate=True)
     n_kmers[unique_hashes] = n_entries
     return lookup, n_kmers, rows, sorting
 
