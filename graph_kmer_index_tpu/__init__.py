@@ -46,6 +46,7 @@ from .models.kmer_index import (  # noqa: E402,F401
 from .models.reverse_index import ReverseKmerIndex  # noqa: E402,F401
 from .models.reference_index import ReferenceKmerIndex  # noqa: E402,F401
 from .models.unique_index import UniqueKmerIndex  # noqa: E402,F401
+from .models.variant_nodes_index import VariantNodesIndex  # noqa: E402,F401
 from .models.counters import (  # noqa: E402,F401
     KmerCounter,
     CountMinSketchKmerCounter,
