@@ -67,7 +67,11 @@ def measure_kernel(kernel: str) -> float:
         sliding_hashes_u32)
 
     rng = np.random.default_rng(0)
-    seq = jnp.asarray(rng.integers(0, 4, N_DEVICE).astype(np.int32))
+    # int8 carrier: the chain's own read-modify-write of the sequence is
+    # harness overhead, not kernel work — at 1 byte/base it costs 2 of
+    # the ~7 bytes/base total instead of 5 of 10 with an int32 carrier
+    # (the kernels cast internally either way)
+    seq = jnp.asarray(rng.integers(0, 4, N_DEVICE).astype(np.int8))
 
     def apply(s):
         if kernel.startswith("p16raw"):
@@ -79,7 +83,7 @@ def measure_kernel(kernel: str) -> float:
                 _, rows, chunk = kernel.split(":")
                 opts = dict(rows_per_block=int(rows), chunk=int(chunk))
             p16 = sliding_p16_pallas(s, K, **opts)
-            return (p16 & 3).astype(jnp.int32)
+            return (p16 & 3).astype(jnp.int8)
         if kernel.startswith("p16"):
             # roofline variant: int8 input, one u32/lane output; the
             # (lo, hi) derivation fuses into the consumer xor here
@@ -88,20 +92,20 @@ def measure_kernel(kernel: str) -> float:
                 _, rows, chunk = kernel.split(":")
                 opts = dict(rows_per_block=int(rows), chunk=int(chunk))
             lo, hi = sliding_hashes_pallas_p16(s, K, **opts)
-            return (lo ^ hi).astype(jnp.int32)
+            return ((lo ^ hi) & 3).astype(jnp.int8)
         if kernel == "pallas":
             lo, hi = sliding_hashes_pallas(s, K)
-            return (lo ^ hi).astype(jnp.int32)
+            return ((lo ^ hi) & 3).astype(jnp.int8)
         if kernel == "u32":
             lo, hi = sliding_hashes_u32(s, K)
-            return (lo ^ hi).astype(jnp.int32)
-        return sliding_hashes(s, K).astype(jnp.int32)
+            return ((lo ^ hi) & 3).astype(jnp.int8)
+        return (sliding_hashes(s, K) & 3).astype(jnp.int8)
 
     @jax.jit
     def chain(s, reps):
         # traced trip count -> ONE compile serves both chain lengths
         def body(i, x):
-            return (x + apply(x) & 3).astype(jnp.int32)
+            return ((x + apply(x)) & 3).astype(jnp.int8)
         return jax.lax.fori_loop(0, reps, body, s).sum()
 
     r_short, r_long = 2, 2 + REPS

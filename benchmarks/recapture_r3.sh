@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-3 on-chip recapture: run the moment the axon relay returns.
+# Each step under its own timeout; everything appends to the log.
+# Usage: bash benchmarks/recapture_r3.sh [logfile]
+set -u
+LOG="${1:-/tmp/recapture_r3.log}"
+cd "$(dirname "$0")/.."
+
+say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
+
+say "relay check"
+python - <<'EOF' | tee -a "$LOG"
+import socket
+for p in (2025, 2297):
+    s = socket.socket(); s.settimeout(3)
+    try: s.connect(("127.0.0.1", p)); print(p, "OPEN")
+    except Exception as e: print(p, "DOWN", e)
+    finally: s.close()
+EOF
+
+say "1/5 headline bench (P16 hashing)"
+GKI_BENCH_BUDGET_S=420 timeout 540 python bench.py 2>&1 | tee -a "$LOG"
+
+say "2/5 bandwidth-ceiling controls (stream copy / sum / xla scale)"
+timeout 900 python benchmarks/bench_primitives.py \
+    stream_copy,stream_sum,xla_stream_scale 2>&1 | tee -a "$LOG"
+
+say "3/5 packed lookup rates"
+timeout 900 python benchmarks/bench_lookup.py 2>&1 | tail -30 | tee -a "$LOG"
+
+say "4/5 build stages (fused compile units)"
+timeout 900 python benchmarks/bench_build.py 2>&1 | tail -30 | tee -a "$LOG"
+
+say "5/5 end-to-end 10Mb pipeline (device finalize)"
+timeout 1800 python benchmarks/bench_pipeline.py 10000000 100000 10000 \
+    --device-finalize 2>&1 | tee -a "$LOG"
+
+say "done — record results in BASELINE.md (builder-measured, relay-up)"
