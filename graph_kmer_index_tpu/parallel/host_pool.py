@@ -234,15 +234,16 @@ def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
         _run_chunk_spans, graph, k, n_workers, critical_paths, position_id,
         chunks_per_worker, finder_kwargs)
 
+    from ..utils.hugepages import hp_concatenate
     tapes = [r[0] for r in results]
     tape_off = np.cumsum([0] + [len(t) for t in tapes[:-1]])
-    tape = np.concatenate(tapes) if tapes else np.zeros(0, np.int8)
-    ts = np.concatenate([r[1] + off for r, off in zip(results, tape_off)])
-    nw = np.concatenate([r[2] for r in results])
-    s_node = np.concatenate([r[3] for r in results])
-    s_off = np.concatenate([r[4] for r in results])
-    raw_nl = np.concatenate([r[5] for r in results])
-    raw_nodes = np.concatenate([r[6] for r in results])
+    tape = hp_concatenate(tapes) if tapes else np.zeros(0, np.int8)
+    ts = hp_concatenate([r[1] + off for r, off in zip(results, tape_off)])
+    nw = hp_concatenate([r[2] for r in results])
+    s_node = hp_concatenate([r[3] for r in results])
+    s_off = hp_concatenate([r[4] for r in results])
+    raw_nl = hp_concatenate([r[5] for r in results])
+    raw_nodes = hp_concatenate([r[6] for r in results])
 
     # the device expansion derives tape starts as cumsum(nw + k - 1) —
     # pin the emission invariant it relies on (every span's tape slice

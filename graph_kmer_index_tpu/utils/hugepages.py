@@ -71,6 +71,21 @@ def hp_empty(shape, dtype) -> np.ndarray:
     return a
 
 
+def hp_concatenate(arrays) -> np.ndarray:
+    """np.concatenate into a populated hugepage-advised buffer (1-D).
+    A plain np.concatenate output faults page-by-page while copying —
+    the pathological path this module exists to avoid."""
+    arrays = [np.asarray(a) for a in arrays]
+    if not arrays:
+        raise ValueError("need at least one array")
+    out = hp_empty(sum(len(a) for a in arrays), arrays[0].dtype)
+    pos = 0
+    for a in arrays:
+        out[pos:pos + len(a)] = a
+        pos += len(a)
+    return out
+
+
 def hp_zeros(shape, dtype, populate=False) -> np.ndarray:
     # np.zeros gets lazily-zeroed pages from calloc; the advice must
     # land before the consumer's first write, which this guarantees
