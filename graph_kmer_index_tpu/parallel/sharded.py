@@ -594,3 +594,174 @@ def run_sharded_function(func, n_shards, array_args):
                    out_specs=P("data"), check_vma=False)
     out = np.asarray(jax.jit(fn)(*padded))
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Sharded index BUILD: rows all_to_all'd to their bucket-range owners,
+# each shard builds its packed-record slice locally.
+#
+# This closes the build side of the 2-D serving layout: until now the
+# packed table was built on ONE device (ops.lookup._build_packed) or on
+# host (PackedTableShards.from_index) and then sharded; at human-genome
+# scale (2.5G rows, ~50 GB of row arrays) no single device can hold the
+# build. Here the input rows start data-sharded across the mesh axis,
+# each device routes every row to the shard owning its internal-modulo
+# bucket range (ONE all_to_all — the only collective), and each shard
+# then sorts its received rows by (local bucket, original row index) —
+# reproducing the global stable sort exactly — and scatters its record
+# groups. Equivalent of the reference's fork+concatenate build
+# (collision_free_kmer_index.py:422-467) lifted onto ICI.
+# ---------------------------------------------------------------------------
+
+
+def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
+                                n_table: int | None = None,
+                                axis: str = "table",
+                                capacity_factor: float = 1.3):
+    """Build :class:`PackedTableShards` with the build itself sharded.
+
+    ``kmers``/``nodes`` are the global rows (host numpy). Returns
+    (PackedTableShards, per-shard row counts). Bit-equal to
+    ``PackedTableShards.from_index`` on the same rows (pinned by
+    tests/test_parallel.py).
+
+    Raises if any (source, destination) segment overflows the padded
+    all_to_all capacity (``capacity_factor`` x the uniform expectation;
+    random 62-bit hashes concentrate tightly around it).
+    """
+    from jax import shard_map
+    from ..ops.lookup import internal_modulo, SCAN_CAP, _DUP2
+
+    kmers = np.asarray(kmers, dtype=np.uint64)
+    nodes = np.asarray(nodes, dtype=np.uint32)
+    n = len(kmers)
+    assert n < 2**31, "int32 row-index space exceeded; chunk the build"
+    n_devices = len(jax.devices())
+    n_table = min(n_table or n_devices, n_devices)
+    mesh = Mesh(np.asarray(jax.devices()[:n_table]), (axis,))
+
+    modulo2 = internal_modulo(n)
+    per_shard_buckets = -(-modulo2 // n_table)
+    m2_local = 16 * (-(-per_shard_buckets // 16))  # groups never straddle
+    per = -(-max(n, 1) // n_table)                 # rows per source device
+    cap = min(per, int(capacity_factor * per / n_table) + 1024)
+    n_groups = m2_local // 16
+    rcap = n_table * cap                           # rows per dest shard
+
+    pad = n_table * per - n
+    k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
+    n_p = np.concatenate([nodes, np.zeros(pad, np.uint32)])
+
+    sent_k = jnp.uint64((1 << 63))   # hashes < 4^31: never a real kmer
+
+    def local_build(kc, nc):
+        i = jax.lax.axis_index(axis).astype(jnp.int32)
+        orig = i * per + jnp.arange(per, dtype=jnp.int32)
+        valid = orig < n
+        bucket = (kc % jnp.uint64(modulo2)).astype(jnp.int64)
+        owner = jnp.where(valid, bucket // m2_local,
+                          jnp.int64(n_table)).astype(jnp.int32)
+
+        # group rows by destination shard (stable keeps original order
+        # within each destination, so ranks are deterministic)
+        ow_s, perm = jax.lax.sort_key_val(
+            owner, jnp.arange(per, dtype=jnp.int32), is_stable=True)
+        k_s, n_s, o_s = kc[perm], nc[perm], orig[perm]
+        cnt = jnp.zeros(n_table + 1, jnp.int32).at[ow_s].add(1)
+        seg_start = jnp.cumsum(cnt) - cnt
+        rank = jnp.arange(per, dtype=jnp.int32) - seg_start[ow_s]
+        dropped = jnp.maximum(0, jnp.max(cnt[:n_table]) - cap)
+
+        oob = jnp.int32(n_table * cap)
+        dst = jnp.where((ow_s < n_table) & (rank < cap),
+                        ow_s * cap + rank, oob)
+        stage_k = jnp.full(n_table * cap, sent_k).at[dst].set(
+            k_s, mode="drop")
+        stage_n = jnp.zeros(n_table * cap, jnp.uint32).at[dst].set(
+            n_s, mode="drop")
+        stage_o = jnp.zeros(n_table * cap, jnp.int32).at[dst].set(
+            o_s, mode="drop")
+
+        # THE collective: segment j of every device lands on device j
+        recv_k = jax.lax.all_to_all(stage_k.reshape(n_table, cap), axis,
+                                    0, 0, tiled=True).reshape(-1)
+        recv_n = jax.lax.all_to_all(stage_n.reshape(n_table, cap), axis,
+                                    0, 0, tiled=True).reshape(-1)
+        recv_o = jax.lax.all_to_all(stage_o.reshape(n_table, cap), axis,
+                                    0, 0, tiled=True).reshape(-1)
+
+        got = recv_k != sent_k
+        lb = (recv_k % jnp.uint64(modulo2)).astype(jnp.int64) \
+            - i.astype(jnp.int64) * m2_local
+        # invalid slots sort to the end; (local bucket, original index)
+        # reproduces the global stable bucket sort on this shard's range
+        lb32 = jnp.where(got, lb, jnp.int64(m2_local)).astype(jnp.int32)
+        lb_s, o_sorted, k_sorted, n_sorted = jax.lax.sort(
+            (lb32, recv_o, recv_k, recv_n), num_keys=2, is_stable=True)
+        m = jnp.sum(got.astype(jnp.int32))
+
+        rows_idx = jnp.arange(rcap, dtype=jnp.int32)
+        in_range = rows_idx < m
+        is_first = jnp.concatenate(
+            [jnp.ones(1, bool), lb_s[1:] != lb_s[:-1]]) & in_range
+        is_second = jnp.concatenate(
+            [jnp.zeros(1, bool), is_first[:-1]]) & ~is_first & in_range
+        sizes_tbl = jnp.zeros(m2_local + 1, jnp.int32).at[
+            jnp.where(in_range, lb_s, m2_local)].add(1, mode="drop")
+        sz_row = sizes_tbl[jnp.minimum(lb_s, m2_local)]
+        from ..ops.lookup import _dup2_masks
+        dup_b, dup_a = _dup2_masks(is_second, sz_row, k_sorted)
+        dup_b, dup_a = dup_b & in_range, dup_a & in_range
+
+        flat_len = 8 * m2_local
+        oobr = jnp.int32(flat_len)
+        tb = jnp.where(in_range, lb_s * 8, oobr)
+        ks_lo = (k_sorted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        ks_hi = (k_sorted >> jnp.uint64(32)).astype(jnp.uint32)
+        rec = jnp.full(flat_len, jnp.uint32(0xFFFFFFFF))
+        base = jnp.where(is_first, tb,
+                         jnp.where(is_second & (sz_row == 2) & ~dup_b,
+                                   tb + 4, oobr))
+        rec = rec.at[base].set(ks_lo, mode="drop")
+        rec = rec.at[base + 1].set(ks_hi, mode="drop")
+        rec = rec.at[base + 2].set(n_sorted, mode="drop")
+        szv = sz_row.astype(jnp.uint32) | jnp.where(
+            dup_a, jnp.uint32(_DUP2), jnp.uint32(0))
+        rec = rec.at[jnp.where(is_first, tb + 3, oobr)].set(
+            ~szv, mode="drop")
+        t_deep = jnp.where(is_first & ((sz_row > 2) | dup_a),
+                           tb + 6, oobr)
+        rec = rec.at[t_deep].set(rows_idx.astype(jnp.uint32),
+                                 mode="drop")
+
+        row_k = jnp.where(in_range, k_sorted, jnp.uint64(0))
+        row_n = jnp.where(in_range, n_sorted.astype(jnp.int32), 0)
+        max_sz = jnp.max(sizes_tbl[:m2_local])
+        any_dup = jnp.any(dup_b)
+        return (rec.reshape(1, n_groups, 128), row_k.reshape(1, -1),
+                row_n.reshape(1, -1), m.reshape(1),
+                max_sz.reshape(1), any_dup.reshape(1),
+                dropped.reshape(1))
+
+    fn = shard_map(
+        local_build, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis, None, None), P(axis, None), P(axis, None),
+                   P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False)
+    rec, row_k, row_n, counts, max_szs, dups, dropped = jax.jit(fn)(
+        jnp.asarray(k_p), jnp.asarray(n_p))
+    if int(np.max(np.asarray(dropped))) > 0:
+        raise RuntimeError(
+            "sharded build: an all_to_all segment overflowed its padded "
+            "capacity; raise capacity_factor (pathological hash skew)")
+    max_scan = int(np.max(np.asarray(max_szs)))
+    if max_scan > SCAN_CAP:
+        raise ValueError(
+            "table has buckets deeper than SCAN_CAP; use the CSR "
+            "TableShards for this index")
+    shards = PackedTableShards(
+        np.asarray(rec), np.asarray(row_k), np.asarray(row_n),
+        m2_local, modulo2, max(1, max_scan), n_table,
+        has_dup=bool(np.any(np.asarray(dups))))
+    return shards, np.asarray(counts)

@@ -368,3 +368,105 @@ def test_two_process_distributed_matches_single_process():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} rc={p.returncode}:\n{out}"
         assert f"DIST_WORKER_OK pid={pid}" in out, f"worker {pid}:\n{out}"
+
+
+def test_sharded_packed_build_matches_host_build():
+    """The all_to_all sharded packed-table build must reproduce
+    PackedTableShards.from_index bit-for-bit (records, row segments,
+    metadata) and serve identical counts through the 2-D mesh step."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+    from graph_kmer_index_tpu.parallel.sharded import (
+        PackedTableShards, build_packed_shards_sharded,
+        make_count_step_packed)
+
+    k = 5
+    graph, flat, index = _toy_index()
+    n_nodes = graph.n_nodes()
+    kmers = np.asarray(index._kmers, dtype=np.uint64)
+    nodes = np.asarray(index._nodes, dtype=np.uint32)
+
+    for n_table in (2, 4, 8):
+        want = PackedTableShards.from_index(index, n_table)
+        got, counts = build_packed_shards_sharded(kmers, nodes, n_table)
+        assert got.modulo2 == want.modulo2
+        assert got.m2_local == want.m2_local
+        assert got.max_scan == want.max_scan
+        assert got.has_dup == want.has_dup
+        np.testing.assert_array_equal(got.records, want.records,
+                                      err_msg=f"records n_table={n_table}")
+        for t in range(n_table):
+            m = int(counts[t])
+            np.testing.assert_array_equal(
+                got.row_kmers[t, :m], want.row_kmers[t, :m],
+                err_msg=f"row_kmers shard {t}")
+            np.testing.assert_array_equal(
+                got.row_nodes[t, :m], want.row_nodes[t, :m],
+                err_msg=f"row_nodes shard {t}")
+            # the remainder of the reference shard is zero padding
+            assert not want.row_kmers[t, m:].any()
+
+    # end to end: counts served from the SHARDED-build table == serial
+    rng = np.random.default_rng(2)
+    ref_seq = np.concatenate([graph.get_numeric_node_sequence(v)
+                              for v in [1, 2, 4]])
+    reads = np.stack([
+        np.resize(np.roll(ref_seq, -int(s)), 16) for s in
+        rng.integers(0, len(ref_seq), 8)]).astype(np.int32)
+    hashes = np.asarray(sliding_hashes(jnp.asarray(reads.reshape(-1)), k))
+    pos = np.arange(reads.size) % reads.shape[1]
+    valid = pos <= reads.shape[1] - k
+    expected = index.map_kmers(hashes[valid].astype(np.uint64), n_nodes)
+
+    shards, _ = build_packed_shards_sharded(kmers, nodes, 2)
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "table"))
+    step = make_count_step_packed(mesh, shards, n_nodes, k)
+    from jax.sharding import NamedSharding
+    reads_j = jax.device_put(jnp.asarray(reads),
+                             NamedSharding(mesh, P("data", None)))
+    targs = [jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+             for a, spec in ((shards.records, P("table", None, None)),
+                             (shards.row_kmers, P("table", None)),
+                             (shards.row_nodes, P("table", None)))]
+    got_counts = np.asarray(step(reads_j, *targs))
+    assert np.array_equal(got_counts, expected)
+
+
+def test_sharded_packed_build_randomized():
+    """Randomized sharded-build differential: multiplicity-heavy row
+    sets force dup2 buckets and deep buckets through the all_to_all
+    exchange; records and row segments must stay bit-equal to the host
+    build for every shard count."""
+    from graph_kmer_index_tpu.parallel.sharded import (
+        PackedTableShards, build_packed_shards_sharded)
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n = int(rng.integers(50, 4000))
+        base = rng.integers(0, 1 << 62, max(1, n // 3)).astype(np.uint64)
+        kmers = base[rng.integers(0, len(base), n)]  # heavy multiplicity
+        nodes = rng.integers(1, 500, n).astype(np.uint32)
+
+        class FakeIndex:
+            _kmers = kmers
+            _nodes = nodes
+
+        for n_table in (2, 8):
+            want = PackedTableShards.from_index(FakeIndex, n_table)
+            got, counts = build_packed_shards_sharded(kmers, nodes,
+                                                      n_table)
+            assert (got.modulo2, got.m2_local, got.max_scan,
+                    got.has_dup) == (want.modulo2, want.m2_local,
+                                     want.max_scan, want.has_dup), \
+                (trial, n_table)
+            np.testing.assert_array_equal(
+                got.records, want.records,
+                err_msg=f"trial {trial} n_table={n_table}")
+            for t in range(n_table):
+                m = int(counts[t])
+                np.testing.assert_array_equal(
+                    got.row_kmers[t, :m], want.row_kmers[t, :m])
+                np.testing.assert_array_equal(
+                    got.row_nodes[t, :m], want.row_nodes[t, :m])
