@@ -632,8 +632,13 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     from jax import shard_map
     from ..ops.lookup import internal_modulo, SCAN_CAP, _DUP2
 
-    kmers = np.asarray(kmers, dtype=np.uint64)
-    nodes = np.asarray(nodes, dtype=np.uint32)
+    # device-resident rows (e.g. straight from the device finalize) stay
+    # on device: at production scale fetching them host-side first would
+    # cost more than the whole build
+    on_device = isinstance(kmers, jnp.ndarray)
+    if not on_device:
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        nodes = np.asarray(nodes, dtype=np.uint32)
     n = len(kmers)
     assert n < 2**31, "int32 row-index space exceeded; chunk the build"
     n_devices = len(jax.devices())
@@ -649,8 +654,14 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     rcap = n_table * cap                           # rows per dest shard
 
     pad = n_table * per - n
-    k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
-    n_p = np.concatenate([nodes, np.zeros(pad, np.uint32)])
+    if on_device:
+        k_p = jnp.concatenate(
+            [kmers.astype(jnp.uint64), jnp.zeros(pad, jnp.uint64)])
+        n_p = jnp.concatenate(
+            [nodes.astype(jnp.uint32), jnp.zeros(pad, jnp.uint32)])
+    else:
+        k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
+        n_p = np.concatenate([nodes, np.zeros(pad, np.uint32)])
 
     sent_k = jnp.uint64((1 << 63))   # hashes < 4^31: never a real kmer
 

@@ -470,3 +470,24 @@ def test_sharded_packed_build_randomized():
                     got.row_kmers[t, :m], want.row_kmers[t, :m])
                 np.testing.assert_array_equal(
                     got.row_nodes[t, :m], want.row_nodes[t, :m])
+
+
+def test_sharded_packed_build_device_resident_input():
+    """Device-resident (jax) row arrays must build identically without a
+    host round-trip (the production case: rows born in HBM from the
+    device finalize feed the sharded build directly)."""
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.parallel.sharded import (
+        PackedTableShards, build_packed_shards_sharded)
+
+    graph, flat, index = _toy_index()
+    kmers = np.asarray(index._kmers, dtype=np.uint64)
+    nodes = np.asarray(index._nodes, dtype=np.uint32)
+    want = PackedTableShards.from_index(index, 4)
+    got, counts = build_packed_shards_sharded(
+        jnp.asarray(kmers), jnp.asarray(nodes), 4)
+    np.testing.assert_array_equal(got.records, want.records)
+    for t in range(4):
+        m = int(counts[t])
+        np.testing.assert_array_equal(got.row_kmers[t, :m],
+                                      want.row_kmers[t, :m])
