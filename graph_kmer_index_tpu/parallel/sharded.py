@@ -614,6 +614,57 @@ def run_sharded_function(func, n_shards, array_args):
 # ---------------------------------------------------------------------------
 
 
+
+def _route_rows_to_owners(kc, nc, axis, per, n, modulo, m_local, cap,
+                          n_table, sent_k):
+    """Traced helper (called inside shard_map bodies): group this
+    device's rows by owning shard — stable, so ranks are deterministic —
+    and all_to_all the fixed-capacity segments. Returns
+    (recv_kmers, recv_nodes, recv_orig_idx, n_overflowed)."""
+    i = jax.lax.axis_index(axis).astype(jnp.int32)
+    orig = i * per + jnp.arange(per, dtype=jnp.int32)
+    valid = orig < n
+    bucket = (kc % jnp.uint64(modulo)).astype(jnp.int64)
+    owner = jnp.where(valid, bucket // m_local,
+                      jnp.int64(n_table)).astype(jnp.int32)
+    ow_s, perm = jax.lax.sort_key_val(
+        owner, jnp.arange(per, dtype=jnp.int32), is_stable=True)
+    k_s, n_s, o_s = kc[perm], nc[perm], orig[perm]
+    cnt = jnp.zeros(n_table + 1, jnp.int32).at[ow_s].add(1)
+    seg_start = jnp.cumsum(cnt) - cnt
+    rank = jnp.arange(per, dtype=jnp.int32) - seg_start[ow_s]
+    dropped = jnp.maximum(0, jnp.max(cnt[:n_table]) - cap)
+
+    oob = jnp.int32(n_table * cap)
+    dst = jnp.where((ow_s < n_table) & (rank < cap),
+                    ow_s * cap + rank, oob)
+    stage_k = jnp.full(n_table * cap, sent_k).at[dst].set(k_s, mode="drop")
+    stage_n = jnp.zeros(n_table * cap, jnp.uint32).at[dst].set(
+        n_s, mode="drop")
+    stage_o = jnp.zeros(n_table * cap, jnp.int32).at[dst].set(
+        o_s, mode="drop")
+    # THE collective: segment j of every device lands on device j
+    recv = [jax.lax.all_to_all(st.reshape(n_table, cap), axis, 0, 0,
+                               tiled=True).reshape(-1)
+            for st in (stage_k, stage_n, stage_o)]
+    return recv[0], recv[1], recv[2], dropped
+
+
+def _sort_received(recv_k, recv_n, recv_o, axis, m_local, modulo, sent_k):
+    """Traced helper: sort this shard's received rows by (local bucket,
+    original row index) — exactly the global stable bucket sort
+    restricted to the shard's range; sentinels sort to the end. Returns
+    (local_buckets, kmers, nodes, n_valid)."""
+    i = jax.lax.axis_index(axis).astype(jnp.int64)
+    got = recv_k != sent_k
+    lb = (recv_k % jnp.uint64(modulo)).astype(jnp.int64) - i * m_local
+    lb32 = jnp.where(got, lb, jnp.int64(m_local)).astype(jnp.int32)
+    lb_s, _o, k_s, n_s = jax.lax.sort(
+        (lb32, recv_o, recv_k, recv_n), num_keys=2, is_stable=True)
+    m = jnp.sum(got.astype(jnp.int32))
+    return lb_s, k_s, n_s, m
+
+
 def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
                                 n_table: int | None = None,
                                 axis: str = "table",
@@ -666,50 +717,10 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     sent_k = jnp.uint64((1 << 63))   # hashes < 4^31: never a real kmer
 
     def local_build(kc, nc):
-        i = jax.lax.axis_index(axis).astype(jnp.int32)
-        orig = i * per + jnp.arange(per, dtype=jnp.int32)
-        valid = orig < n
-        bucket = (kc % jnp.uint64(modulo2)).astype(jnp.int64)
-        owner = jnp.where(valid, bucket // m2_local,
-                          jnp.int64(n_table)).astype(jnp.int32)
-
-        # group rows by destination shard (stable keeps original order
-        # within each destination, so ranks are deterministic)
-        ow_s, perm = jax.lax.sort_key_val(
-            owner, jnp.arange(per, dtype=jnp.int32), is_stable=True)
-        k_s, n_s, o_s = kc[perm], nc[perm], orig[perm]
-        cnt = jnp.zeros(n_table + 1, jnp.int32).at[ow_s].add(1)
-        seg_start = jnp.cumsum(cnt) - cnt
-        rank = jnp.arange(per, dtype=jnp.int32) - seg_start[ow_s]
-        dropped = jnp.maximum(0, jnp.max(cnt[:n_table]) - cap)
-
-        oob = jnp.int32(n_table * cap)
-        dst = jnp.where((ow_s < n_table) & (rank < cap),
-                        ow_s * cap + rank, oob)
-        stage_k = jnp.full(n_table * cap, sent_k).at[dst].set(
-            k_s, mode="drop")
-        stage_n = jnp.zeros(n_table * cap, jnp.uint32).at[dst].set(
-            n_s, mode="drop")
-        stage_o = jnp.zeros(n_table * cap, jnp.int32).at[dst].set(
-            o_s, mode="drop")
-
-        # THE collective: segment j of every device lands on device j
-        recv_k = jax.lax.all_to_all(stage_k.reshape(n_table, cap), axis,
-                                    0, 0, tiled=True).reshape(-1)
-        recv_n = jax.lax.all_to_all(stage_n.reshape(n_table, cap), axis,
-                                    0, 0, tiled=True).reshape(-1)
-        recv_o = jax.lax.all_to_all(stage_o.reshape(n_table, cap), axis,
-                                    0, 0, tiled=True).reshape(-1)
-
-        got = recv_k != sent_k
-        lb = (recv_k % jnp.uint64(modulo2)).astype(jnp.int64) \
-            - i.astype(jnp.int64) * m2_local
-        # invalid slots sort to the end; (local bucket, original index)
-        # reproduces the global stable bucket sort on this shard's range
-        lb32 = jnp.where(got, lb, jnp.int64(m2_local)).astype(jnp.int32)
-        lb_s, o_sorted, k_sorted, n_sorted = jax.lax.sort(
-            (lb32, recv_o, recv_k, recv_n), num_keys=2, is_stable=True)
-        m = jnp.sum(got.astype(jnp.int32))
+        recv_k, recv_n, recv_o, dropped = _route_rows_to_owners(
+            kc, nc, axis, per, n, modulo2, m2_local, cap, n_table, sent_k)
+        lb_s, k_sorted, n_sorted, m = _sort_received(
+            recv_k, recv_n, recv_o, axis, m2_local, modulo2, sent_k)
 
         rows_idx = jnp.arange(rcap, dtype=jnp.int32)
         in_range = rows_idx < m
@@ -775,4 +786,92 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
         np.asarray(rec), np.asarray(row_k), np.asarray(row_n),
         m2_local, modulo2, max(1, max_scan), n_table,
         has_dup=bool(np.any(np.asarray(dups))))
+    return shards, np.asarray(counts)
+
+
+def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
+                               modulo: int, n_table: int | None = None,
+                               axis: str = "table",
+                               capacity_factor: float = 1.3):
+    """Build :class:`TableShards` (the CSR bucket layout, used when a
+    table has buckets deeper than the packed layout's SCAN_CAP — e.g.
+    poly-A-heavy genomes) with the build itself sharded: the same ONE
+    all_to_all row exchange as :func:`build_packed_shards_sharded`, then
+    each shard scatters its local starts/sizes tables. ``modulo`` is the
+    index's own hash modulo (TableShards shards the index layout, not
+    the internal packed modulo). Returns (TableShards, per-shard row
+    counts). Semantically equal to ``TableShards.from_index`` — starts
+    of EMPTY buckets differ (0 here vs a meaningless re-based offset
+    there); queries only read starts where sizes > 0.
+    """
+    from jax import shard_map
+
+    on_device = isinstance(kmers, jnp.ndarray)
+    if not on_device:
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        nodes = np.asarray(nodes, dtype=np.uint32)
+    n = len(kmers)
+    assert n < 2**31, "int32 row-index space exceeded; chunk the build"
+    n_devices = len(jax.devices())
+    n_table = min(n_table or n_devices, n_devices)
+    mesh = Mesh(np.asarray(jax.devices()[:n_table]), (axis,))
+
+    modulo = int(modulo)
+    m_local = -(-modulo // n_table)
+    per = -(-max(n, 1) // n_table)
+    cap = min(per, int(capacity_factor * per / n_table) + 1024)
+    rcap = n_table * cap
+
+    pad = n_table * per - n
+    if on_device:
+        k_p = jnp.concatenate(
+            [kmers.astype(jnp.uint64), jnp.zeros(pad, jnp.uint64)])
+        n_p = jnp.concatenate(
+            [nodes.astype(jnp.uint32), jnp.zeros(pad, jnp.uint32)])
+    else:
+        k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
+        n_p = np.concatenate([nodes, np.zeros(pad, np.uint32)])
+
+    sent_k = jnp.uint64((1 << 63))
+
+    def local_build(kc, nc):
+        recv_k, recv_n, recv_o, dropped = _route_rows_to_owners(
+            kc, nc, axis, per, n, modulo, m_local, cap, n_table, sent_k)
+        lb_s, k_sorted, n_sorted, m = _sort_received(
+            recv_k, recv_n, recv_o, axis, m_local, modulo, sent_k)
+
+        rows_idx = jnp.arange(rcap, dtype=jnp.int32)
+        in_range = rows_idx < m
+        lbc = jnp.where(in_range, lb_s, m_local)
+        sizes = jnp.zeros(m_local + 1, jnp.int32).at[lbc].add(
+            1, mode="drop")[:m_local]
+        is_first = jnp.concatenate(
+            [jnp.ones(1, bool), lb_s[1:] != lb_s[:-1]]) & in_range
+        starts = jnp.zeros(m_local, jnp.int32).at[
+            jnp.where(is_first, lb_s, m_local)].set(
+                rows_idx, mode="drop")
+        row_k = jnp.where(in_range, k_sorted, jnp.uint64(0))
+        row_n = jnp.where(in_range, n_sorted.astype(jnp.int32), 0)
+        max_sz = jnp.max(sizes)
+        return (starts.reshape(1, -1), sizes.reshape(1, -1),
+                row_k.reshape(1, -1), row_n.reshape(1, -1),
+                m.reshape(1), max_sz.reshape(1), dropped.reshape(1))
+
+    fn = shard_map(
+        local_build, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None),
+                   P(axis, None), P(axis), P(axis), P(axis)),
+        check_vma=False)
+    starts, sizes, row_k, row_n, counts, max_szs, dropped = jax.jit(fn)(
+        jnp.asarray(k_p), jnp.asarray(n_p))
+    if int(np.max(np.asarray(dropped))) > 0:
+        raise RuntimeError(
+            "sharded build: an all_to_all segment overflowed its padded "
+            "capacity; raise capacity_factor (pathological hash skew)")
+    max_scan = max(1, int(np.max(np.asarray(max_szs))))
+    shards = TableShards(
+        np.asarray(starts).astype(np.int64), np.asarray(sizes),
+        np.asarray(row_k), np.asarray(row_n), m_local, modulo,
+        max_scan, n_table)
     return shards, np.asarray(counts)

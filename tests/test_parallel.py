@@ -491,3 +491,64 @@ def test_sharded_packed_build_device_resident_input():
         m = int(counts[t])
         np.testing.assert_array_equal(got.row_kmers[t, :m],
                                       want.row_kmers[t, :m])
+
+
+def test_sharded_csr_build_matches_host_build():
+    """build_table_shards_sharded == TableShards.from_index: sizes and
+    row segments bit-equal, starts equal wherever sizes > 0 (empty
+    buckets carry meaningless re-based offsets in the host build), and
+    identical counts through the 2-D mesh step."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+    from graph_kmer_index_tpu.parallel.sharded import (
+        TableShards, build_table_shards_sharded, make_count_step)
+
+    k = 5
+    graph, flat, index = _toy_index()
+    n_nodes = graph.n_nodes()
+    kmers = np.asarray(index._kmers, dtype=np.uint64)
+    nodes = np.asarray(index._nodes, dtype=np.uint32)
+    modulo = int(index._modulo)
+
+    for n_table in (2, 4, 8):
+        want = TableShards.from_index(index, n_table)
+        got, counts = build_table_shards_sharded(kmers, nodes, modulo,
+                                                 n_table)
+        assert got.m_local == want.m_local
+        assert got.max_scan == want.max_scan
+        np.testing.assert_array_equal(got.sizes, want.sizes)
+        nz = want.sizes > 0
+        np.testing.assert_array_equal(got.starts[nz], want.starts[nz],
+                                      err_msg=f"starts n_table={n_table}")
+        for t in range(n_table):
+            m = int(counts[t])
+            np.testing.assert_array_equal(got.row_kmers[t, :m],
+                                          want.row_kmers[t, :m])
+            np.testing.assert_array_equal(got.row_nodes[t, :m],
+                                          want.row_nodes[t, :m])
+
+    # counts served from the sharded-built CSR table == serial
+    rng = np.random.default_rng(2)
+    ref_seq = np.concatenate([graph.get_numeric_node_sequence(v)
+                              for v in [1, 2, 4]])
+    reads = np.stack([
+        np.resize(np.roll(ref_seq, -int(s)), 16) for s in
+        rng.integers(0, len(ref_seq), 8)]).astype(np.int32)
+    hashes = np.asarray(sliding_hashes(jnp.asarray(reads.reshape(-1)), k))
+    pos = np.arange(reads.size) % reads.shape[1]
+    valid = pos <= reads.shape[1] - k
+    expected = index.map_kmers(hashes[valid].astype(np.uint64), n_nodes)
+
+    shards, _ = build_table_shards_sharded(kmers, nodes, modulo, 2)
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "table"))
+    step = make_count_step(mesh, shards, n_nodes, k)
+    reads_j = jax.device_put(jnp.asarray(reads),
+                             NamedSharding(mesh, P("data", None)))
+    targs = [jax.device_put(jnp.asarray(a),
+                            NamedSharding(mesh, P("table", None)))
+             for a in (shards.starts, shards.sizes, shards.row_kmers,
+                       shards.row_nodes)]
+    got_counts = np.asarray(step(reads_j, *targs))
+    assert np.array_equal(got_counts, expected)
