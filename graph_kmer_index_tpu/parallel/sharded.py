@@ -668,13 +668,22 @@ def _sort_received(recv_k, recv_n, recv_o, axis, m_local, modulo, sent_k):
 def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
                                 n_table: int | None = None,
                                 axis: str = "table",
-                                capacity_factor: float = 1.3):
+                                capacity_factor: float = 1.3,
+                                n_rows: int | None = None,
+                                return_device: bool = False):
     """Build :class:`PackedTableShards` with the build itself sharded.
 
-    ``kmers``/``nodes`` are the global rows (host numpy). Returns
-    (PackedTableShards, per-shard row counts). Bit-equal to
-    ``PackedTableShards.from_index`` on the same rows (pinned by
-    tests/test_parallel.py).
+    ``kmers``/``nodes`` are the global rows — host numpy, device jax
+    arrays (e.g. straight from the device finalize — no host
+    round-trip), or, in a multi-process ``jax.distributed`` run,
+    pre-padded GLOBAL arrays with ``n_rows`` giving the true row count
+    (padding must make the length a multiple of n_table; eager padding
+    of non-addressable arrays is impossible, so the caller pads).
+    Returns (PackedTableShards, per-shard row counts). With
+    ``return_device`` the shard arrays stay jax arrays (required in
+    multi-process runs where the full arrays are not addressable).
+    Bit-equal to ``PackedTableShards.from_index`` on the same rows
+    (pinned by tests/test_parallel.py).
 
     Raises if any (source, destination) segment overflows the padded
     all_to_all capacity (``capacity_factor`` x the uniform expectation;
@@ -683,14 +692,11 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     from jax import shard_map
     from ..ops.lookup import internal_modulo, SCAN_CAP, _DUP2
 
-    # device-resident rows (e.g. straight from the device finalize) stay
-    # on device: at production scale fetching them host-side first would
-    # cost more than the whole build
     on_device = isinstance(kmers, jnp.ndarray)
     if not on_device:
         kmers = np.asarray(kmers, dtype=np.uint64)
         nodes = np.asarray(nodes, dtype=np.uint32)
-    n = len(kmers)
+    n = int(n_rows) if n_rows is not None else len(kmers)
     assert n < 2**31, "int32 row-index space exceeded; chunk the build"
     n_devices = len(jax.devices())
     n_table = min(n_table or n_devices, n_devices)
@@ -699,13 +705,20 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     modulo2 = internal_modulo(n)
     per_shard_buckets = -(-modulo2 // n_table)
     m2_local = 16 * (-(-per_shard_buckets // 16))  # groups never straddle
-    per = -(-max(n, 1) // n_table)                 # rows per source device
+    if n_rows is not None:
+        assert len(kmers) % n_table == 0, \
+            "pre-padded input length must be a multiple of n_table"
+        per = len(kmers) // n_table
+    else:
+        per = -(-max(n, 1) // n_table)             # rows per source device
     cap = min(per, int(capacity_factor * per / n_table) + 1024)
     n_groups = m2_local // 16
     rcap = n_table * cap                           # rows per dest shard
 
-    pad = n_table * per - n
-    if on_device:
+    pad = n_table * per - len(kmers)
+    if pad == 0:
+        k_p, n_p = kmers, nodes
+    elif on_device:
         k_p = jnp.concatenate(
             [kmers.astype(jnp.uint64), jnp.zeros(pad, jnp.uint64)])
         n_p = jnp.concatenate(
@@ -772,20 +785,29 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
                    P(axis), P(axis), P(axis), P(axis)),
         check_vma=False)
     rec, row_k, row_n, counts, max_szs, dups, dropped = jax.jit(fn)(
-        jnp.asarray(k_p), jnp.asarray(n_p))
-    if int(np.max(np.asarray(dropped))) > 0:
+        k_p if on_device else jnp.asarray(k_p),
+        n_p if on_device else jnp.asarray(n_p))
+    # scalar reductions via jit: replicated outputs fetch fine even when
+    # the sharded arrays themselves are not fully addressable
+    # (multi-process runs)
+    if int(jax.jit(jnp.max)(dropped)) > 0:
         raise RuntimeError(
             "sharded build: an all_to_all segment overflowed its padded "
             "capacity; raise capacity_factor (pathological hash skew)")
-    max_scan = int(np.max(np.asarray(max_szs)))
+    max_scan = int(jax.jit(jnp.max)(max_szs))
     if max_scan > SCAN_CAP:
         raise ValueError(
             "table has buckets deeper than SCAN_CAP; use the CSR "
             "TableShards for this index")
+    has_dup = bool(jax.jit(jnp.any)(dups))
+    if return_device:
+        shards = PackedTableShards(rec, row_k, row_n, m2_local, modulo2,
+                                   max(1, max_scan), n_table,
+                                   has_dup=has_dup)
+        return shards, counts
     shards = PackedTableShards(
         np.asarray(rec), np.asarray(row_k), np.asarray(row_n),
-        m2_local, modulo2, max(1, max_scan), n_table,
-        has_dup=bool(np.any(np.asarray(dups))))
+        m2_local, modulo2, max(1, max_scan), n_table, has_dup=has_dup)
     return shards, np.asarray(counts)
 
 

@@ -99,7 +99,32 @@ def main():
     np.testing.assert_array_equal(got, expected,
                                   err_msg="packed count step")
 
-    # --- B: all_gather FlatKmers merge (1-D mesh over both processes)
+    # --- B: sharded packed-table BUILD across the process boundary —
+    # the all_to_all row exchange itself crosses processes; each worker
+    # verifies its ADDRESSABLE shards bit-equal to the host build
+    from graph_kmer_index_tpu.parallel.sharded import (
+        build_packed_shards_sharded)
+
+    bk = np.asarray(index._kmers, dtype=np.uint64)
+    bn = np.asarray(index._nodes, dtype=np.uint32)
+    n_real = len(bk)
+    n_tab = 8
+    pad = (-n_real) % n_tab
+    bk_p = np.concatenate([bk, np.zeros(pad, np.uint64)])
+    bn_p = np.concatenate([bn, np.zeros(pad, np.uint32)])
+    mesh_t = Mesh(np.asarray(jax.devices()), ("table",))
+    k_glob = make_global(mesh_t, P("table"), bk_p)
+    n_glob = make_global(mesh_t, P("table"), bn_p)
+    got, counts = build_packed_shards_sharded(
+        k_glob, n_glob, n_tab, n_rows=n_real, return_device=True)
+    want = PackedTableShards.from_index(index, n_tab)
+    for sh in got.records.addressable_shards:
+        t = sh.index[0].start if sh.index[0].start is not None else 0
+        np.testing.assert_array_equal(
+            np.asarray(sh.data)[0], want.records[t],
+            err_msg=f"cross-process build shard {t}")
+
+    # --- C: all_gather FlatKmers merge (1-D mesh over both processes)
     mesh1 = Mesh(np.asarray(jax.devices()), ("data",))
     n = 64
     h = rng.integers(0, 1 << 62, n).astype(np.uint64)
