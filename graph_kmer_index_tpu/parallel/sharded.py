@@ -897,3 +897,97 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
         np.asarray(row_k), np.asarray(row_n), m_local, modulo,
         max_scan, n_table)
     return shards, np.asarray(counts)
+
+
+def frequencies_sharded(kmers, ref_offsets, n_shards: int | None = None,
+                        axis: str = "table",
+                        capacity_factor: float = 1.3):
+    """Per-row kmer frequencies (distinct ref offsets per kmer — the
+    reference set_frequencies semantics, collision_free_kmer_index.py
+    :267-293) computed SHARDED: rows route to ``kmer % n_shards``
+    owners (one all_to_all — same-kmer rows co-locate, so each owner
+    counts its kmers completely), each shard runs the 4-lane
+    lexicographic sort + distinct-pair count locally, and the
+    frequencies ride the symmetric all_to_all back to their source
+    rows. Output aligned to input order; equal to
+    ops.build.frequencies_device (pinned by tests/test_parallel.py).
+    """
+    from jax import shard_map
+
+    kmers = np.asarray(kmers, dtype=np.uint64)
+    ref_offsets = np.asarray(ref_offsets, dtype=np.uint64)
+    n = len(kmers)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint16)
+    assert n < 2**31
+    n_devices = len(jax.devices())
+    ns = min(n_shards or n_devices, n_devices)
+    mesh = Mesh(np.asarray(jax.devices()[:ns]), (axis,))
+    per = -(-n // ns)
+    cap = min(per, int(capacity_factor * per / ns) + 1024)
+    pad = ns * per - n
+    k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
+    r_p = np.concatenate([ref_offsets, np.zeros(pad, np.uint64)])
+    sent = jnp.uint64(1 << 63)
+    oob = jnp.int32(ns * cap)
+
+    def local(kc, rc):
+        i = jax.lax.axis_index(axis).astype(jnp.int32)
+        orig = i * per + jnp.arange(per, dtype=jnp.int32)
+        valid = orig < n
+        owner = jnp.where(valid, (kc % jnp.uint64(ns)).astype(jnp.int32),
+                          jnp.int32(ns))
+        ow_s, perm = jax.lax.sort_key_val(
+            owner, jnp.arange(per, dtype=jnp.int32), is_stable=True)
+        k_s, r_s = kc[perm], rc[perm]
+        cnt = jnp.zeros(ns + 1, jnp.int32).at[ow_s].add(1)
+        seg = jnp.cumsum(cnt) - cnt
+        rank = jnp.arange(per, dtype=jnp.int32) - seg[ow_s]
+        dropped = jnp.maximum(0, jnp.max(cnt[:ns]) - cap)
+        dst = jnp.where((ow_s < ns) & (rank < cap), ow_s * cap + rank, oob)
+        stage_k = jnp.full(ns * cap, sent).at[dst].set(k_s, mode="drop")
+        stage_r = jnp.zeros(ns * cap, jnp.uint64).at[dst].set(
+            r_s, mode="drop")
+        recv_k = jax.lax.all_to_all(stage_k.reshape(ns, cap), axis, 0, 0,
+                                    tiled=True).reshape(-1)
+        recv_r = jax.lax.all_to_all(stage_r.reshape(ns, cap), axis, 0, 0,
+                                    tiled=True).reshape(-1)
+
+        # 4-lane u32 lexicographic keys (int64 is emulated on TPU);
+        # sentinels carry k_hi >= 2^31 and group harmlessly at the end
+        m = recv_k.shape[0]
+        k_hi = (recv_k >> jnp.uint64(32)).astype(jnp.uint32)
+        k_lo = (recv_k & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        r_hi = (recv_r >> jnp.uint64(32)).astype(jnp.uint32)
+        r_lo = (recv_r & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        idx = jnp.arange(m, dtype=jnp.int32)
+        hi_s, lo_s, rh_s, rl_s, sidx = jax.lax.sort(
+            (k_hi, k_lo, r_hi, r_lo, idx), num_keys=4, is_stable=True)
+        new_kmer = jnp.concatenate(
+            [jnp.ones(1, bool),
+             (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+        new_pair = new_kmer | jnp.concatenate(
+            [jnp.ones(1, bool),
+             (rh_s[1:] != rh_s[:-1]) | (rl_s[1:] != rl_s[:-1])])
+        seg_id = jnp.cumsum(new_kmer.astype(jnp.int32)) - 1
+        counts = jnp.zeros(m, jnp.int32).at[seg_id].add(
+            new_pair.astype(jnp.int32))
+        freqs_sorted = counts[seg_id]
+        freq_recv = jnp.zeros(m, jnp.int32).at[sidx].set(freqs_sorted)
+
+        # symmetric return trip: segment j goes back to source device j,
+        # landing at exactly the stage slots this device filled
+        back = jax.lax.all_to_all(freq_recv.reshape(ns, cap), axis, 0, 0,
+                                  tiled=True).reshape(-1)
+        f_s = back[jnp.minimum(dst, oob - 1)]
+        f_chunk = jnp.zeros(per, jnp.int32).at[perm].set(f_s)
+        return f_chunk.reshape(1, -1), dropped.reshape(1)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                   out_specs=(P(axis, None), P(axis)), check_vma=False)
+    freqs, dropped = jax.jit(fn)(jnp.asarray(k_p), jnp.asarray(r_p))
+    if int(jax.jit(jnp.max)(dropped)) > 0:
+        raise RuntimeError(
+            "frequencies_sharded: an all_to_all segment overflowed; "
+            "raise capacity_factor (pathological kmer skew)")
+    return np.asarray(freqs).reshape(-1)[:n].astype(np.uint16)

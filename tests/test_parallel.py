@@ -552,3 +552,30 @@ def test_sharded_csr_build_matches_host_build():
                        shards.row_nodes)]
     got_counts = np.asarray(step(reads_j, *targs))
     assert np.array_equal(got_counts, expected)
+
+
+def test_frequencies_sharded_matches_device():
+    """Sharded distinct-ref-offset frequencies == the single-device /
+    host computation, on random multiplicity-heavy rows including
+    ref offsets past 2^32 (the wide-key regime)."""
+    from graph_kmer_index_tpu.ops.build import frequencies_device
+    from graph_kmer_index_tpu.parallel.sharded import frequencies_sharded
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(10, 3000))
+        base = rng.integers(0, 1 << 62, max(1, n // 4)).astype(np.uint64)
+        kmers = base[rng.integers(0, len(base), n)]
+        hi = (1 << 33) if trial % 2 else (1 << 20)
+        offs = rng.integers(0, hi, n).astype(np.uint64)
+        # duplicate pairs too (same kmer+offset must count once)
+        if n > 10:
+            offs[1::7] = offs[0]
+            kmers[1::7] = kmers[0]
+        want = np.asarray(frequencies_device(kmers, offs))
+        for n_shards in (2, 8):
+            got = frequencies_sharded(kmers, offs, n_shards)
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"trial {trial} shards {n_shards}")
+    assert frequencies_sharded(np.zeros(0, np.uint64),
+                               np.zeros(0, np.uint64)).shape == (0,)
