@@ -825,6 +825,14 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     counts). Semantically equal to ``TableShards.from_index`` — starts
     of EMPTY buckets differ (0 here vs a meaningless re-based offset
     there); queries only read starts where sizes > 0.
+
+    Input rows must NOT already be sorted by ``kmer % modulo`` (the
+    natural case: finder emission order, hash-random): a bucket-sorted
+    input puts each source chunk's rows almost entirely on ONE owner
+    and overflows the padded exchange by construction. For rows taken
+    from an existing index (already bucket-sorted), use
+    ``TableShards.from_index`` — each shard's rows are a contiguous
+    slice there, no exchange needed.
     """
     from jax import shard_map
 
@@ -889,8 +897,11 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
         jnp.asarray(k_p), jnp.asarray(n_p))
     if int(np.max(np.asarray(dropped))) > 0:
         raise RuntimeError(
-            "sharded build: an all_to_all segment overflowed its padded "
-            "capacity; raise capacity_factor (pathological hash skew)")
+            "sharded CSR build: an all_to_all segment overflowed its "
+            "padded capacity. Bucket-sorted input (e.g. rows taken from "
+            "an existing index) skews every source chunk onto one owner "
+            "— use TableShards.from_index for already-built indexes, or "
+            "raise capacity_factor for mild hash skew")
     max_scan = max(1, int(np.max(np.asarray(max_szs))))
     shards = TableShards(
         np.asarray(starts).astype(np.int64), np.asarray(sizes),
