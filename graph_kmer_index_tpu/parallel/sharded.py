@@ -711,18 +711,18 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
         per = len(kmers) // n_table
     else:
         per = -(-max(n, 1) // n_table)             # rows per source device
+    assert n_table * per < 2**31, \
+        "padded row-index space exceeds int32; chunk the build"
     cap = min(per, int(capacity_factor * per / n_table) + 1024)
     n_groups = m2_local // 16
     rcap = n_table * cap                           # rows per dest shard
 
     pad = n_table * per - len(kmers)
-    if pad == 0:
-        k_p, n_p = kmers, nodes
-    elif on_device:
-        k_p = jnp.concatenate(
-            [kmers.astype(jnp.uint64), jnp.zeros(pad, jnp.uint64)])
-        n_p = jnp.concatenate(
-            [nodes.astype(jnp.uint32), jnp.zeros(pad, jnp.uint32)])
+    if on_device:
+        k_p, n_p = kmers.astype(jnp.uint64), nodes.astype(jnp.uint32)
+        if pad:  # eager pad impossible on non-addressable global arrays
+            k_p = jnp.concatenate([k_p, jnp.zeros(pad, jnp.uint64)])
+            n_p = jnp.concatenate([n_p, jnp.zeros(pad, jnp.uint32)])
     else:
         k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
         n_p = np.concatenate([nodes, np.zeros(pad, np.uint32)])
@@ -771,35 +771,36 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
 
         row_k = jnp.where(in_range, k_sorted, jnp.uint64(0))
         row_n = jnp.where(in_range, n_sorted.astype(jnp.int32), 0)
-        max_sz = jnp.max(sizes_tbl[:m2_local])
-        any_dup = jnp.any(dup_b)
+        # scalar diagnostics reduce INSIDE the one program (pmax ->
+        # replicated outputs): no extra jits, and the scalars fetch fine
+        # even when the shard arrays are not fully addressable
+        # (multi-process runs)
+        max_sz = jax.lax.pmax(jnp.max(sizes_tbl[:m2_local]), axis)
+        any_dup = jax.lax.pmax(jnp.any(dup_b).astype(jnp.int32), axis)
+        dropped = jax.lax.pmax(dropped, axis)
         return (rec.reshape(1, n_groups, 128), row_k.reshape(1, -1),
                 row_n.reshape(1, -1), m.reshape(1),
-                max_sz.reshape(1), any_dup.reshape(1),
-                dropped.reshape(1))
+                max_sz, any_dup, dropped)
 
     fn = shard_map(
         local_build, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis, None, None), P(axis, None), P(axis, None),
-                   P(axis), P(axis), P(axis), P(axis)),
+                   P(axis), P(), P(), P()),
         check_vma=False)
     rec, row_k, row_n, counts, max_szs, dups, dropped = jax.jit(fn)(
         k_p if on_device else jnp.asarray(k_p),
         n_p if on_device else jnp.asarray(n_p))
-    # scalar reductions via jit: replicated outputs fetch fine even when
-    # the sharded arrays themselves are not fully addressable
-    # (multi-process runs)
-    if int(jax.jit(jnp.max)(dropped)) > 0:
+    if int(dropped) > 0:
         raise RuntimeError(
             "sharded build: an all_to_all segment overflowed its padded "
             "capacity; raise capacity_factor (pathological hash skew)")
-    max_scan = int(jax.jit(jnp.max)(max_szs))
+    max_scan = int(max_szs)
     if max_scan > SCAN_CAP:
         raise ValueError(
             "table has buckets deeper than SCAN_CAP; use the CSR "
             "TableShards for this index")
-    has_dup = bool(jax.jit(jnp.any)(dups))
+    has_dup = bool(int(dups))
     if return_device:
         shards = PackedTableShards(rec, row_k, row_n, m2_local, modulo2,
                                    max(1, max_scan), n_table,
@@ -814,7 +815,9 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
 def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
                                modulo: int, n_table: int | None = None,
                                axis: str = "table",
-                               capacity_factor: float = 1.3):
+                               capacity_factor: float = 1.3,
+                               n_rows: int | None = None,
+                               return_device: bool = False):
     """Build :class:`TableShards` (the CSR bucket layout, used when a
     table has buckets deeper than the packed layout's SCAN_CAP — e.g.
     poly-A-heavy genomes) with the build itself sharded: the same ONE
@@ -840,7 +843,7 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     if not on_device:
         kmers = np.asarray(kmers, dtype=np.uint64)
         nodes = np.asarray(nodes, dtype=np.uint32)
-    n = len(kmers)
+    n = int(n_rows) if n_rows is not None else len(kmers)
     assert n < 2**31, "int32 row-index space exceeded; chunk the build"
     n_devices = len(jax.devices())
     n_table = min(n_table or n_devices, n_devices)
@@ -848,16 +851,23 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
 
     modulo = int(modulo)
     m_local = -(-modulo // n_table)
-    per = -(-max(n, 1) // n_table)
+    if n_rows is not None:
+        assert len(kmers) % n_table == 0, \
+            "pre-padded input length must be a multiple of n_table"
+        per = len(kmers) // n_table
+    else:
+        per = -(-max(n, 1) // n_table)
+    assert n_table * per < 2**31, \
+        "padded row-index space exceeds int32; chunk the build"
     cap = min(per, int(capacity_factor * per / n_table) + 1024)
     rcap = n_table * cap
 
-    pad = n_table * per - n
+    pad = n_table * per - len(kmers)
     if on_device:
-        k_p = jnp.concatenate(
-            [kmers.astype(jnp.uint64), jnp.zeros(pad, jnp.uint64)])
-        n_p = jnp.concatenate(
-            [nodes.astype(jnp.uint32), jnp.zeros(pad, jnp.uint32)])
+        k_p, n_p = kmers.astype(jnp.uint64), nodes.astype(jnp.uint32)
+        if pad:  # eager pad impossible on non-addressable global arrays
+            k_p = jnp.concatenate([k_p, jnp.zeros(pad, jnp.uint64)])
+            n_p = jnp.concatenate([n_p, jnp.zeros(pad, jnp.uint32)])
     else:
         k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
         n_p = np.concatenate([nodes, np.zeros(pad, np.uint32)])
@@ -882,27 +892,33 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
                 rows_idx, mode="drop")
         row_k = jnp.where(in_range, k_sorted, jnp.uint64(0))
         row_n = jnp.where(in_range, n_sorted.astype(jnp.int32), 0)
-        max_sz = jnp.max(sizes)
+        # replicated scalar diagnostics (see build_packed_shards_sharded)
+        max_sz = jax.lax.pmax(jnp.max(sizes), axis)
+        dropped = jax.lax.pmax(dropped, axis)
         return (starts.reshape(1, -1), sizes.reshape(1, -1),
                 row_k.reshape(1, -1), row_n.reshape(1, -1),
-                m.reshape(1), max_sz.reshape(1), dropped.reshape(1))
+                m.reshape(1), max_sz, dropped)
 
     fn = shard_map(
         local_build, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis, None), P(axis, None), P(axis, None),
-                   P(axis, None), P(axis), P(axis), P(axis)),
+                   P(axis, None), P(axis), P(), P()),
         check_vma=False)
     starts, sizes, row_k, row_n, counts, max_szs, dropped = jax.jit(fn)(
-        jnp.asarray(k_p), jnp.asarray(n_p))
-    if int(np.max(np.asarray(dropped))) > 0:
+        k_p if on_device else jnp.asarray(k_p),
+        n_p if on_device else jnp.asarray(n_p))
+    if int(dropped) > 0:
         raise RuntimeError(
             "sharded CSR build: an all_to_all segment overflowed its "
             "padded capacity. Bucket-sorted input (e.g. rows taken from "
             "an existing index) skews every source chunk onto one owner "
             "— use TableShards.from_index for already-built indexes, or "
             "raise capacity_factor for mild hash skew")
-    max_scan = max(1, int(np.max(np.asarray(max_szs))))
+    max_scan = max(1, int(max_szs))
+    if return_device:
+        return TableShards(starts, sizes, row_k, row_n, m_local, modulo,
+                           max_scan, n_table), counts
     shards = TableShards(
         np.asarray(starts).astype(np.int64), np.asarray(sizes),
         np.asarray(row_k), np.asarray(row_n), m_local, modulo,
@@ -935,6 +951,8 @@ def frequencies_sharded(kmers, ref_offsets, n_shards: int | None = None,
     ns = min(n_shards or n_devices, n_devices)
     mesh = Mesh(np.asarray(jax.devices()[:ns]), (axis,))
     per = -(-n // ns)
+    assert ns * per < 2**31, \
+        "padded row-index space exceeds int32; chunk the build"
     cap = min(per, int(capacity_factor * per / ns) + 1024)
     pad = ns * per - n
     k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
@@ -964,27 +982,14 @@ def frequencies_sharded(kmers, ref_offsets, n_shards: int | None = None,
         recv_r = jax.lax.all_to_all(stage_r.reshape(ns, cap), axis, 0, 0,
                                     tiled=True).reshape(-1)
 
-        # 4-lane u32 lexicographic keys (int64 is emulated on TPU);
-        # sentinels carry k_hi >= 2^31 and group harmlessly at the end
-        m = recv_k.shape[0]
-        k_hi = (recv_k >> jnp.uint64(32)).astype(jnp.uint32)
-        k_lo = (recv_k & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        r_hi = (recv_r >> jnp.uint64(32)).astype(jnp.uint32)
-        r_lo = (recv_r & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        idx = jnp.arange(m, dtype=jnp.int32)
-        hi_s, lo_s, rh_s, rl_s, sidx = jax.lax.sort(
-            (k_hi, k_lo, r_hi, r_lo, idx), num_keys=4, is_stable=True)
-        new_kmer = jnp.concatenate(
-            [jnp.ones(1, bool),
-             (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
-        new_pair = new_kmer | jnp.concatenate(
-            [jnp.ones(1, bool),
-             (rh_s[1:] != rh_s[:-1]) | (rl_s[1:] != rl_s[:-1])])
-        seg_id = jnp.cumsum(new_kmer.astype(jnp.int32)) - 1
-        counts = jnp.zeros(m, jnp.int32).at[seg_id].add(
-            new_pair.astype(jnp.int32))
-        freqs_sorted = counts[seg_id]
-        freq_recv = jnp.zeros(m, jnp.int32).at[sidx].set(freqs_sorted)
+        # the single-device distinct-pair kernel runs per shard as-is:
+        # sentinel rows (k_hi >= 2^31) group at the end and their
+        # frequencies are never read back (wide_offsets: offsets may
+        # reach 2^32)
+        from ..ops.build import _frequencies_full_device
+        freq_recv = _frequencies_full_device(recv_k,
+                                             recv_r.astype(jnp.int64),
+                                             True)
 
         # symmetric return trip: segment j goes back to source device j,
         # landing at exactly the stage slots this device filled
@@ -992,12 +997,12 @@ def frequencies_sharded(kmers, ref_offsets, n_shards: int | None = None,
                                   tiled=True).reshape(-1)
         f_s = back[jnp.minimum(dst, oob - 1)]
         f_chunk = jnp.zeros(per, jnp.int32).at[perm].set(f_s)
-        return f_chunk.reshape(1, -1), dropped.reshape(1)
+        return f_chunk.reshape(1, -1), jax.lax.pmax(dropped, axis)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
-                   out_specs=(P(axis, None), P(axis)), check_vma=False)
+                   out_specs=(P(axis, None), P()), check_vma=False)
     freqs, dropped = jax.jit(fn)(jnp.asarray(k_p), jnp.asarray(r_p))
-    if int(jax.jit(jnp.max)(dropped)) > 0:
+    if int(dropped) > 0:
         raise RuntimeError(
             "frequencies_sharded: an all_to_all segment overflowed; "
             "raise capacity_factor (pathological kmer skew)")

@@ -78,7 +78,10 @@ def hp_concatenate(arrays) -> np.ndarray:
     arrays = [np.asarray(a) for a in arrays]
     if not arrays:
         raise ValueError("need at least one array")
-    out = hp_empty(sum(len(a) for a in arrays), arrays[0].dtype)
+    # promote like np.concatenate would (a first-array dtype would
+    # silently truncate mixed-dtype inputs)
+    dtype = np.result_type(*[a.dtype for a in arrays])
+    out = hp_empty(sum(len(a) for a in arrays), dtype)
     pos = 0
     for a in arrays:
         out[pos:pos + len(a)] = a

@@ -118,11 +118,25 @@ def main():
     got, counts = build_packed_shards_sharded(
         k_glob, n_glob, n_tab, n_rows=n_real, return_device=True)
     want = PackedTableShards.from_index(index, n_tab)
-    for sh in got.records.addressable_shards:
+    count_by_shard = {}
+    for sh in counts.addressable_shards:
         t = sh.index[0].start if sh.index[0].start is not None else 0
-        np.testing.assert_array_equal(
-            np.asarray(sh.data)[0], want.records[t],
-            err_msg=f"cross-process build shard {t}")
+        count_by_shard[t] = int(np.asarray(sh.data)[0])
+    for arr, ref, name in ((got.records, want.records, "records"),
+                           (got.row_kmers, want.row_kmers, "row_kmers"),
+                           (got.row_nodes, want.row_nodes, "row_nodes")):
+        for sh in arr.addressable_shards:
+            t = sh.index[0].start if sh.index[0].start is not None else 0
+            local = np.asarray(sh.data)[0]
+            if name == "records":
+                np.testing.assert_array_equal(
+                    local, ref[t], err_msg=f"cross-process {name} {t}")
+            else:  # row segments: valid prefix must match the host build
+                m = count_by_shard[t]
+                np.testing.assert_array_equal(
+                    local[:m], ref[t, :m],
+                    err_msg=f"cross-process {name} shard {t}")
+                assert not ref[t, m:].any(), f"host build pad {name} {t}"
 
     # --- C: all_gather FlatKmers merge (1-D mesh over both processes)
     mesh1 = Mesh(np.asarray(jax.devices()), ("data",))

@@ -507,8 +507,11 @@ def test_sharded_csr_build_matches_host_build():
     k = 5
     graph, flat, index = _toy_index()
     n_nodes = graph.n_nodes()
-    kmers = np.asarray(index._kmers, dtype=np.uint64)
-    nodes = np.asarray(index._nodes, dtype=np.uint32)
+    # the sharded CSR build's contract is UNSORTED (emission-order)
+    # rows — bucket-sorted input (index rows) skews whole source chunks
+    # onto one owner; feed it the flat rows the finder emitted
+    kmers = np.asarray(flat._hashes, dtype=np.uint64)
+    nodes = np.asarray(flat._nodes, dtype=np.uint32)
     modulo = int(index._modulo)
 
     for n_table in (2, 4, 8):
