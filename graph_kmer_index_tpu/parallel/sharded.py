@@ -620,16 +620,28 @@ def _route_rows_to_owners(kc, nc, axis, per, n, modulo, m_local, cap,
     """Traced helper (called inside shard_map bodies): group this
     device's rows by owning shard — stable, so ranks are deterministic —
     and all_to_all the fixed-capacity segments. Returns
-    (recv_kmers, recv_nodes, recv_orig_idx, n_overflowed)."""
+    (recv_kmers, recv_nodes, n_overflowed).
+
+    ORDER INVARIANT the builders rely on: the received array's position
+    encodes the global original row index. Within each (src, dst)
+    segment rows keep the source's original order (stable owner sort +
+    ascending ranks), segments arrive ordered by source id, and source s
+    holds global rows [s*per, (s+1)*per) — so received position order ==
+    global original order, and no original-index payload has to cross
+    the wire (a third of the exchange volume, and what previously
+    limited builds to 2^31 GLOBAL rows instead of 2^31 rows PER
+    SHARD)."""
     i = jax.lax.axis_index(axis).astype(jnp.int32)
-    orig = i * per + jnp.arange(per, dtype=jnp.int32)
-    valid = orig < n
+    # int64 scalar arithmetic: i*per overflows int32 once the GLOBAL row
+    # count passes 2^31 (per-shard counts still must fit int32)
+    local_limit = n - i.astype(jnp.int64) * per
+    valid = jnp.arange(per, dtype=jnp.int64) < local_limit
     bucket = (kc % jnp.uint64(modulo)).astype(jnp.int64)
     owner = jnp.where(valid, bucket // m_local,
                       jnp.int64(n_table)).astype(jnp.int32)
     ow_s, perm = jax.lax.sort_key_val(
         owner, jnp.arange(per, dtype=jnp.int32), is_stable=True)
-    k_s, n_s, o_s = kc[perm], nc[perm], orig[perm]
+    k_s, n_s = kc[perm], nc[perm]
     cnt = jnp.zeros(n_table + 1, jnp.int32).at[ow_s].add(1)
     seg_start = jnp.cumsum(cnt) - cnt
     rank = jnp.arange(per, dtype=jnp.int32) - seg_start[ow_s]
@@ -641,26 +653,26 @@ def _route_rows_to_owners(kc, nc, axis, per, n, modulo, m_local, cap,
     stage_k = jnp.full(n_table * cap, sent_k).at[dst].set(k_s, mode="drop")
     stage_n = jnp.zeros(n_table * cap, jnp.uint32).at[dst].set(
         n_s, mode="drop")
-    stage_o = jnp.zeros(n_table * cap, jnp.int32).at[dst].set(
-        o_s, mode="drop")
     # THE collective: segment j of every device lands on device j
     recv = [jax.lax.all_to_all(st.reshape(n_table, cap), axis, 0, 0,
                                tiled=True).reshape(-1)
-            for st in (stage_k, stage_n, stage_o)]
-    return recv[0], recv[1], recv[2], dropped
+            for st in (stage_k, stage_n)]
+    return recv[0], recv[1], dropped
 
 
-def _sort_received(recv_k, recv_n, recv_o, axis, m_local, modulo, sent_k):
-    """Traced helper: sort this shard's received rows by (local bucket,
-    original row index) — exactly the global stable bucket sort
-    restricted to the shard's range; sentinels sort to the end. Returns
+def _sort_received(recv_k, recv_n, axis, m_local, modulo, sent_k):
+    """Traced helper: sort this shard's received rows by local bucket,
+    STABLE — received position order is global original order (see
+    _route_rows_to_owners), so this reproduces the global stable bucket
+    sort restricted to the shard's range; sentinels (interspersed as
+    per-segment tail padding) sort to the end. Returns
     (local_buckets, kmers, nodes, n_valid)."""
     i = jax.lax.axis_index(axis).astype(jnp.int64)
     got = recv_k != sent_k
     lb = (recv_k % jnp.uint64(modulo)).astype(jnp.int64) - i * m_local
     lb32 = jnp.where(got, lb, jnp.int64(m_local)).astype(jnp.int32)
-    lb_s, _o, k_s, n_s = jax.lax.sort(
-        (lb32, recv_o, recv_k, recv_n), num_keys=2, is_stable=True)
+    lb_s, k_s, n_s = jax.lax.sort(
+        (lb32, recv_k, recv_n), num_keys=1, is_stable=True)
     m = jnp.sum(got.astype(jnp.int32))
     return lb_s, k_s, n_s, m
 
@@ -697,7 +709,6 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
         kmers = np.asarray(kmers, dtype=np.uint64)
         nodes = np.asarray(nodes, dtype=np.uint32)
     n = int(n_rows) if n_rows is not None else len(kmers)
-    assert n < 2**31, "int32 row-index space exceeded; chunk the build"
     n_devices = len(jax.devices())
     n_table = min(n_table or n_devices, n_devices)
     mesh = Mesh(np.asarray(jax.devices()[:n_table]), (axis,))
@@ -711,8 +722,11 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
         per = len(kmers) // n_table
     else:
         per = -(-max(n, 1) // n_table)             # rows per source device
-    assert n_table * per < 2**31, \
-        "padded row-index space exceeds int32; chunk the build"
+    # only PER-SHARD index spaces must fit int32 (received position
+    # order carries the global original order — no global index exists
+    # on device); the global row count is bounded by n_table * 2^31
+    assert per < 2**31, \
+        "per-shard row-index space exceeds int32; raise n_table"
     cap = min(per, int(capacity_factor * per / n_table) + 1024)
     n_groups = m2_local // 16
     rcap = n_table * cap                           # rows per dest shard
@@ -730,10 +744,10 @@ def build_packed_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     sent_k = jnp.uint64((1 << 63))   # hashes < 4^31: never a real kmer
 
     def local_build(kc, nc):
-        recv_k, recv_n, recv_o, dropped = _route_rows_to_owners(
+        recv_k, recv_n, dropped = _route_rows_to_owners(
             kc, nc, axis, per, n, modulo2, m2_local, cap, n_table, sent_k)
         lb_s, k_sorted, n_sorted, m = _sort_received(
-            recv_k, recv_n, recv_o, axis, m2_local, modulo2, sent_k)
+            recv_k, recv_n, axis, m2_local, modulo2, sent_k)
 
         rows_idx = jnp.arange(rcap, dtype=jnp.int32)
         in_range = rows_idx < m
@@ -844,7 +858,6 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
         kmers = np.asarray(kmers, dtype=np.uint64)
         nodes = np.asarray(nodes, dtype=np.uint32)
     n = int(n_rows) if n_rows is not None else len(kmers)
-    assert n < 2**31, "int32 row-index space exceeded; chunk the build"
     n_devices = len(jax.devices())
     n_table = min(n_table or n_devices, n_devices)
     mesh = Mesh(np.asarray(jax.devices()[:n_table]), (axis,))
@@ -857,8 +870,8 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
         per = len(kmers) // n_table
     else:
         per = -(-max(n, 1) // n_table)
-    assert n_table * per < 2**31, \
-        "padded row-index space exceeds int32; chunk the build"
+    assert per < 2**31, \
+        "per-shard row-index space exceeds int32; raise n_table"
     cap = min(per, int(capacity_factor * per / n_table) + 1024)
     rcap = n_table * cap
 
@@ -875,10 +888,10 @@ def build_table_shards_sharded(kmers: np.ndarray, nodes: np.ndarray,
     sent_k = jnp.uint64((1 << 63))
 
     def local_build(kc, nc):
-        recv_k, recv_n, recv_o, dropped = _route_rows_to_owners(
+        recv_k, recv_n, dropped = _route_rows_to_owners(
             kc, nc, axis, per, n, modulo, m_local, cap, n_table, sent_k)
         lb_s, k_sorted, n_sorted, m = _sort_received(
-            recv_k, recv_n, recv_o, axis, m_local, modulo, sent_k)
+            recv_k, recv_n, axis, m_local, modulo, sent_k)
 
         rows_idx = jnp.arange(rcap, dtype=jnp.int32)
         in_range = rows_idx < m
@@ -946,13 +959,12 @@ def frequencies_sharded(kmers, ref_offsets, n_shards: int | None = None,
     n = len(kmers)
     if n == 0:
         return np.zeros(0, dtype=np.uint16)
-    assert n < 2**31
     n_devices = len(jax.devices())
     ns = min(n_shards or n_devices, n_devices)
     mesh = Mesh(np.asarray(jax.devices()[:ns]), (axis,))
     per = -(-n // ns)
-    assert ns * per < 2**31, \
-        "padded row-index space exceeds int32; chunk the build"
+    assert per < 2**31, \
+        "per-shard row-index space exceeds int32; raise n_shards"
     cap = min(per, int(capacity_factor * per / ns) + 1024)
     pad = ns * per - n
     k_p = np.concatenate([kmers, np.zeros(pad, np.uint64)])
@@ -962,8 +974,9 @@ def frequencies_sharded(kmers, ref_offsets, n_shards: int | None = None,
 
     def local(kc, rc):
         i = jax.lax.axis_index(axis).astype(jnp.int32)
-        orig = i * per + jnp.arange(per, dtype=jnp.int32)
-        valid = orig < n
+        # int64 scalar arithmetic: i*per overflows int32 past 2^31 rows
+        local_limit = n - i.astype(jnp.int64) * per
+        valid = jnp.arange(per, dtype=jnp.int64) < local_limit
         owner = jnp.where(valid, (kc % jnp.uint64(ns)).astype(jnp.int32),
                           jnp.int32(ns))
         ow_s, perm = jax.lax.sort_key_val(
