@@ -2,21 +2,30 @@
 # Round-3 on-chip recapture: run the moment the axon relay returns.
 # Each step under its own timeout; everything appends to the log.
 # Usage: bash benchmarks/recapture_r3.sh [logfile]
-set -u
+set -u -o pipefail  # the relay-check gate pipes through tee
 LOG="${1:-/tmp/recapture_r3.log}"
 cd "$(dirname "$0")/.."
 
 say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
 
 say "relay check"
-python - <<'EOF' | tee -a "$LOG"
-import socket
+if ! python - <<'EOF' | tee -a "$LOG"
+import socket, sys
+up = False
 for p in (2025, 2297):
     s = socket.socket(); s.settimeout(3)
-    try: s.connect(("127.0.0.1", p)); print(p, "OPEN")
-    except Exception as e: print(p, "DOWN", e)
-    finally: s.close()
+    try:
+        s.connect(("127.0.0.1", p)); print(p, "OPEN"); up = True
+    except Exception as e:
+        print(p, "DOWN", e)
+    finally:
+        s.close()
+sys.exit(0 if up else 1)
 EOF
+then
+    say "relay down — aborting (running the candidates would just burn timeouts)"
+    exit 1
+fi
 
 say "1/5 headline bench (P16 hashing)"
 GKI_BENCH_BUDGET_S=420 timeout 540 python bench.py 2>&1 | tee -a "$LOG"
