@@ -138,6 +138,44 @@ def main():
                     err_msg=f"cross-process {name} shard {t}")
                 assert not ref[t, m:].any(), f"host build pad {name} {t}"
 
+    # --- B2: cross-process checkpoint — each process writes only its
+    # ADDRESSABLE shards of the device-built table (parallel/checkpoint
+    # .py); process 0 then loads the full set host-side and compares to
+    # the host build. A psum barrier orders the load after both saves
+    # (the collective cannot complete until both processes dispatched
+    # it, i.e. both save_shards calls returned).
+    import os
+    ckpt = os.environ.get("GKI_DIST_CKPT")
+    if ckpt:
+        from graph_kmer_index_tpu.parallel.checkpoint import (
+            save_shards, load_shards)
+        written = save_shards(got, ckpt)
+        assert written, "no shard files written by this process"
+        ones = make_global(mesh_t, P("table"), np.ones(8, np.int32))
+        assert int(jax.jit(jnp.sum)(ones)) == 8  # barrier
+        if pid == 0:
+            loaded = load_shards(ckpt)
+            np.testing.assert_array_equal(loaded.records, want.records,
+                                          err_msg="ckpt records")
+            # per-shard valid row counts: the same bucket cut
+            # from_index uses (rows sorted by internal-modulo bucket,
+            # shard boundaries at multiples of m2_local)
+            bucket = np.sort(
+                (bk % np.uint64(want.modulo2)).astype(np.int64))
+            cut = np.searchsorted(
+                bucket, np.arange(1, n_tab) * want.m2_local)
+            ms = np.diff(np.concatenate([[0], cut, [n_real]]))
+            for t in range(n_tab):
+                m = int(ms[t])
+                np.testing.assert_array_equal(
+                    loaded.row_kmers[t, :m], want.row_kmers[t, :m],
+                    err_msg=f"ckpt row_kmers shard {t}")
+                np.testing.assert_array_equal(
+                    loaded.row_nodes[t, :m], want.row_nodes[t, :m],
+                    err_msg=f"ckpt row_nodes shard {t}")
+            assert loaded.max_scan == want.max_scan
+            assert loaded.has_dup == want.has_dup
+
     # --- C: all_gather FlatKmers merge (1-D mesh over both processes)
     mesh1 = Mesh(np.asarray(jax.devices()), ("data",))
     n = 64

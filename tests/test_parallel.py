@@ -309,7 +309,7 @@ def test_packed_sharded_member_step_matches_single_device():
         assert np.array_equal(got, expected), (n_data, n_table)
 
 
-def test_two_process_distributed_matches_single_process():
+def test_two_process_distributed_matches_single_process(tmp_path):
     """The packed count step and the all_gather FlatKmers merge across
     TWO OS processes via jax.distributed (2 x 4 virtual CPU devices,
     8-device global mesh), bit-equal to host-serial results.
@@ -329,6 +329,8 @@ def test_two_process_distributed_matches_single_process():
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # section B2: cross-process sharded checkpoint into a shared tmp dir
+    env["GKI_DIST_CKPT"] = str(tmp_path / "distckpt")
 
     with socket.socket() as s:  # free coordinator port
         s.bind(("127.0.0.1", 0))
