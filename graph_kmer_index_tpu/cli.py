@@ -148,7 +148,8 @@ def index_command(args):
         critical_paths=critical_paths, position_id=position_id,
         max_variant_nodes=args.max_variant_nodes,
         only_save_one_node_per_kmer=True,
-        whitelist=whitelist)
+        whitelist=whitelist,
+        checkpoint_dir=args.checkpoint_dir)
     logging.info("Time spent to make indexes: %.2f", time.perf_counter() - t)
     if args.include_reverse_complement:
         logging.info("Adding reverse complements")
@@ -590,6 +591,9 @@ def build_argument_parser():
     s.add_argument("-O", "--only-save-one-node-per-kmer", type=bool,
                    default=False)
     s.add_argument("-v", "--max-variant-nodes", type=int, default=5)
+    s.add_argument("--checkpoint-dir", required=False, default=None,
+                   help="persist each finished critical-path chunk here; "
+                        "an interrupted run resumes from completed chunks")
     s.set_defaults(func=index_command)
 
     s = subparsers.add_parser("find_critical_paths")

@@ -11,8 +11,11 @@ free for the index build that follows the merge.
 """
 from __future__ import annotations
 
+import hashlib
+import json
 import logging
 import multiprocessing as mp
+import os
 
 import numpy as np
 
@@ -152,8 +155,97 @@ def map_over_chunks(fn, chunks, n_workers):
         return pool.map(_run_map_chunk, chunks)
 
 
+# -- per-chunk find checkpoints ----------------------------------------------
+#
+# The reference's only resume mechanism is manual: re-run with
+# start/stop_at_critical_path_number and merge the npz files yourself
+# (kmer_finder.py:92-93, command_line_interface.py:574-623). Here a
+# ``checkpoint_dir`` makes the pooled find restartable automatically:
+# each finished chunk persists as chunk-SSSSSSSS-EEEEEEEE.npz
+# (deterministic chunk IDs, SURVEY.md §5.4), a meta.json pins the
+# inputs the chunks are only valid for, and a re-run recomputes only
+# the missing chunks. Stale files from a different chunking are simply
+# never matched; a different graph/k/flag set is refused loudly.
+
+_CKPT_VERSION = 1
+
+
+def _graph_fingerprint(graph) -> str:
+    """Stable digest of the traversal-relevant graph arrays (a resumed
+    find against a different graph must be refused, not merged)."""
+    h = hashlib.blake2b(digest_size=16)
+    for a in (graph.node_sizes, graph.sequence, graph.seq_start,
+              graph.edge_targets, graph.edge_index, graph.linear_ref_mask,
+              graph.ref_dummy_mask, graph.node_to_ref_offset):
+        arr = np.ascontiguousarray(a)
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def _ckpt_verify_meta(checkpoint_dir, graph, k, n_paths, mode,
+                      finder_kwargs) -> None:
+    """Create/validate ``meta.json``; raise on any input mismatch."""
+    meta = {
+        "version": _CKPT_VERSION, "k": int(k), "n_paths": int(n_paths),
+        "mode": mode, "graph": _graph_fingerprint(graph),
+        # whitelist indexes etc. don't repr stably; pin kwarg names +
+        # scalar values, and the TYPE of anything non-scalar
+        "finder_kwargs": sorted(
+            (key, val if isinstance(val, (int, float, str, bool,
+                                          type(None)))
+             else type(val).__name__)
+            for key, val in finder_kwargs.items()),
+    }
+    meta = json.loads(json.dumps(meta))  # normalize tuples -> lists
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "meta.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if old != meta:
+            raise ValueError(
+                f"find checkpoint dir {checkpoint_dir!r} was written for "
+                f"different inputs ({old} != {meta}); clear it or use "
+                "another directory")
+        return
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def _ckpt_chunk_path(checkpoint_dir, chunk) -> str:
+    return os.path.join(checkpoint_dir,
+                        f"chunk-{chunk[0]:08d}-{chunk[1]:08d}.npz")
+
+
+def _ckpt_save_chunk(checkpoint_dir, chunk, arrays) -> None:
+    path = _ckpt_chunk_path(checkpoint_dir, chunk)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **{f"a{i}": a for i, a in enumerate(arrays)})
+    os.replace(tmp, path)
+
+
+def _ckpt_load_chunk(checkpoint_dir, chunk):
+    """The chunk's result tuple, or None if absent/unreadable (a torn
+    file — e.g. a survivor of a pre-atomic-write crash — recomputes)."""
+    path = _ckpt_chunk_path(checkpoint_dir, chunk)
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return tuple(z[f"a{i}"] for i in range(len(z.files)))
+    except Exception as e:
+        logging.warning("find checkpoint: unreadable chunk %s (%s); "
+                        "recomputing", path, e)
+        return None
+
+
 def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
-                 chunks_per_worker, finder_kwargs):
+                 chunks_per_worker, finder_kwargs, checkpoint_dir=None):
     """Shared chunking + fork-pool driver: runs ``run_fn`` (a module-level
     chunk worker) over critical-path chunks, serial or forked."""
     if critical_paths is None:
@@ -171,6 +263,26 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
     logging.info("find pool: %d paths in %d chunks over %d workers",
                  n_paths, len(chunks), n_workers)
 
+    results = [None] * len(chunks)
+    work = list(range(len(chunks)))
+    if checkpoint_dir is not None:
+        mode = "spans" if run_fn is _run_chunk_spans else "rows"
+        _ckpt_verify_meta(checkpoint_dir, graph, k, n_paths, mode,
+                          finder_kwargs)
+        work = []
+        for i, c in enumerate(chunks):
+            r = _ckpt_load_chunk(checkpoint_dir, c)
+            if r is None:
+                work.append(i)
+            else:
+                results[i] = r
+        if len(work) < len(chunks):
+            logging.info("find checkpoint: resumed %d/%d chunks from %s",
+                         len(chunks) - len(work), len(chunks),
+                         checkpoint_dir)
+        if not work:
+            return results, position_id
+
     if n_workers > 1 and _accelerator_backend_live():
         # fork() after an accelerator backend initialized can deadlock the
         # child (inherited device state). The safe pattern is pool-before-
@@ -181,28 +293,40 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
 
     if n_workers <= 1:
         _init_worker(graph, k, critical_paths, position_id, finder_kwargs)
-        results = [run_fn(c) for c in chunks]
+        for i in work:
+            results[i] = run_fn(chunks[i])
+            if checkpoint_dir is not None:
+                _ckpt_save_chunk(checkpoint_dir, chunks[i], results[i])
     else:
         ctx = mp.get_context("fork")
         with ctx.Pool(n_workers, initializer=_init_worker,
                       initargs=(graph, k, critical_paths, position_id,
                                 finder_kwargs)) as pool:
-            results = pool.map(run_fn, chunks)
+            # ordered imap: each chunk persists the moment it lands, so
+            # a killed run resumes from the finished prefix + stragglers
+            for i, r in zip(work, pool.imap(run_fn,
+                                            [chunks[i] for i in work])):
+                results[i] = r
+                if checkpoint_dir is not None:
+                    _ckpt_save_chunk(checkpoint_dir, chunks[i], r)
     return results, position_id
 
 
 def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
                         position_id=None, chunks_per_worker=20,
-                        **finder_kwargs):
+                        checkpoint_dir=None, **finder_kwargs):
     """Full-graph DenseKmerFinder sharded over ``n_workers`` processes.
 
     Returns FlatKmers identical (same rows, chunk-concatenation order) to
     the reference CLI's multiprocess ``index -t N`` merge
-    (command_line_interface.py:601-616).
+    (command_line_interface.py:601-616). With ``checkpoint_dir`` each
+    finished chunk persists immediately and an interrupted run resumes
+    from the completed chunks (see the checkpoint helpers above).
     """
     results, _ = _find_pooled(_run_chunk, graph, k, n_workers,
                               critical_paths, position_id,
-                              chunks_per_worker, finder_kwargs)
+                              chunks_per_worker, finder_kwargs,
+                              checkpoint_dir=checkpoint_dir)
     shards = [FlatKmers(h, n, r, a) for h, n, r, a in results]
     del results  # consume=True frees each shard as it is copied
     return FlatKmers.from_multiple_flat_kmers(shards, consume=True)
@@ -210,7 +334,7 @@ def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
 
 def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
                                position_id=None, chunks_per_worker=20,
-                               **finder_kwargs):
+                               checkpoint_dir=None, **finder_kwargs):
     """find_kmers_parallel with a DEVICE-RESIDENT finalize: workers
     return compact span tapes (~1 byte/base + span descriptors), the
     parent merges them on host and expands rows ON DEVICE
@@ -227,12 +351,12 @@ def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
         return find_kmers_parallel(
             graph, k, n_workers, critical_paths=critical_paths,
             position_id=position_id, chunks_per_worker=chunks_per_worker,
-            **finder_kwargs)
+            checkpoint_dir=checkpoint_dir, **finder_kwargs)
     only_save_one = finder_kwargs.get("only_save_one_node_per_kmer", False)
     only_store_nodes = finder_kwargs.get("only_store_nodes")
     results, position_id = _find_pooled(
         _run_chunk_spans, graph, k, n_workers, critical_paths, position_id,
-        chunks_per_worker, finder_kwargs)
+        chunks_per_worker, finder_kwargs, checkpoint_dir=checkpoint_dir)
 
     from ..utils.hugepages import hp_concatenate
     tapes = [r[0] for r in results]

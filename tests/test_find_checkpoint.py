@@ -1,0 +1,130 @@
+"""Resumable pooled find (host_pool checkpoint_dir).
+
+The reference's only resume path is manual start/stop flags + a
+by-hand merge (kmer_finder.py:92-93); here an interrupted
+find_kmers_parallel run must resume from its completed chunks and
+produce bit-identical FlatKmers, and a checkpoint dir written for
+different inputs must be refused.
+"""
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import Graph
+from graph_kmer_index_tpu.parallel import host_pool
+from graph_kmer_index_tpu.parallel.host_pool import (
+    find_kmers_parallel, find_kmers_parallel_device, _ckpt_chunk_path)
+
+
+def _graph():
+    rng = np.random.default_rng(7)
+    bases = "ACGT"
+    seqs, edges, linear = {}, {}, []
+    node = 1
+    for _ in range(12):  # ref segment + SNP bubble, chained
+        seqs[node] = "".join(bases[b] for b in rng.integers(0, 4, 17))
+        seqs[node + 1] = bases[rng.integers(0, 4)]
+        seqs[node + 2] = bases[(rng.integers(0, 4) + 1) % 4]
+        edges[node] = [node + 1, node + 2]
+        edges[node + 1] = [node + 3]
+        edges[node + 2] = [node + 3]
+        linear += [node, node + 1]
+        node += 3
+    seqs[node] = "".join(bases[b] for b in rng.integers(0, 4, 17))
+    linear.append(node)
+    return Graph.from_dicts(seqs, edges, linear)
+
+
+def _cols(flat):
+    return (np.asarray(flat._hashes), np.asarray(flat._nodes),
+            np.asarray(flat._ref_offsets),
+            np.asarray(flat._allele_frequencies))
+
+
+def test_checkpointed_find_equals_plain_and_resumes(tmp_path,
+                                                    monkeypatch):
+    graph = _graph()
+    k = 7
+    want = find_kmers_parallel(graph, k, n_workers=1)
+
+    ckpt = str(tmp_path / "find_ckpt")
+    got = find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt)
+    for a, b in zip(_cols(got), _cols(want)):
+        np.testing.assert_array_equal(a, b)
+    files = sorted(p.name for p in (tmp_path / "find_ckpt").iterdir())
+    assert "meta.json" in files
+    chunk_files = [f for f in files if f.startswith("chunk-")]
+    assert len(chunk_files) >= 2, chunk_files
+
+    # full resume: every chunk present -> the worker must never run
+    def boom(chunk):
+        raise AssertionError(f"chunk {chunk} recomputed on full resume")
+    monkeypatch.setattr(host_pool, "_run_chunk", boom)
+    got2 = find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt)
+    for a, b in zip(_cols(got2), _cols(want)):
+        np.testing.assert_array_equal(a, b)
+    monkeypatch.undo()
+
+    # partial resume: drop one chunk file, corrupt another (torn write
+    # survivor) -> exactly those two recompute, rows identical
+    victims = chunk_files[:2]
+    (tmp_path / "find_ckpt" / victims[0]).unlink()
+    (tmp_path / "find_ckpt" / victims[1]).write_bytes(b"not an npz")
+    calls = []
+    real = host_pool._run_chunk
+
+    def counting(chunk):
+        calls.append(chunk)
+        return real(chunk)
+    monkeypatch.setattr(host_pool, "_run_chunk", counting)
+    got3 = find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt)
+    assert len(calls) == 2, calls
+    for a, b in zip(_cols(got3), _cols(want)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_refuses_mismatched_inputs(tmp_path):
+    graph = _graph()
+    ckpt = str(tmp_path / "find_ckpt")
+    find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt)
+
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(graph, 9, n_workers=1, checkpoint_dir=ckpt)
+
+    other = Graph.from_dicts({1: "ACTGACTGACTG"}, {}, [1])
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(other, 7, n_workers=1, checkpoint_dir=ckpt)
+
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt,
+                            max_variant_nodes=2)
+
+
+def test_checkpointed_device_find_spans_mode(tmp_path, monkeypatch):
+    """The span-tape (device finalize) path checkpoints its compact
+    representation; a full resume re-expands to identical rows without
+    re-walking anything."""
+    graph = _graph()
+    k = 7
+    want = find_kmers_parallel(graph, k, n_workers=1)
+    ckpt = str(tmp_path / "span_ckpt")
+    got = find_kmers_parallel_device(graph, k, n_workers=1,
+                                     checkpoint_dir=ckpt)
+    for a, b in zip(_cols(got), _cols(want)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    def boom(chunk):
+        raise AssertionError("span chunk recomputed on full resume")
+    monkeypatch.setattr(host_pool, "_run_chunk_spans", boom)
+    got2 = find_kmers_parallel_device(graph, k, n_workers=1,
+                                      checkpoint_dir=ckpt)
+    for a, b in zip(_cols(got2), _cols(want)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # rows- and spans-mode checkpoints must not mix
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt)
