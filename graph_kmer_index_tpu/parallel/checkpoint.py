@@ -75,6 +75,13 @@ def _local_shard_slices(arr, n_table: int):
             t0 = sh.index[0].start
             t0 = 0 if t0 is None else int(t0)
             data = np.asarray(sh.data)
+            # only the LEADING (table) axis may be sharded: a piece
+            # split along a trailing axis would silently checkpoint a
+            # fragment as the whole shard
+            assert data.shape[1:] == arr.shape[1:], \
+                (f"column sharded along a trailing axis "
+                 f"({data.shape} piece of {arr.shape}); shard "
+                 f"checkpoints require P('table', None, ...) layouts")
             for i in range(data.shape[0]):
                 if t0 + i not in seen:
                     seen.add(t0 + i)
@@ -115,6 +122,7 @@ def save_shards(shards, prefix: str) -> list[str]:
     schema = _SCHEMAS[kind]
     local: dict[int, dict[str, np.ndarray]] = {}
     shapes = {}
+    any_device = any(isinstance(a, jax.Array) for a in cols.values())
     for name, arr in cols.items():
         shapes[f"shape_{name}"] = np.asarray(arr.shape[1:], dtype=np.int64)
         for t, sl in _local_shard_slices(arr, n_table):
@@ -130,7 +138,12 @@ def save_shards(shards, prefix: str) -> list[str]:
         path = shard_path(prefix, t, n_table)
         _atomic_savez(path, **local[t])
         written.append(path)
-    if jax.process_index() == 0:
+    # process_index() initializes the default backend — never force
+    # that for a pure host-numpy save (on this sandbox the axon backend
+    # hangs when the relay is down, and a live accelerator backend
+    # disables the host fork pool); all-numpy saves are single-process
+    # by construction
+    if not any_device or jax.process_index() == 0:
         path = manifest_path(prefix)
         _atomic_savez(path, **meta, **shapes)
         written.append(path)

@@ -95,6 +95,13 @@ def _run_chunk_spans(chunk):
             finder._span_nodes.get_nparray())
 
 
+def _run_indexed(args):
+    """Pool shim for imap_unordered: thread the chunk index through the
+    worker so out-of-order completions slot back correctly."""
+    i, run_fn, chunk = args
+    return i, run_fn(chunk)
+
+
 _MAP_FN = None
 
 
@@ -170,50 +177,94 @@ def map_over_chunks(fn, chunks, n_workers):
 _CKPT_VERSION = 1
 
 
+def _array_digest(h, arr) -> None:
+    arr = np.ascontiguousarray(arr)
+    h.update(str(arr.dtype).encode())
+    h.update(str(arr.shape).encode())
+    h.update(arr.tobytes())
+
+
 def _graph_fingerprint(graph) -> str:
-    """Stable digest of the traversal-relevant graph arrays (a resumed
-    find against a different graph must be refused, not merged)."""
+    """Stable digest of every graph array a chunk's output can depend
+    on — topology, sequence, ref layout AND allele frequencies (rows
+    mode embeds AF values, finder emission reads them) — so a resumed
+    find against a changed graph is refused, not merged."""
     h = hashlib.blake2b(digest_size=16)
     for a in (graph.node_sizes, graph.sequence, graph.seq_start,
               graph.edge_targets, graph.edge_index, graph.linear_ref_mask,
-              graph.ref_dummy_mask, graph.node_to_ref_offset):
-        arr = np.ascontiguousarray(a)
-        h.update(str(arr.dtype).encode())
-        h.update(str(arr.shape).encode())
-        h.update(arr.tobytes())
+              graph.ref_dummy_mask, graph.node_to_ref_offset,
+              graph.allele_frequencies, graph.chromosome_start_nodes_array):
+        _array_digest(h, a)
     return h.hexdigest()
 
 
-def _ckpt_verify_meta(checkpoint_dir, graph, k, n_paths, mode,
-                      finder_kwargs) -> None:
-    """Create/validate ``meta.json``; raise on any input mismatch."""
+def _value_fingerprint(val) -> object:
+    """JSON-stable pin for a finder kwarg. Scalars pass through; arrays
+    and index-like objects (anything carrying ``_kmers``, e.g. a
+    whitelist CollisionFreeKmerIndex) pin their CONTENT — a resumed run
+    whose whitelist changed must be refused, not merged with chunks
+    filtered by the old one."""
+    if isinstance(val, (int, float, str, bool, type(None))):
+        return val
+    h = hashlib.blake2b(digest_size=16)
+    if isinstance(val, (list, tuple, np.ndarray)):
+        _array_digest(h, np.asarray(val))
+        return f"array:{h.hexdigest()}"
+    if hasattr(val, "_kmers"):
+        _array_digest(h, np.asarray(val._kmers))
+        return f"{type(val).__name__}:{h.hexdigest()}"
+    return type(val).__name__  # last resort: type identity only
+
+
+def _ckpt_verify_meta(checkpoint_dir, graph, k, critical_paths,
+                      position_id, mode, finder_kwargs) -> None:
+    """Create/validate ``meta.json``; raise on any input mismatch.
+
+    Creation is race-safe: the first writer links its meta into place
+    exclusively (``os.link`` fails on an existing path), so two
+    concurrent first runs with different inputs cannot both believe
+    they own the directory — the loser validates against the winner's
+    meta and raises."""
+    cp = hashlib.blake2b(digest_size=16)
+    _array_digest(cp, np.asarray(critical_paths.nodes))
+    _array_digest(cp, np.asarray(critical_paths.offsets))
+    pid_h = hashlib.blake2b(digest_size=16)
+    _array_digest(pid_h, np.asarray(position_id._start_ids))
     meta = {
-        "version": _CKPT_VERSION, "k": int(k), "n_paths": int(n_paths),
+        "version": _CKPT_VERSION, "k": int(k),
+        "n_paths": int(len(critical_paths)),
+        "critical_paths": cp.hexdigest(),
+        "position_id": pid_h.hexdigest(),
         "mode": mode, "graph": _graph_fingerprint(graph),
-        # whitelist indexes etc. don't repr stably; pin kwarg names +
-        # scalar values, and the TYPE of anything non-scalar
         "finder_kwargs": sorted(
-            (key, val if isinstance(val, (int, float, str, bool,
-                                          type(None)))
-             else type(val).__name__)
+            (key, _value_fingerprint(val))
             for key, val in finder_kwargs.items()),
     }
     meta = json.loads(json.dumps(meta))  # normalize tuples -> lists
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, "meta.json")
-    if os.path.exists(path):
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, path)  # atomic create-exclusive
+        except FileExistsError:
+            pass  # lost the race; validate against the winner below
+        finally:
+            os.unlink(tmp)
+    try:
         with open(path) as f:
             old = json.load(f)
-        if old != meta:
-            raise ValueError(
-                f"find checkpoint dir {checkpoint_dir!r} was written for "
-                f"different inputs ({old} != {meta}); clear it or use "
-                "another directory")
-        return
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, path)
+    except ValueError as e:
+        raise ValueError(
+            f"find checkpoint dir {checkpoint_dir!r} has an unreadable "
+            f"meta.json ({e}); clear the directory") from e
+    if old != meta:
+        raise ValueError(
+            f"find checkpoint dir {checkpoint_dir!r} was written for "
+            f"different inputs ({old} != {meta}); clear it or use "
+            "another directory")
 
 
 def _ckpt_chunk_path(checkpoint_dir, chunk) -> str:
@@ -267,8 +318,8 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
     work = list(range(len(chunks)))
     if checkpoint_dir is not None:
         mode = "spans" if run_fn is _run_chunk_spans else "rows"
-        _ckpt_verify_meta(checkpoint_dir, graph, k, n_paths, mode,
-                          finder_kwargs)
+        _ckpt_verify_meta(checkpoint_dir, graph, k, critical_paths,
+                          position_id, mode, finder_kwargs)
         work = []
         for i, c in enumerate(chunks):
             r = _ckpt_load_chunk(checkpoint_dir, c)
@@ -302,10 +353,13 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
         with ctx.Pool(n_workers, initializer=_init_worker,
                       initargs=(graph, k, critical_paths, position_id,
                                 finder_kwargs)) as pool:
-            # ordered imap: each chunk persists the moment it lands, so
-            # a killed run resumes from the finished prefix + stragglers
-            for i, r in zip(work, pool.imap(run_fn,
-                                            [chunks[i] for i in work])):
+            # unordered imap: each chunk persists the moment it actually
+            # finishes (ordered imap would buffer completions behind a
+            # straggler and lose them on a crash); results slot back by
+            # the index threaded through the worker
+            for i, r in pool.imap_unordered(
+                    _run_indexed,
+                    [(i, run_fn, chunks[i]) for i in work]):
                 results[i] = r
                 if checkpoint_dir is not None:
                     _ckpt_save_chunk(checkpoint_dir, chunks[i], r)

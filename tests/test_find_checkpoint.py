@@ -103,6 +103,53 @@ def test_checkpoint_refuses_mismatched_inputs(tmp_path):
         find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt,
                             max_variant_nodes=2)
 
+    # allele frequencies feed the rows-mode output: a graph refresh
+    # that ONLY changes AFs must also be refused
+    graph_af = _graph()
+    graph_af.allele_frequencies = (
+        np.asarray(graph_af.allele_frequencies) * 0.5).astype(np.float32)
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(graph_af, 7, n_workers=1, checkpoint_dir=ckpt)
+
+
+def test_checkpoint_pins_whitelist_and_critical_path_content(tmp_path):
+    """Non-scalar inputs are pinned by CONTENT: a whitelist with
+    different kmers, or a critical-paths object with the same count but
+    different cut points, must refuse the dir — not merge stale
+    chunks."""
+    from graph_kmer_index_tpu import (
+        CollisionFreeKmerIndex, CriticalGraphPaths, DenseKmerFinder,
+        FlatKmers)
+    graph = _graph()
+    k = 7
+
+    def whitelist_of(kmers):
+        flat = FlatKmers(np.asarray(kmers, np.uint64),
+                         np.ones(len(kmers), np.uint32),
+                         np.arange(len(kmers), dtype=np.uint64))
+        return CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=97)
+
+    ckpt = str(tmp_path / "wl_ckpt")
+    find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt,
+                        whitelist=whitelist_of([11, 22, 33]))
+    # same whitelist content: resumes fine
+    find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt,
+                        whitelist=whitelist_of([11, 22, 33]))
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt,
+                            whitelist=whitelist_of([44, 55, 66]))
+
+    ckpt2 = str(tmp_path / "cp_ckpt")
+    cps = CriticalGraphPaths.from_graph(graph, k)
+    find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt2,
+                        critical_paths=cps)
+    bent = CriticalGraphPaths(np.asarray(cps.nodes).copy(),
+                              np.asarray(cps.offsets).copy())
+    bent.offsets[0] += 1  # same count, different cut point
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(graph, k, n_workers=1, checkpoint_dir=ckpt2,
+                            critical_paths=bent)
+
 
 def test_checkpointed_device_find_spans_mode(tmp_path, monkeypatch):
     """The span-tape (device finalize) path checkpoints its compact
