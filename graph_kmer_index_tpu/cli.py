@@ -9,6 +9,11 @@ set_frequencies_using_other_index, set_allele_frequencies,
 create_counter_index, index, find_critical_paths,
 add_reverse_complements, count_kmers.
 
+Extras beyond the reference: make_graph (the reference leans on the
+external obgraph package), map_reads (external kmer_mapper there; with
+``--table-shards`` it serves a sharded checkpoint over the device
+mesh), and shard_index (whole index file -> sharded checkpoint).
+
 The reference's ``--threads`` parallelism is fork() + POSIX shared memory
 + worklist splits (cli:105-153,574-623). Here the host control plane is
 single-process (worklists still split per interval/chunk so outputs merge
@@ -369,6 +374,55 @@ def make_unique_variant_kmers_batched(args):
     make_unique_variant_kmers(args)
 
 
+def _map_reads_sharded(args):
+    """map_reads against a SHARDED table checkpoint: the table never
+    materializes whole — each device holds its bucket-range shard
+    (loaded straight from its own checkpoint files) and answers its own
+    queries; node counts psum-merge across the mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from . import ReadKmers
+    from .parallel.checkpoint import load_shards, manifest_info
+    from .parallel.sharded import KMER_PAD, make_count_step_packed
+
+    info = manifest_info(args.table_shards)
+    if info["kind"] != "packed":
+        raise SystemExit(
+            "map_reads --table-shards serves packed checkpoints; for a "
+            "CSR shard set use the library make_count_step path")
+    n_table = info["n_table"]
+    devs = jax.devices()
+    if len(devs) < n_table or len(devs) % n_table:
+        raise SystemExit(
+            f"{len(devs)} device(s) cannot host {n_table} table shards "
+            "evenly; re-shard the checkpoint or change the device count")
+    n_data = len(devs) // n_table
+    mesh = Mesh(np.asarray(devs).reshape(n_data, n_table),
+                ("data", "table"))
+    shards = load_shards(args.table_shards, mesh=mesh)
+
+    kmers = np.asarray(ReadKmers.hash_fasta_file(
+        args.reads, args.kmer_size,
+        include_reverse_complements=args.include_reverse_complement),
+        dtype=np.uint64)
+    n_nodes = args.n_nodes or int(jax.jit(jnp.max)(shards.row_nodes)) + 1
+    total = max(n_data, -(-max(1, len(kmers)) // n_data) * n_data)
+    q = np.full(total, KMER_PAD, dtype=np.uint64)
+    q[:len(kmers)] = kmers
+    q_dev = jax.device_put(jnp.asarray(q),
+                           NamedSharding(mesh, P("data")))
+    step = make_count_step_packed(mesh, shards, n_nodes, args.kmer_size,
+                                  from_kmers=True)
+    counts = np.asarray(step(q_dev, shards.records, shards.row_kmers,
+                             shards.row_nodes))
+    np.save(args.out_file_name, counts)
+    logging.info("Wrote node counts (%d nodes, %d read kmers, %d table "
+                 "shards x %d data shards) to %s", n_nodes, len(kmers),
+                 n_table, n_data, args.out_file_name)
+
+
 def map_reads(args):
     """Extra subcommand (the reference delegates read mapping to the
     external kmer_mapper package): FASTA reads -> window kmers -> node
@@ -376,6 +430,10 @@ def map_reads(args):
     from . import ReadKmers
     from .models.kmer_index import CollisionFreeKmerIndex
 
+    if args.table_shards:
+        return _map_reads_sharded(args)
+    if not args.kmer_index:
+        raise SystemExit("map_reads needs --kmer-index or --table-shards")
     index = CollisionFreeKmerIndex.from_file(args.kmer_index)
     # device backend: reads are hashed, compacted, and looked up without
     # the query batch ever crossing the host<->device link
@@ -388,6 +446,24 @@ def map_reads(args):
     np.save(args.out_file_name, counts)
     logging.info("Wrote node counts (%d nodes, %d read kmers) to %s",
                  n_nodes, len(kmers), args.out_file_name)
+
+
+def shard_index(args):
+    """Extra subcommand: split a whole CollisionFreeKmerIndex file into
+    a sharded checkpoint (per-shard npz + manifest) for multi-chip
+    serving — the build-once / serve-anywhere path."""
+    from .models.kmer_index import CollisionFreeKmerIndex
+    from .parallel.checkpoint import save_shards
+    from .parallel.sharded import PackedTableShards, TableShards
+
+    index = CollisionFreeKmerIndex.from_file(args.kmer_index)
+    if args.layout == "packed":
+        shards = PackedTableShards.from_index(index, args.n_shards)
+    else:
+        shards = TableShards.from_index(index, args.n_shards)
+    paths = save_shards(shards, args.out_prefix)
+    logging.info("Wrote %d files (%d %s shards) to %s*", len(paths),
+                 args.n_shards, args.layout, args.out_prefix)
 
 
 def make_graph(args):
@@ -515,7 +591,11 @@ def build_argument_parser():
         s.set_defaults(func=func)
 
     s = subparsers.add_parser("map_reads")
-    s.add_argument("-i", "--kmer-index", required=True)
+    s.add_argument("-i", "--kmer-index", required=False, default=None)
+    s.add_argument("-T", "--table-shards", required=False, default=None,
+                   help="serve from a sharded checkpoint prefix "
+                        "(parallel/checkpoint.py) instead of a whole "
+                        "index file")
     s.add_argument("-r", "--reads", required=True)
     s.add_argument("-k", "--kmer-size", type=int, default=31)
     s.add_argument("-n", "--n-nodes", type=int, default=0)
@@ -525,6 +605,14 @@ def build_argument_parser():
                    choices=["device", "native"])
     s.add_argument("-o", "--out-file-name", required=True)
     s.set_defaults(func=map_reads)
+
+    s = subparsers.add_parser("shard_index")
+    s.add_argument("-i", "--kmer-index", required=True)
+    s.add_argument("-n", "--n-shards", type=int, required=True)
+    s.add_argument("-l", "--layout", default="packed",
+                   choices=["packed", "csr"])
+    s.add_argument("-o", "--out-prefix", required=True)
+    s.set_defaults(func=shard_index)
 
     s = subparsers.add_parser("make_graph")
     s.add_argument("-R", "--reference-fasta", required=True)

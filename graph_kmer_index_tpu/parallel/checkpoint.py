@@ -163,6 +163,22 @@ def _read_manifest(prefix: str):
     return kind, meta
 
 
+def manifest_info(prefix: str) -> dict:
+    """Layout metadata of a checkpoint without reading any shard file:
+    ``{"kind", "n_table", "max_scan", and the layout's modulo fields}``."""
+    kind, meta = _read_manifest(prefix)
+    info = {"kind": kind, "n_table": int(meta["n_table"]),
+            "max_scan": int(meta["max_scan"])}
+    if kind == "packed":
+        info.update(m2_local=int(meta["m2_local"]),
+                    modulo2=int(meta["modulo2"]),
+                    has_dup=bool(int(meta["has_dup"])))
+    else:
+        info.update(m_local=int(meta["m_local"]),
+                    modulo=int(meta["modulo"]))
+    return info
+
+
 def load_shards(prefix: str, mesh=None, axis: str = "table"):
     """Load a shard checkpoint written by :func:`save_shards`.
 

@@ -366,14 +366,26 @@ class PackedTableShards:
                    max_scan, n_table, has_dup=bool(dup_b.any()))
 
 
+#: pad value for pre-hashed query batches: real kmers are < 4^31 = 2^62
+#: (SURVEY §0, k <= 31), so this can never match a stored kmer and is
+#: recognized as padding by the ``from_kmers`` steps.
+KMER_PAD = np.uint64(1 << 63)
+
+
 def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
                            k: int, data_axis: str = "data",
-                           table_axis: str = "table"):
+                           table_axis: str = "table",
+                           from_kmers: bool = False):
     """The packed-record mirror of :func:`make_count_step`: one 512-byte
     group-row gather per (query, owning shard) — the shared
     ``_decode_group_rows`` select — then a sort-compacted deep-bucket
     scan, psum over both axes. Raises at call time (via the returned
-    overflow count) if the deep-query compaction capacity is exceeded."""
+    overflow count) if the deep-query compaction capacity is exceeded.
+
+    With ``from_kmers`` the step takes a flat (n,) uint64 PRE-HASHED
+    query array (padded to a multiple of the data-axis size with
+    :data:`KMER_PAD`) instead of a 2-bit read matrix — the serving path
+    for queries that didn't come from fixed-length reads."""
     from jax import shard_map
     from ..ops.encode import sliding_hashes
     from ..ops.lookup import _decode_group_rows, _compact_overflow
@@ -388,13 +400,19 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
         row_kmers, row_nodes = row_kmers[0], row_nodes[0]
         t_idx = jax.lax.axis_index(table_axis).astype(jnp.int64)
 
-        r_loc, L = reads.shape
-        n_q = r_loc * L
-        flat = reads.reshape(-1)
-        hashes = sliding_hashes(flat, k)
-        pos = jnp.arange(n_q) % L
-        valid = pos <= L - k
-        kmers = jnp.where(valid, hashes, jnp.uint64(0))
+        if from_kmers:
+            flat = reads.reshape(-1)
+            n_q = flat.shape[0]
+            valid = flat < jnp.uint64(1 << 62)
+            kmers = jnp.where(valid, flat, jnp.uint64(0))
+        else:
+            r_loc, L = reads.shape
+            n_q = r_loc * L
+            flat = reads.reshape(-1)
+            hashes = sliding_hashes(flat, k)
+            pos = jnp.arange(n_q) % L
+            valid = pos <= L - k
+            kmers = jnp.where(valid, hashes, jnp.uint64(0))
 
         bucket = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
         owner = bucket // m2_local
@@ -439,9 +457,10 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
         return counts, dropped
 
     P_ = P
+    q_spec = P_(data_axis) if from_kmers else P_(data_axis, None)
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P_(data_axis, None), P_(table_axis, None, None),
+        in_specs=(q_spec, P_(table_axis, None, None),
                   P_(table_axis, None), P_(table_axis, None)),
         out_specs=(P_(), P_()),
     )

@@ -147,3 +147,15 @@ def test_cli_full_user_journey(tmp_path):
                          "-k", "7", "-o", counts])
     c = np.load(counts)
     assert c.sum() > 0  # ref-derived read kmers hit the index
+
+    # sharded serving: shard_index -> map_reads --table-shards must
+    # reproduce the whole-index counts exactly (2 table x 4 data shards
+    # on the 8-device mesh)
+    prefix = str(tmp_path / "shards")
+    run_argument_parser(["shard_index", "-i", kindex, "-n", "2",
+                         "-o", prefix])
+    counts_sh = str(tmp_path / "counts_sharded.npy")
+    run_argument_parser(["map_reads", "-T", prefix, "-r", reads,
+                         "-k", "7", "-n", str(len(c)),
+                         "-o", counts_sh])
+    np.testing.assert_array_equal(np.load(counts_sh), c)
