@@ -385,13 +385,10 @@ def _map_reads_sharded(args):
 
     from . import ReadKmers
     from .parallel.checkpoint import load_shards, manifest_info
-    from .parallel.sharded import KMER_PAD, make_count_step_packed
+    from .parallel.sharded import (KMER_PAD, make_count_step,
+                                   make_count_step_packed)
 
     info = manifest_info(args.table_shards)
-    if info["kind"] != "packed":
-        raise SystemExit(
-            "map_reads --table-shards serves packed checkpoints; for a "
-            "CSR shard set use the library make_count_step path")
     n_table = info["n_table"]
     devs = jax.devices()
     if len(devs) < n_table or len(devs) % n_table:
@@ -413,10 +410,16 @@ def _map_reads_sharded(args):
     q[:len(kmers)] = kmers
     q_dev = jax.device_put(jnp.asarray(q),
                            NamedSharding(mesh, P("data")))
-    step = make_count_step_packed(mesh, shards, n_nodes, args.kmer_size,
-                                  from_kmers=True)
-    counts = np.asarray(step(q_dev, shards.records, shards.row_kmers,
-                             shards.row_nodes))
+    if info["kind"] == "packed":
+        step = make_count_step_packed(mesh, shards, n_nodes,
+                                      args.kmer_size, from_kmers=True)
+        counts = np.asarray(step(q_dev, shards.records, shards.row_kmers,
+                                 shards.row_nodes))
+    else:  # CSR layout (tables the packed records refuse, e.g. poly-A)
+        step = make_count_step(mesh, shards, n_nodes, args.kmer_size,
+                               from_kmers=True)
+        counts = np.asarray(step(q_dev, shards.starts, shards.sizes,
+                                 shards.row_kmers, shards.row_nodes))
     np.save(args.out_file_name, counts)
     logging.info("Wrote node counts (%d nodes, %d read kmers, %d table "
                  "shards x %d data shards) to %s", n_nodes, len(kmers),

@@ -211,13 +211,16 @@ class TableShards:
 
 
 def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
-                    data_axis: str = "data", table_axis: str = "table"):
+                    data_axis: str = "data", table_axis: str = "table",
+                    from_kmers: bool = False):
     """Build the jitted full pipeline step over a 2-D mesh: 2-bit reads ->
     sliding-window hashes -> bucket-range-sharded lookup -> node counts.
 
     Returns ``step(reads, table_args...)``: reads (n_reads, read_len) int32
     sharded over ``data_axis``; table arrays sharded over ``table_axis``;
-    output node counts replicated (psum over both axes).
+    output node counts replicated (psum over both axes). With
+    ``from_kmers`` the query input is a flat (n,) uint64 pre-hashed
+    batch padded with :data:`KMER_PAD` (see make_count_step_packed).
     """
     from jax import shard_map
     from ..ops.encode import sliding_hashes
@@ -232,13 +235,18 @@ def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
         row_kmers, row_nodes = row_kmers[0], row_nodes[0]
         t_idx = jax.lax.axis_index(table_axis).astype(jnp.int64)
 
-        r_loc, L = reads.shape
-        flat = reads.reshape(-1)
-        hashes = sliding_hashes(flat, k)
-        # windows crossing read boundaries are invalid
-        pos = jnp.arange(r_loc * L) % L
-        valid = pos <= L - k
-        kmers = jnp.where(valid, hashes, jnp.uint64(0))
+        if from_kmers:
+            flat = reads.reshape(-1)
+            valid = flat < jnp.uint64(1 << 62)
+            kmers = jnp.where(valid, flat, jnp.uint64(0))
+        else:
+            r_loc, L = reads.shape
+            flat = reads.reshape(-1)
+            hashes = sliding_hashes(flat, k)
+            # windows crossing read boundaries are invalid
+            pos = jnp.arange(r_loc * L) % L
+            valid = pos <= L - k
+            kmers = jnp.where(valid, hashes, jnp.uint64(0))
 
         bucket = (kmers % modulo).astype(jnp.int64)
         owner = bucket // m_local
@@ -260,7 +268,8 @@ def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
     P_ = P
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P_(data_axis, None), P_(table_axis, None),
+        in_specs=(P_(data_axis) if from_kmers else P_(data_axis, None),
+                  P_(table_axis, None),
                   P_(table_axis, None), P_(table_axis, None),
                   P_(table_axis, None)),
         out_specs=P_(),

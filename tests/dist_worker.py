@@ -176,6 +176,26 @@ def main():
             assert loaded.max_scan == want.max_scan
             assert loaded.has_dup == want.has_dup
 
+    # --- B3: serving the checkpoint ACROSS processes — the mesh load's
+    # callback reads only THIS process's shard files (manifest from
+    # process 0, ordered by the B2 barrier); the table axis spans both
+    # processes and the pre-hashed count step must equal the host index
+    if ckpt:
+        from graph_kmer_index_tpu.parallel.sharded import (
+            KMER_PAD, make_count_step_packed)
+        mesh_serve = Mesh(np.asarray(jax.devices()).reshape(1, 8),
+                          ("data", "table"))
+        served = load_shards(ckpt, mesh=mesh_serve)
+        kstep = make_count_step_packed(mesh_serve, served, n_nodes, k,
+                                       from_kmers=True)
+        q = np.where(valid, hashes.astype(np.uint64), KMER_PAD)
+        q_dev = make_global(mesh_serve, P("data"), q)
+        got_counts = np.asarray(kstep(q_dev, served.records,
+                                      served.row_kmers,
+                                      served.row_nodes))
+        np.testing.assert_array_equal(
+            got_counts, expected, err_msg="cross-process ckpt serving")
+
     # --- C: all_gather FlatKmers merge (1-D mesh over both processes)
     mesh1 = Mesh(np.asarray(jax.devices()), ("data",))
     n = 64

@@ -159,3 +159,13 @@ def test_cli_full_user_journey(tmp_path):
                          "-k", "7", "-n", str(len(c)),
                          "-o", counts_sh])
     np.testing.assert_array_equal(np.load(counts_sh), c)
+
+    # CSR layout (the fallback for SCAN_CAP-deep tables): same counts
+    prefix_csr = str(tmp_path / "shards_csr")
+    run_argument_parser(["shard_index", "-i", kindex, "-n", "4",
+                         "-l", "csr", "-o", prefix_csr])
+    counts_csr = str(tmp_path / "counts_csr.npy")
+    run_argument_parser(["map_reads", "-T", prefix_csr, "-r", reads,
+                         "-k", "7", "-n", str(len(c)),
+                         "-o", counts_csr])
+    np.testing.assert_array_equal(np.load(counts_csr), c)
