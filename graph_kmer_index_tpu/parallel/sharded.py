@@ -488,13 +488,17 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
 
 def make_member_step_packed(mesh, shards: PackedTableShards, k: int,
                             data_axis: str = "data",
-                            table_axis: str = "table"):
+                            table_axis: str = "table",
+                            from_kmers: bool = False):
     """Membership mirror of :func:`make_count_step_packed`: each table
     shard answers its own queries from one group-row gather (+ deep
     scan; dup2 buckets need none — a lane hit is definitive), then a
     psum over the table axis ORs the per-shard verdicts. The (reads, L)
     hit matrix stays sharded over the data axis (positions past L-k are
-    False). Raises at call time on compaction-capacity overflow."""
+    False). Raises at call time on compaction-capacity overflow. With
+    ``from_kmers`` queries are a flat pre-hashed uint64 batch padded
+    with :data:`KMER_PAD` (padding answers False) and the verdicts come
+    back as a flat data-sharded vector."""
     from jax import shard_map
     from ..ops.encode import sliding_hashes
     from ..ops.lookup import _decode_group_rows, _compact_overflow
@@ -508,13 +512,20 @@ def make_member_step_packed(mesh, shards: PackedTableShards, k: int,
         row_kmers = row_kmers[0]
         t_idx = jax.lax.axis_index(table_axis).astype(jnp.int64)
 
-        r_loc, L = reads.shape
-        n_q = r_loc * L
-        flat = reads.reshape(-1)
-        hashes = sliding_hashes(flat, k)
-        pos = jnp.arange(n_q) % L
-        valid = pos <= L - k
-        kmers = jnp.where(valid, hashes, jnp.uint64(0))
+        if from_kmers:
+            flat = reads.reshape(-1)
+            r_loc, L = flat.shape[0], 1
+            n_q = r_loc
+            valid = flat < jnp.uint64(1 << 62)
+            kmers = jnp.where(valid, flat, jnp.uint64(0))
+        else:
+            r_loc, L = reads.shape
+            n_q = r_loc * L
+            flat = reads.reshape(-1)
+            hashes = sliding_hashes(flat, k)
+            pos = jnp.arange(n_q) % L
+            valid = pos <= L - k
+            kmers = jnp.where(valid, hashes, jnp.uint64(0))
 
         bucket = (kmers % jnp.uint64(modulo2)).astype(jnp.int64)
         owner = bucket // m2_local
@@ -548,14 +559,17 @@ def make_member_step_packed(mesh, shards: PackedTableShards, k: int,
 
         hit = jax.lax.psum(hit.astype(jnp.int32), table_axis) > 0
         dropped = jax.lax.psum(dropped, (data_axis, table_axis))
+        if from_kmers:
+            return hit, dropped
         return hit.reshape(r_loc, L), dropped
 
     P_ = P
+    q_spec = P_(data_axis) if from_kmers else P_(data_axis, None)
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P_(data_axis, None), P_(table_axis, None, None),
+        in_specs=(q_spec, P_(table_axis, None, None),
                   P_(table_axis, None), P_(table_axis, None)),
-        out_specs=(P_(data_axis, None), P_()),
+        out_specs=(q_spec, P_()),
     )
     jitted = jax.jit(step)
 

@@ -309,6 +309,66 @@ def test_packed_sharded_member_step_matches_single_device():
         assert np.array_equal(got, expected), (n_data, n_table)
 
 
+def test_from_kmers_steps_match_reads_steps():
+    """Pre-hashed (from_kmers) counts AND membership == the read-matrix
+    steps on the same queries, with KMER_PAD padding ignored."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.ops.encode import sliding_hashes
+    from graph_kmer_index_tpu.parallel.sharded import (
+        KMER_PAD, PackedTableShards, TableShards, make_count_step,
+        make_count_step_packed, make_member_step_packed)
+
+    k = 5
+    graph, flat, index = _toy_index()
+    n_nodes = graph.n_nodes()
+    rng = np.random.default_rng(4)
+    ref_seq = np.concatenate([graph.get_numeric_node_sequence(v)
+                              for v in [1, 2, 4]])
+    reads = np.stack([
+        np.resize(np.roll(ref_seq, -int(s)), 16) for s in
+        rng.integers(0, len(ref_seq), 8)]).astype(np.int32)
+    reads[::2, 3:9] = rng.integers(0, 4, (4, 6))
+
+    hashes = np.asarray(sliding_hashes(jnp.asarray(reads.reshape(-1)), k))
+    pos = np.arange(reads.size) % reads.shape[1]
+    valid = pos <= reads.shape[1] - k
+    queries = hashes[valid].astype(np.uint64)
+    want_counts = index.map_kmers(queries, n_nodes)
+    want_member = np.asarray(index.has_kmers(queries))
+
+    n_data, n_table = 4, 2
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(n_data, n_table),
+                ("data", "table"))
+    total = -(-len(queries) // n_data) * n_data
+    q = np.full(total, KMER_PAD, dtype=np.uint64)
+    q[:len(queries)] = queries
+    q_dev = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+
+    pshards = PackedTableShards.from_index(index, n_table)
+    ptargs = [jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+              for a, spec in ((pshards.records, P("table", None, None)),
+                              (pshards.row_kmers, P("table", None)),
+                              (pshards.row_nodes, P("table", None)))]
+    cstep = make_count_step_packed(mesh, pshards, n_nodes, k,
+                                   from_kmers=True)
+    np.testing.assert_array_equal(np.asarray(cstep(q_dev, *ptargs)),
+                                  want_counts)
+    mstep = make_member_step_packed(mesh, pshards, k, from_kmers=True)
+    got_m = np.asarray(mstep(q_dev, *ptargs))
+    np.testing.assert_array_equal(got_m[:len(queries)], want_member)
+    assert not got_m[len(queries):].any()  # padding answers False
+
+    cshards = TableShards.from_index(index, n_table)
+    ctargs = [jax.device_put(jnp.asarray(a),
+                             NamedSharding(mesh, P("table", None)))
+              for a in (cshards.starts, cshards.sizes, cshards.row_kmers,
+                        cshards.row_nodes)]
+    csr_step = make_count_step(mesh, cshards, n_nodes, k, from_kmers=True)
+    np.testing.assert_array_equal(np.asarray(csr_step(q_dev, *ctargs)),
+                                  want_counts)
+
+
 def test_two_process_distributed_matches_single_process(tmp_path):
     """The packed count step and the all_gather FlatKmers merge across
     TWO OS processes via jax.distributed (2 x 4 virtual CPU devices,
