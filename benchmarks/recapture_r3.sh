@@ -8,6 +8,10 @@ cd "$(dirname "$0")/.."
 
 say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
 
+say "package check (fresh containers lose the editable install)"
+python -c "import graph_kmer_index_tpu" 2>/dev/null || \
+    pip install -e . --no-deps --no-build-isolation -q | tee -a "$LOG"
+
 say "relay check"
 if ! python - <<'EOF' | tee -a "$LOG"
 import socket, sys
@@ -43,5 +47,9 @@ timeout 900 python benchmarks/bench_build.py 2>&1 | tail -30 | tee -a "$LOG"
 say "5/5 end-to-end 10Mb pipeline (device finalize)"
 timeout 1800 python benchmarks/bench_pipeline.py 10000000 100000 10000 \
     --device-finalize 2>&1 | tee -a "$LOG"
+
+say "6/6 serving path (sharded from_kmers steps, device-built table)"
+timeout 900 python benchmarks/bench_serve.py 16000000 4194304 1 \
+    2>&1 | tee -a "$LOG"
 
 say "done — record results in BASELINE.md (builder-measured, relay-up)"

@@ -369,6 +369,55 @@ def test_from_kmers_steps_match_reads_steps():
                                   want_counts)
 
 
+def test_from_kmers_deep_and_dup2_buckets():
+    """from_kmers serving through a table with DEEP (>2) and dup2
+    (same-kmer size-2) buckets: the scan stage and the dup2 routing
+    must behave identically to the read-matrix path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.parallel.sharded import (
+        KMER_PAD, PackedTableShards, make_count_step_packed,
+        make_member_step_packed)
+
+    rng = np.random.default_rng(11)
+    n_nodes = 40
+    # multiplicity-heavy rows: kmer i repeated (i % 5 + 1) times => deep
+    # buckets up to 5 rows and plenty of dup2 (multiplicity-2) buckets
+    uniq = np.unique(rng.integers(0, 1 << 40, 60).astype(np.uint64))
+    reps = (np.arange(len(uniq)) % 5) + 1
+    kmers = np.repeat(uniq, reps)
+    nodes = (np.arange(len(kmers), dtype=np.uint32) % (n_nodes - 1)) + 1
+    flat = FlatKmers(kmers, nodes, np.arange(len(kmers), dtype=np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=389)
+    shards = PackedTableShards.from_index(index, 2)
+    assert shards.max_scan >= 3  # deep buckets present
+
+    queries = np.concatenate([
+        uniq, rng.integers(0, 1 << 40, 37).astype(np.uint64)])
+    rng.shuffle(queries)
+    want_counts = index.map_kmers(queries, n_nodes)
+    want_member = np.asarray(index.has_kmers(queries))
+
+    n_data = 4
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(n_data, 2),
+                ("data", "table"))
+    total = -(-len(queries) // n_data) * n_data
+    q = np.full(total, KMER_PAD, dtype=np.uint64)
+    q[:len(queries)] = queries
+    q_dev = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    targs = [jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+             for a, spec in ((shards.records, P("table", None, None)),
+                             (shards.row_kmers, P("table", None)),
+                             (shards.row_nodes, P("table", None)))]
+    cstep = make_count_step_packed(mesh, shards, n_nodes, 5,
+                                   from_kmers=True)
+    np.testing.assert_array_equal(np.asarray(cstep(q_dev, *targs)),
+                                  want_counts)
+    mstep = make_member_step_packed(mesh, shards, 5, from_kmers=True)
+    got_m = np.asarray(mstep(q_dev, *targs))
+    np.testing.assert_array_equal(got_m[:len(queries)], want_member)
+
+
 def test_two_process_distributed_matches_single_process(tmp_path):
     """The packed count step and the all_gather FlatKmers merge across
     TWO OS processes via jax.distributed (2 x 4 virtual CPU devices,

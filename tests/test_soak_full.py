@@ -73,3 +73,67 @@ def test_soak_walker_and_reference_differential():
             theirs_s = ref.SnpKmerFinder(graph, k=k).find_kmers()
             for a, b in zip(_rows(ours_s), _rows(theirs_s)):
                 np.testing.assert_array_equal(a, b, err_msg=f"snp {ctx}")
+
+
+def test_soak_sharded_checkpoint_serve(tmp_path):
+    """Scale soak of the full multi-chip serving loop: random
+    multiplicity-skewed rows -> SHARDED table build (all_to_all) ->
+    checkpoint -> mesh load -> from_kmers counts AND membership, all
+    bit-equal to the host index on hit+miss queries. Row count scales
+    with GKI_SCALE_ROWS (default keeps CI fast; out-of-band:
+    GKI_SCALE_ROWS=2000000)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from graph_kmer_index_tpu import CollisionFreeKmerIndex, FlatKmers
+    from graph_kmer_index_tpu.parallel.checkpoint import (
+        load_shards, save_shards)
+    from graph_kmer_index_tpu.parallel.sharded import (
+        KMER_PAD, build_packed_shards_sharded, make_count_step_packed,
+        make_member_step_packed)
+
+    n_rows = int(os.environ.get("GKI_SCALE_ROWS", "120000"))
+    rng = np.random.default_rng(SOAK_SEED)
+    kmers = rng.integers(0, 1 << 62, n_rows).astype(np.uint64)
+    # multiplicity skew: ~10% of rows duplicate another row's kmer,
+    # forcing dup2 and deep buckets through the exchange
+    kmers[rng.integers(0, n_rows, n_rows // 10)] = \
+        kmers[rng.integers(0, n_rows, n_rows // 10)]
+    n_nodes = 1000
+    nodes = rng.integers(1, n_nodes, n_rows).astype(np.uint32)
+    flat = FlatKmers(kmers, nodes, np.arange(n_rows, dtype=np.uint64))
+    index = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=2_000_003)
+
+    n_table = 4
+    built, _ = build_packed_shards_sharded(
+        np.asarray(index._kmers, np.uint64),
+        np.asarray(index._nodes, np.uint32), n_table)
+    prefix = str(tmp_path / "scale")
+    save_shards(built, prefix)
+
+    n_data = len(jax.devices()) // n_table
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n_data, n_table),
+                ("data", "table"))
+    served = load_shards(prefix, mesh=mesh)
+
+    n_q = min(n_rows, 100_000)
+    queries = np.concatenate([
+        rng.choice(kmers, n_q // 2),
+        rng.integers(0, 1 << 62, n_q - n_q // 2).astype(np.uint64)])
+    rng.shuffle(queries)
+    want_counts = index.map_kmers(queries, n_nodes)
+    want_member = np.asarray(index.has_kmers(queries))
+
+    total = -(-len(queries) // n_data) * n_data
+    q = np.full(total, KMER_PAD, dtype=np.uint64)
+    q[:len(queries)] = queries
+    q_dev = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    targs = (served.records, served.row_kmers, served.row_nodes)
+    cstep = make_count_step_packed(mesh, served, n_nodes, 31,
+                                   from_kmers=True)
+    np.testing.assert_array_equal(np.asarray(cstep(q_dev, *targs)),
+                                  want_counts)
+    mstep = make_member_step_packed(mesh, served, 31, from_kmers=True)
+    got_m = np.asarray(mstep(q_dev, *targs))
+    np.testing.assert_array_equal(got_m[:len(queries)], want_member)
