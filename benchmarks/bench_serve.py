@@ -38,7 +38,10 @@ def main():
         make_member_step_packed)
 
     n_dev = len(jax.devices())
-    n_table = int(pos[2]) if len(pos) > 2 else n_dev
+    n_table = min(int(pos[2]) if len(pos) > 2 else n_dev, n_dev)
+    if n_dev % n_table:
+        raise SystemExit(f"n_table={n_table} does not divide the "
+                         f"{n_dev}-device mesh")
     n_data = n_dev // n_table
     n_nodes = 1 << 20
 
@@ -70,14 +73,15 @@ def main():
         print(f"checkpoint load->mesh: {time.perf_counter()-t:.2f}s",
               flush=True)
     else:
-        # re-place the build outputs for the serving mesh shape
+        # re-place the build outputs for the serving mesh shape —
+        # device-to-device (a host round-trip would pull ~GBs through
+        # this sandbox's ~5 MB/s tunnel)
         specs = {"records": P("table", None, None),
                  "row_kmers": P("table", None),
                  "row_nodes": P("table", None)}
         for name, spec in specs.items():
             setattr(shards, name, jax.device_put(
-                np.asarray(getattr(shards, name)),
-                NamedSharding(mesh, spec)))
+                getattr(shards, name), NamedSharding(mesh, spec)))
 
     # half-hit query batch, KMER_PAD-padded to the data axis
     rng = np.random.default_rng(2)
@@ -99,11 +103,9 @@ def main():
             ("membership", lambda: make_member_step_packed(
                 mesh, shards, 31, from_kmers=True))):
         step = maker()
-        if name == "membership":
-            # membership returns the hit vector; sync via one element
-            run = lambda: int(np.asarray(step(q_dev, *targs)[0]))  # noqa
-        else:
-            run = lambda: int(np.asarray(step(q_dev, *targs)[0]))  # noqa
+        # both steps sync internally on the dropped-overflow scalar;
+        # fetching element 0 of the result is a second, harmless sync
+        run = lambda: int(np.asarray(step(q_dev, *targs)[0]))  # noqa
         run(); run()  # compile + warm
         reps = 4
         t0 = time.perf_counter()

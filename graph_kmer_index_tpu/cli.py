@@ -404,7 +404,11 @@ def _map_reads_sharded(args):
         args.reads, args.kmer_size,
         include_reverse_complements=args.include_reverse_complement),
         dtype=np.uint64)
-    n_nodes = args.n_nodes or int(jax.jit(jnp.max)(shards.row_nodes)) + 1
+    # n_nodes: explicit flag > manifest hint > device max (the fallback
+    # costs one extra remote jit compile on the axon backend)
+    n_nodes = args.n_nodes or (
+        info["max_node"] + 1 if "max_node" in info
+        else int(jax.jit(jnp.max)(shards.row_nodes)) + 1)
     total = max(n_data, -(-max(1, len(kmers)) // n_data) * n_data)
     q = np.full(total, KMER_PAD, dtype=np.uint64)
     q[:len(kmers)] = kmers

@@ -123,6 +123,12 @@ def save_shards(shards, prefix: str) -> list[str]:
     local: dict[int, dict[str, np.ndarray]] = {}
     shapes = {}
     any_device = any(isinstance(a, jax.Array) for a in cols.values())
+    if not isinstance(shards.row_nodes, jax.Array):
+        # serving-time n_nodes hint, free when the full column is host-
+        # addressable (a device-backed multi-process save would need a
+        # collective — loaders fall back to a device max then)
+        a = np.asarray(shards.row_nodes)
+        meta["max_node"] = int(a.max()) if a.size else 0
     for name, arr in cols.items():
         shapes[f"shape_{name}"] = np.asarray(arr.shape[1:], dtype=np.int64)
         for t, sl in _local_shard_slices(arr, n_table):
@@ -169,6 +175,8 @@ def manifest_info(prefix: str) -> dict:
     kind, meta = _read_manifest(prefix)
     info = {"kind": kind, "n_table": int(meta["n_table"]),
             "max_scan": int(meta["max_scan"])}
+    if "max_node" in meta:
+        info["max_node"] = int(meta["max_node"])
     if kind == "packed":
         info.update(m2_local=int(meta["m2_local"]),
                     modulo2=int(meta["modulo2"]),

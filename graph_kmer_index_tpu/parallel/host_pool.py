@@ -174,7 +174,8 @@ def map_over_chunks(fn, chunks, n_workers):
 # the missing chunks. Stale files from a different chunking are simply
 # never matched; a different graph/k/flag set is refused loudly.
 
-_CKPT_VERSION = 1
+_CKPT_VERSION = 2  # 2: content-pinned meta (graph AF, critical paths,
+#                       position ids, kwarg digests)
 
 
 def _array_digest(h, arr) -> None:
@@ -206,7 +207,12 @@ def _value_fingerprint(val) -> object:
     filtered by the old one."""
     if isinstance(val, (int, float, str, bool, type(None))):
         return val
+    if isinstance(val, np.generic):  # np.int64(4) is NOT an int subclass
+        return f"{val.dtype}:{val.item()}"
     h = hashlib.blake2b(digest_size=16)
+    if isinstance(val, (set, frozenset)):
+        _array_digest(h, np.sort(np.asarray(list(val))))
+        return f"set:{h.hexdigest()}"
     if isinstance(val, (list, tuple, np.ndarray)):
         _array_digest(h, np.asarray(val))
         return f"array:{h.hexdigest()}"
@@ -251,6 +257,15 @@ def _ckpt_verify_meta(checkpoint_dir, graph, k, critical_paths,
             os.link(tmp, path)  # atomic create-exclusive
         except FileExistsError:
             pass  # lost the race; validate against the winner below
+        except OSError:
+            # filesystem without hard links (vfat/exFAT/some FUSE):
+            # fall back to exclusive create — non-atomic against a
+            # concurrent torn write, but those FSes offer nothing better
+            try:
+                with open(path, "x") as f:
+                    json.dump(meta, f)
+            except FileExistsError:
+                pass
         finally:
             os.unlink(tmp)
     try:
@@ -260,6 +275,11 @@ def _ckpt_verify_meta(checkpoint_dir, graph, k, critical_paths,
         raise ValueError(
             f"find checkpoint dir {checkpoint_dir!r} has an unreadable "
             f"meta.json ({e}); clear the directory") from e
+    if old.get("version") != _CKPT_VERSION:
+        raise ValueError(
+            f"find checkpoint dir {checkpoint_dir!r} uses checkpoint "
+            f"format {old.get('version')} but this library writes "
+            f"{_CKPT_VERSION}; clear the directory to rebuild")
     if old != meta:
         raise ValueError(
             f"find checkpoint dir {checkpoint_dir!r} was written for "

@@ -160,6 +160,14 @@ def test_cli_full_user_journey(tmp_path):
                          "-o", counts_sh])
     np.testing.assert_array_equal(np.load(counts_sh), c)
 
+    # without -n the manifest's max_node hint sizes the counts array
+    counts_nn = str(tmp_path / "counts_noN.npy")
+    run_argument_parser(["map_reads", "-T", prefix, "-r", reads,
+                         "-k", "7", "-o", counts_nn])
+    c_nn = np.load(counts_nn)
+    assert c_nn.sum() == c.sum()
+    np.testing.assert_array_equal(c_nn, c[:len(c_nn)])
+
     # CSR layout (the fallback for SCAN_CAP-deep tables): same counts
     prefix_csr = str(tmp_path / "shards_csr")
     run_argument_parser(["shard_index", "-i", kindex, "-n", "4",

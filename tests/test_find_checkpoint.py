@@ -111,6 +111,32 @@ def test_checkpoint_refuses_mismatched_inputs(tmp_path):
     with pytest.raises(ValueError, match="different inputs"):
         find_kmers_parallel(graph_af, 7, n_workers=1, checkpoint_dir=ckpt)
 
+    # numpy-scalar and set kwargs pin by VALUE, not type name
+    ckpt2 = str(tmp_path / "np_ckpt")
+    find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt2,
+                        max_variant_nodes=np.int64(4))
+    find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt2,
+                        max_variant_nodes=np.int64(4))  # same: resumes
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt2,
+                            max_variant_nodes=np.int64(2))
+    ckpt3 = str(tmp_path / "set_ckpt")
+    find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt3,
+                        only_store_nodes={1, 2})
+    with pytest.raises(ValueError, match="different inputs"):
+        find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt3,
+                            only_store_nodes={3, 4})
+
+    # a checkpoint from an older meta format is refused by version
+    import json
+    meta_path = tmp_path / "np_ckpt" / "meta.json"
+    old = json.loads(meta_path.read_text())
+    old["version"] = 1
+    meta_path.write_text(json.dumps(old))
+    with pytest.raises(ValueError, match="format 1"):
+        find_kmers_parallel(graph, 7, n_workers=1, checkpoint_dir=ckpt2,
+                            max_variant_nodes=np.int64(4))
+
 
 def test_checkpoint_pins_whitelist_and_critical_path_content(tmp_path):
     """Non-scalar inputs are pinned by CONTENT: a whitelist with
