@@ -11,9 +11,28 @@ over TPU meshes.
 k-mer hashes need 62 bits (k <= 31), so the package enables jax x64 at
 import; hot Pallas kernels internally use exact 2 x uint32 arithmetic.
 """
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: on this class of backend a single jit
+# costs 30-120 s through a remote compile helper and every PROCESS pays
+# it again (CLI invocations, bench subprocesses). The cache is keyed by
+# HLO+platform, so correctness is unaffected; backends that cannot
+# serialize executables silently skip it. GKI_COMPILE_CACHE= (empty)
+# disables; min-compile-time 5 s keeps the thousands of sub-second CPU
+# test compiles out of it.
+_cache_dir = _os.environ.get(
+    "GKI_COMPILE_CACHE", _os.path.expanduser("~/.cache/gki_jax_cache"))
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           5.0)
+    except Exception:  # older jax without the knobs: not fatal
+        pass
 
 from .hashing import (  # noqa: E402,F401
     power_array,
