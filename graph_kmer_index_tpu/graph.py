@@ -23,7 +23,6 @@ max node id), so the whole graph ships to device as a handful of arrays:
 """
 from __future__ import annotations
 
-from collections import deque
 
 import numpy as np
 
@@ -74,16 +73,17 @@ class Graph:
         max_id = max(node_sequences.keys())
         n = max_id + 1
         node_sizes = np.zeros(n, dtype=np.uint32)
-        seqs = {}
-        for node, s in node_sequences.items():
-            num = letter_sequence_to_numeric(s).astype(np.int8)
-            node_sizes[node] = len(num)
-            seqs[node] = num
+        # encode ONCE over the node-ordered concatenation (placing by
+        # seq_start is then the identity) — per-node encoding costs a
+        # python call per node, ~1 s per 300k nodes at chromosome scale
+        items = sorted(node_sequences.items())
+        for node, s in items:
+            node_sizes[node] = len(s)
         seq_start = np.zeros(n + 1, dtype=np.int64)
         seq_start[1:] = np.cumsum(node_sizes)
-        sequence = np.zeros(seq_start[-1], dtype=np.int8)
-        for node, num in seqs.items():
-            sequence[seq_start[node]:seq_start[node] + len(num)] = num
+        sequence = letter_sequence_to_numeric(
+            "".join(s for _, s in items)).astype(np.int8)
+        assert len(sequence) == seq_start[-1]
 
         edge_index = np.zeros(n + 1, dtype=np.int64)
         counts = np.zeros(n, dtype=np.int64)
@@ -102,19 +102,19 @@ class Graph:
         # ref nodes (u -> d -> v with v immediately after u on the ref path)
         ref_next = {u: v for u, v in zip(linear_ref_nodes, linear_ref_nodes[1:])}
         ref_dummy_mask = np.zeros(n, dtype=bool)
-        preds: dict[int, list[int]] = {}
-        for u, targets in edges.items():
-            for v in targets:
-                preds.setdefault(int(v), []).append(int(u))
-        for node in range(n):
-            if node_sizes[node] != 0 or linear_ref_mask[node]:
-                continue
-            outs = edge_targets[edge_index[node]:edge_index[node + 1]]
-            for u in preds.get(node, ()):
-                if linear_ref_mask[u] and any(
-                        ref_next.get(u) == v for v in outs):
-                    ref_dummy_mask[node] = True
-                    break
+        candidates = np.nonzero((node_sizes == 0) & ~linear_ref_mask)[0]
+        if len(candidates):  # pred map only when dummies can exist
+            preds: dict[int, list[int]] = {}
+            for u, targets in edges.items():
+                for v in targets:
+                    preds.setdefault(int(v), []).append(int(u))
+            for node in candidates:
+                outs = edge_targets[edge_index[node]:edge_index[node + 1]]
+                for u in preds.get(int(node), ()):
+                    if linear_ref_mask[u] and any(
+                            ref_next.get(u) == v for v in outs):
+                        ref_dummy_mask[node] = True
+                        break
 
         node_to_ref_offset = cls._compute_ref_offsets(
             n, node_sizes, edge_targets, edge_index,
@@ -135,31 +135,29 @@ class Graph:
     @staticmethod
     def _compute_ref_offsets(n, node_sizes, edge_targets, edge_index,
                              linear_ref_mask, linear_ref_nodes):
-        # exact cumulative offsets along the ref path; variant nodes get the
-        # attachment offset max(pred_offset + pred_size) in topo order
+        # exact cumulative offsets along the ref path; variant nodes get
+        # the attachment offset max(pred_offset + pred_size). Computed by
+        # vectorized max-relaxation over the non-ref-target edges: ref
+        # offsets are fixed by the cumsum, so relaxation reaches the topo
+        # fixpoint in (longest non-ref chain) rounds — 1-2 for SNP/indel
+        # graphs — instead of a python Kahn walk over the whole ref chain
         off = np.zeros(n, dtype=np.int64)
-        cum = 0
-        for v in linear_ref_nodes:
-            off[v] = cum
-            cum += int(node_sizes[v])
+        lr = np.asarray(linear_ref_nodes, dtype=np.int64)
+        sizes_lr = node_sizes[lr].astype(np.int64)
+        off[lr] = np.cumsum(sizes_lr) - sizes_lr
 
-        indeg = np.zeros(n, dtype=np.int64)
-        np.add.at(indeg, edge_targets, 1)
-        q = deque(np.nonzero(indeg == 0)[0].tolist())
-        topo = []
-        indeg_w = indeg.copy()
-        while q:
-            u = q.popleft()
-            topo.append(u)
-            for v in edge_targets[edge_index[u]:edge_index[u + 1]]:
-                indeg_w[v] -= 1
-                if indeg_w[v] == 0:
-                    q.append(int(v))
-        for u in topo:
-            end = off[u] + int(node_sizes[u])
-            for v in edge_targets[edge_index[u]:edge_index[u + 1]]:
-                if not linear_ref_mask[v]:
-                    off[v] = max(off[v], end)
+        src = np.repeat(np.arange(n, dtype=np.int64),
+                        np.diff(edge_index))
+        nonref = ~linear_ref_mask[edge_targets]
+        src_nr = src[nonref]
+        dst_nr = edge_targets[nonref].astype(np.int64)
+        sz_nr = node_sizes[src_nr].astype(np.int64)
+        for _ in range(n + 1):
+            new = off.copy()
+            np.maximum.at(new, dst_nr, off[src_nr] + sz_nr)
+            if np.array_equal(new, off):
+                break
+            off = new
         return off
 
     # -- basic accessors (interface mirrored from obgraph usage) ------------
