@@ -73,6 +73,18 @@ def test_full_cli_pipeline(fixtures):
     run_argument_parser(["make_kmer_frequency_index",
                          "-r", str(tmp / "refidx.npz"),
                          "-o", str(tmp / "freq.npz")])
+    # set_allele_frequencies is a reference NO-OP
+    # (collision_free_kmer_index.py:234-235): the subcommand must run the
+    # load/save round-trip and leave the index bit-identical
+    before = KmerIndex.from_file(kindex)
+    af = str(tmp / "af.npy")
+    np.save(af, np.zeros(8, np.float32))
+    run_argument_parser(["set_allele_frequencies", "-i", kindex, "-f", af])
+    after = KmerIndex.from_file(kindex)
+    np.testing.assert_array_equal(np.asarray(before._kmers),
+                                  np.asarray(after._kmers))
+    np.testing.assert_array_equal(np.asarray(before._allele_frequencies),
+                                  np.asarray(after._allele_frequencies))
 
     # semantic spot checks on the pipeline outputs
     sig = FlatKmers.from_file(str(tmp / "sig.npz"))
