@@ -38,6 +38,11 @@ say "2/5 bandwidth-ceiling controls (stream copy / sum / xla scale)"
 timeout 900 python benchmarks/bench_primitives.py \
     stream_copy,stream_sum,xla_stream_scale 2>&1 | tee -a "$LOG"
 
+say "2b/6 p16 config sweep (one process, cache-amortized compiles)"
+timeout 1800 python benchmarks/bench_p16_sweep.py p16raw 2>&1 | tee -a "$LOG"
+# pin the winner into the headline bench with:
+#   GKI_BENCH_KERNELS="u32,p16:<rows>:<chunk>" python bench.py
+
 say "3/5 packed lookup rates"
 timeout 900 python benchmarks/bench_lookup.py 2>&1 | tail -30 | tee -a "$LOG"
 
