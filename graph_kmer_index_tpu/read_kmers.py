@@ -181,7 +181,24 @@ class ReadKmers:
                 cut_reads.append(nxt)
             cut_reads.append(len(starts))
 
+            # bounded-lookahead pipeline: dispatch up to LOOKAHEAD
+            # segments ahead of the nv scalar fetch, so host-side buffer
+            # prep + the tape upload of segment i+1 overlap the device's
+            # hash/compaction of segment i (the fetch is the only sync;
+            # fetching eagerly serialized host and device end to end).
+            # The lookahead bound caps pending input tapes in HBM.
+            LOOKAHEAD = 2
             fw, rc = [], []
+            pending: list = []
+
+            def drain(limit):
+                while len(pending) > limit:
+                    hashes_p, nv_p, rc_p = pending.pop(0)
+                    nv_i = int(nv_p)  # one scalar fetch per segment
+                    fw.append((hashes_p, nv_i))
+                    if rc_p is not None:
+                        rc.append((rc_p, nv_i))
+
             for r0, r1 in zip(cut_reads[:-1], cut_reads[1:]):
                 base = int(starts[r0])
                 seg_n = int(ends_all[r1 - 1]) - base
@@ -196,10 +213,11 @@ class ReadKmers:
                 hashes, nv = read_tape_hashes(
                     jnp.asarray(flatp), jnp.asarray(sp), jnp.asarray(lp),
                     seg_n, k)
-                nv = int(nv)  # one scalar fetch per segment
-                fw.append((hashes, nv))
-                if include_reverse_complements:
-                    rc.append((revcomp_hashes(hashes, k), nv))
+                rc_h = (revcomp_hashes(hashes, k)
+                        if include_reverse_complements else None)
+                pending.append((hashes, nv, rc_h))
+                drain(LOOKAHEAD)
+            drain(0)
             # host order is [all forward kmers, then all revcomps]
             return DeviceReadKmers(fw + rc, k)
         if n == 0:
