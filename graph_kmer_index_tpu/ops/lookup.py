@@ -883,17 +883,18 @@ class DeviceKmerIndex:
             yield kq, m, (np.concatenate(matches) if matches
                           else np.zeros(0, np.uint32))
 
-    def _overflow_pieces(self, chunk, nvc, decode, cap_hi):
-        """Run decode stage A (returns (..., oq, ostart, osz[, oi],
-        n_overflow)), re-running it at a bigger compaction capacity in
-        the rare case the deep-query count exceeds ``cap_hi``, then
-        slice the compacted arrays to a power-of-two just covering the
-        TRUE overflow count for stage B. Returns (A outputs,
-        sliced overflow pieces or None). The split keeps the expensive
-        static (cap x max_scan) scan matrix exactly sized: an oversized
-        cap measured 1.7x on the whole lookup, and zero-deep batches
-        skip stage B entirely."""
-        out = decode(chunk, nvc, cap_hi)
+    def _overflow_finish(self, chunk, nvc, decode, cap_hi, out):
+        """Resolve a dispatched decode stage A (returns (..., oq, ostart,
+        osz[, oi], n_overflow)): fetch the TRUE overflow count, re-run A
+        at a bigger compaction capacity in the rare case it exceeds
+        ``cap_hi``, then slice the compacted arrays to a power-of-two
+        just covering it for stage B. Returns (A outputs, sliced
+        overflow pieces or None). The split keeps the expensive static
+        (cap x max_scan) scan matrix exactly sized: an oversized cap
+        measured 1.7x on the whole lookup, and zero-deep batches skip
+        stage B entirely. The n_overflow fetch here is the chunk's one
+        device sync — the chunked drivers dispatch the NEXT chunk's
+        stage A before calling this so the device never idles on it."""
         if not cap_hi:
             return out, None
         n_over = int(out[-1])
@@ -906,18 +907,32 @@ class DeviceKmerIndex:
         pieces = tuple(a[:scan_cap] for a in out[2:-1])
         return out, pieces
 
-    def _counts_packed_full(self, chunk, nvc, n_nodes):
-        """Counts for one device chunk via the A/B split; returns
-        (device counts, host_mask of unresolved = ultra queries)."""
+    def _overflow_pieces(self, chunk, nvc, decode, cap_hi):
+        """Single-shot dispatch + finish (see _overflow_finish)."""
+        return self._overflow_finish(chunk, nvc, decode, cap_hi,
+                                     decode(chunk, nvc, cap_hi))
+
+    def _counts_packed_dispatch(self, chunk, nvc, n_nodes):
+        """Dispatch stage A (decode) of the counts A/B split for one
+        device chunk; no device sync. Returns opaque state for
+        _counts_packed_finish."""
         rec, ks, ns, modulo2, max_sz = self._packed()
         # dup2 hits resolve ONLY in the scan (deep_frac counts their
         # rows), so max_sz == 2 alone does not disable it
         cap_hi = (0 if max_sz <= 2 and not getattr(self, "_deep_frac", 0)
                   else self._overflow_hint(chunk.shape[0]))
-        out, pieces = self._overflow_pieces(
-            chunk, nvc,
-            lambda c, v, cap: _counts_decode_packed(
-                c, v, rec, modulo2, int(n_nodes), cap, True), cap_hi)
+        decode = lambda c, v, cap: _counts_decode_packed(  # noqa: E731
+            c, v, rec, modulo2, int(n_nodes), cap, True)
+        return (chunk, nvc, decode, cap_hi, decode(chunk, nvc, cap_hi),
+                ks, ns, max_sz, n_nodes)
+
+    def _counts_packed_finish(self, state):
+        """Resolve a dispatched counts chunk (the one n_overflow sync) and
+        run stage B. Returns (device counts, host_mask of unresolved =
+        ultra queries)."""
+        chunk, nvc, decode, cap_hi, out, ks, ns, max_sz, n_nodes = state
+        out, pieces = self._overflow_finish(chunk, nvc, decode, cap_hi,
+                                            out)
         counts, ultra = out[0], out[1]
         if pieces is not None:
             oq, ostart, osz = pieces
@@ -925,22 +940,41 @@ class DeviceKmerIndex:
                 oq, ostart, osz, out[-1], ks, ns, int(n_nodes), max_sz)
         return counts, ultra
 
-    def _member_packed_full(self, chunk, nvc):
-        """Membership for one device chunk via the A/B split; returns
-        (device hit flags, host_mask of unresolved = ultra queries)."""
+    def _counts_packed_full(self, chunk, nvc, n_nodes):
+        """Counts for one device chunk via the A/B split; returns
+        (device counts, host_mask of unresolved = ultra queries)."""
+        return self._counts_packed_finish(
+            self._counts_packed_dispatch(chunk, nvc, n_nodes))
+
+    def _member_packed_dispatch(self, chunk, nvc):
+        """Dispatch stage A (decode) of the membership A/B split for one
+        device chunk; no device sync."""
         rec, ks, ns, modulo2, max_sz = self._packed()
         cap_hi = (0 if max_sz <= 2
                   else self._overflow_hint(chunk.shape[0]))
-        out, pieces = self._overflow_pieces(
-            chunk, nvc,
-            lambda c, v, cap: _member_decode_packed(c, v, rec, modulo2,
-                                                    cap), cap_hi)
+        decode = lambda c, v, cap: _member_decode_packed(  # noqa: E731
+            c, v, rec, modulo2, cap)
+        return (chunk, nvc, decode, cap_hi, decode(chunk, nvc, cap_hi),
+                ks, max_sz)
+
+    def _member_packed_finish(self, state):
+        """Resolve a dispatched membership chunk; returns (device hit
+        flags, host_mask of unresolved = ultra queries)."""
+        chunk, nvc, decode, cap_hi, out, ks, max_sz = state
+        out, pieces = self._overflow_finish(chunk, nvc, decode, cap_hi,
+                                            out)
         hit, ultra = out[0], out[1]
         if pieces is not None:
             oq, ostart, osz, oi = pieces
             hit = _overflow_scan_member(hit, oi, oq, ostart, osz,
                                         out[-1], ks, max_sz)
         return hit, ultra
+
+    def _member_packed_full(self, chunk, nvc):
+        """Membership for one device chunk via the A/B split; returns
+        (device hit flags, host_mask of unresolved = ultra queries)."""
+        return self._member_packed_finish(
+            self._member_packed_dispatch(chunk, nvc))
 
     def _has_kmers_packed_device(self, qj, n):
         """Packed membership for ONE padded device batch. ``qj`` may be
@@ -1004,21 +1038,37 @@ class DeviceKmerIndex:
             return self.map_kmers(read_kmers.to_numpy(), n_nodes)
         total = None
         host_adjust = None
-        for chunk, nvc in self._iter_device_chunks(read_kmers):
-            counts, host_mask = self._counts_packed_full(chunk, nvc,
-                                                         n_nodes)
+
+        # one-deep software pipeline: the NEXT chunk's decode is queued
+        # before the current chunk's n_overflow fetch (its one device
+        # sync), so the device works through chunk i+1 while the host
+        # waits on chunk i. Dispatch-ahead costs no extra HBM: buffers
+        # allocate when a dispatch EXECUTES, and execution stays serial.
+        pend = None
+
+        def resolve(state):
+            nonlocal total, host_adjust
+            counts, host_mask = self._counts_packed_finish(state)
             # accumulate across chunks in int64 (emulated but one
             # n_nodes-sized add per chunk): int32 totals wrap negative
             # past 2^31 hits/node on billion-kmer read sets, and the
             # numpy-input map_kmers path sums chunks in int64 already
             counts = counts.astype(jnp.int64)
             total = counts if total is None else total + counts
-            km, mult = self._fetch_masked_kmers(chunk, host_mask)
+            km, mult = self._fetch_masked_kmers(state[0], host_mask)
             if len(km):
                 if host_adjust is None:
                     host_adjust = np.zeros(n_nodes, dtype=np.int64)
                 for _kq, m, nodes_hit in self._ultra_rows(km, mult):
                     np.add.at(host_adjust, nodes_hit.astype(np.int64), m)
+
+        for chunk, nvc in self._iter_device_chunks(read_kmers):
+            state = self._counts_packed_dispatch(chunk, nvc, n_nodes)
+            if pend is not None:
+                resolve(pend)
+            pend = state
+        if pend is not None:
+            resolve(pend)
         if total is None:
             return np.zeros(n_nodes, dtype=np.int64)
         res = np.asarray(total).astype(np.int64)
@@ -1033,8 +1083,13 @@ class DeviceKmerIndex:
         if packed is None:
             return self.has_kmers(read_kmers.to_numpy())
         out = []
-        for chunk, nvc in self._iter_device_chunks(read_kmers):
-            hit, host_mask = self._member_packed_full(chunk, nvc)
+        # one-deep software pipeline (see map_read_kmers): next chunk's
+        # decode queues before this chunk's n_overflow fetch
+        pend = None
+
+        def resolve(state):
+            chunk, nvc = state[0], state[1]
+            hit, host_mask = self._member_packed_finish(state)
             km, mult = self._fetch_masked_kmers(chunk, host_mask)
             if len(km):
                 present = {kq for kq, _m, nodes_hit in
@@ -1043,6 +1098,14 @@ class DeviceKmerIndex:
                     hit, host_mask, chunk,
                     jnp.asarray(_present_padded(present)))
             out.append(np.asarray(hit)[:nvc])
+
+        for chunk, nvc in self._iter_device_chunks(read_kmers):
+            state = self._member_packed_dispatch(chunk, nvc)
+            if pend is not None:
+                resolve(pend)
+            pend = state
+        if pend is not None:
+            resolve(pend)
         if not out:
             return np.zeros(0, dtype=bool)
         return np.concatenate(out)
