@@ -57,4 +57,8 @@ say "6/6 serving path (sharded from_kmers steps, device-built table)"
 timeout 900 python benchmarks/bench_serve.py 16000000 4194304 1 \
     2>&1 | tee -a "$LOG"
 
+say "7/7 multi-chunk driver pipeline (dispatch-ahead vs serial)"
+timeout 900 python benchmarks/bench_chunked.py 16000000 3 \
+    2>&1 | tee -a "$LOG"
+
 say "done — record results in BASELINE.md (builder-measured, relay-up)"
