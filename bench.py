@@ -93,6 +93,17 @@ def measure_kernel(kernel: str) -> float:
                 opts = dict(rows_per_block=int(rows), chunk=int(chunk))
             lo, hi = sliding_hashes_pallas_p16(s, K, **opts)
             return ((lo ^ hi) & 3).astype(jnp.int8)
+        if kernel.startswith("p8"):
+            # half the output bytes of p16 (u16 P8 per position); the
+            # four-slice lane derivation fuses into the consumer xor
+            from graph_kmer_index_tpu.ops.encode import (
+                sliding_hashes_pallas_p8)
+            opts = {}
+            if ":" in kernel:
+                _, rows, chunk = kernel.split(":")
+                opts = dict(rows_per_block=int(rows), chunk=int(chunk))
+            lo, hi = sliding_hashes_pallas_p8(s, K, **opts)
+            return ((lo ^ hi) & 3).astype(jnp.int8)
         if kernel == "pallas":
             lo, hi = sliding_hashes_pallas(s, K)
             return ((lo ^ hi) & 3).astype(jnp.int8)
@@ -263,27 +274,33 @@ def main():
         return
 
     kernels = os.environ.get(
-        "GKI_BENCH_KERNELS", "u32,p16,pallas").split(",")
+        "GKI_BENCH_KERNELS", "u32,p8,p16,pallas").split(",")
     done = set()
     for kernel in kernels:
-        if kernel in ("p16", "pallas") and "p16" in done:
-            break  # p16 measured: no later candidate can beat it
+        if kernel == "pallas" and done & {"p8", "p16"}:
+            break  # a roofline variant measured: pallas cannot beat it
         # floor-first ordering: u32 is XLA-only (cheapest compile) and
-        # guarantees a line; p16 (the headline, ~2.5x) gets the bulk of
-        # the remaining budget; pallas only runs if p16 failed. u32 is
+        # guarantees a line; the roofline kernels (p8 then p16) split
+        # the remaining budget; pallas only runs if both failed. u32 is
         # capped low — if the helper can't compile plain XLA in 120s it
         # won't compile a Pallas kernel either, so hoarding budget for
-        # p16 after a u32 timeout would be wasted anyway.
-        t = (min(120, remaining() - 120) if kernel == "u32"
-             else remaining() - 15)
+        # the roofline kernels after a u32 timeout would be wasted.
+        if kernel == "u32":
+            t = min(120, remaining() - 120)
+        elif kernel == "p8" and "p16" in kernels:
+            t = max(0, (remaining() - 30) / 2)  # leave p16 its half
+        else:
+            t = remaining() - 15
         rate = _run_child(["--kernel", kernel], t)
         if rate is not None:
             done.add(kernel)
         record(kernel, rate)
-    if "p16" not in done and remaining() > 60:
-        # p16's compile timed out once; a second attempt often hits a
-        # less-loaded helper and it is ~2.5x the fallback kernel
-        record("p16", _run_child(["--kernel", "p16"], remaining() - 15))
+    for kernel in ("p8", "p16"):
+        # a roofline compile timed out once; a second attempt often hits
+        # a less-loaded helper and it is ~2.5x+ the fallback kernel
+        if kernel not in done and remaining() > 60:
+            record(kernel,
+                   _run_child(["--kernel", kernel], remaining() - 15))
     if not done and state["value"] == 0:
         state["error"] = ("relay accepted TCP but every device candidate "
                           "timed out (wedged backend / degraded compile "

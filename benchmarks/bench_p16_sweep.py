@@ -41,7 +41,7 @@ def sweep(mode: str, n: int, interpret: bool = False):
     import jax.numpy as jnp
     import numpy as np
     from graph_kmer_index_tpu.ops.encode import (
-        p16_to_lanes, sliding_p16_pallas)
+        p8_to_lanes, p16_to_lanes, sliding_p8_pallas, sliding_p16_pallas)
 
     k = 31
     rng = np.random.default_rng(0)
@@ -49,6 +49,13 @@ def sweep(mode: str, n: int, interpret: bool = False):
 
     def make_chain(rows: int, chunk: int):
         def apply(s):
+            if mode.startswith("p8"):
+                p8 = sliding_p8_pallas(s, k, rows_per_block=rows,
+                                       chunk=chunk, interpret=interpret)
+                if mode == "p8":
+                    lo, hi = p8_to_lanes(p8, k)
+                    return ((lo ^ hi) & 3).astype(jnp.int8)
+                return (p8 & jnp.uint16(3)).astype(jnp.int8)
             p16 = sliding_p16_pallas(s, k, rows_per_block=rows,
                                      chunk=chunk, interpret=interpret)
             if mode == "p16":

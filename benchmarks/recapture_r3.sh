@@ -31,8 +31,9 @@ then
     exit 1
 fi
 
-say "1/5 headline bench (P16 hashing)"
-GKI_BENCH_BUDGET_S=420 timeout 540 python bench.py 2>&1 | tee -a "$LOG"
+say "1/5 headline bench (P8/P16 hashing)"
+GKI_BENCH_KERNELS="u32,p8,p16" GKI_BENCH_BUDGET_S=420 timeout 540 \
+    python bench.py 2>&1 | tee -a "$LOG"
 
 say "2/5 bandwidth-ceiling controls (stream copy / sum / xla scale)"
 timeout 900 python benchmarks/bench_primitives.py \

@@ -337,6 +337,105 @@ def sliding_hashes_pallas_p16(seq: jax.Array, k: int, **kw):
     return p16_to_lanes(sliding_p16_pallas(seq, k, **kw), k)
 
 
+# ---------------------------------------------------------------------------
+# P8 roofline variant: emit only the 8-base packing per position, as
+# uint16 — 3 bytes/base of kernel traffic (in 1B + out 2B) vs P16's 5.
+# hash(i) = P8[i] | P8[i+8]<<16 | P8[i+16]<<32 | P8[i+24]<<48 (masked to
+# 2k bits), so the full hash stream derives from FOUR u16 loads per
+# position — all sequential slices XLA fuses into the consumer. If the
+# measured-130-GB/s bandwidth ceiling is real, this moves the hashing
+# speed-of-light another ~1.67x past P16.
+# ---------------------------------------------------------------------------
+
+def _hash_kernel_p8(seq_ref, p8_ref, *, m: int, chunk: int, halo: int):
+    """seq_ref: (ROWS, chunk + halo) int8; p8_ref: (ROWS, chunk) uint16
+    packing ``m`` bases per column (m = min(k, 8)). Compute stays in
+    u32 lanes (the VPU's native width); only the store narrows."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    width = chunk + halo
+    p = seq_ref[:].astype(U32)
+    levels = {1: p}
+    span = 1
+    while span * 2 <= m:
+        prev = levels[span]
+        levels[span * 2] = prev | (
+            pltpu.roll(prev, shift=jnp.int32((-span) % width), axis=1)
+            << U32(2 * span))
+        span *= 2
+    acc = None
+    offset = 0
+    for bit in sorted(levels.keys(), reverse=True):
+        if offset + bit <= m:
+            part = levels[bit]
+            shifted = (part if offset == 0 else
+                       pltpu.roll(part, shift=jnp.int32((-offset) % width),
+                                  axis=1) << U32(2 * offset))
+            acc = shifted if acc is None else (acc | shifted)
+            offset += bit
+    p8_ref[:] = acc[:, :chunk].astype(jnp.uint16)
+
+
+def sliding_p8_pallas(seq: jax.Array, k: int, *, chunk: int = 2048,
+                      rows_per_block: int = 32, interpret: bool = False):
+    """P_{min(k,8)}[i] for every position, as uint16 (int8 input path)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert 1 <= k <= 31
+    m = min(k, 8)
+    n = seq.shape[0]
+    halo = 128
+    n_chunks = max(1, -(-n // chunk))
+    padded = (n_chunks + 1) * chunk
+    x = jnp.zeros(padded, jnp.int8).at[:n].set(seq.astype(jnp.int8))
+    base = x[: n_chunks * chunk].reshape(n_chunks, chunk)
+    nxt = x[chunk: (n_chunks + 1) * chunk].reshape(n_chunks, chunk)[:, :halo]
+    rows = jnp.concatenate([base, nxt], axis=1)
+
+    grid = (-(-n_chunks // rows_per_block),)
+    rows = jnp.pad(rows, ((0, grid[0] * rows_per_block - n_chunks), (0, 0)))
+
+    p8 = pl.pallas_call(
+        functools.partial(_hash_kernel_p8, m=m, chunk=chunk, halo=halo),
+        grid=grid,
+        in_specs=[pl.BlockSpec((rows_per_block, chunk + halo),
+                               lambda i: (i, i - i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows_per_block, chunk), lambda i: (i, i - i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * rows_per_block, chunk),
+                                       jnp.uint16),
+        interpret=interpret,
+    )(rows)
+    return p8.reshape(-1)[:n]
+
+
+def p8_to_lanes(p8: jax.Array, k: int):
+    """Derive the (lo, hi) u32 hash lanes from the P8 stream (sequential
+    slices + shifts, fused into the consumer by XLA). Bit-identical to
+    p16_to_lanes(sliding_p16_pallas(...))."""
+    n = p8.shape[0]
+    if k <= 8:
+        return p8.astype(U32), jnp.zeros(n, U32)
+    ext = jnp.concatenate([p8, jnp.zeros(24, jnp.uint16)]).astype(U32)
+    lo = ext[:n] | (ext[8:8 + n] << U32(16))
+    if k < 16:
+        # P16 packs only m = k bases when k < 16: mask the extras so the
+        # lo lane matches the P16 kernel's exactly
+        lo = lo & U32((1 << (2 * k)) - 1)
+        return lo, jnp.zeros(n, U32)
+    hi = ext[16:16 + n] | (ext[24:24 + n] << U32(16))
+    hi = hi & U32((1 << (2 * (k - 16))) - 1) if k > 16 else jnp.zeros(n, U32)
+    return lo, hi
+
+
+def sliding_hashes_pallas_p8(seq: jax.Array, k: int, **kw):
+    """(lo, hi) lanes via the P8 kernel + fused derivation — same
+    contract as :func:`sliding_hashes_pallas`."""
+    return p8_to_lanes(sliding_p8_pallas(seq, k, **kw), k)
+
+
 def revcomp_hashes(hashes: jax.Array, k: int) -> jax.Array:
     """Reverse complement in hash space, on device — the packed
     XOR + 2-bit-group bit-reversal formulation of

@@ -59,6 +59,25 @@ def test_p16_kernel_matches_numpy(k):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("k", [1, 5, 8, 9, 12, 16, 17, 21, 31])
+def test_p8_kernel_matches_numpy(k):
+    """The P8 (u16 output) roofline kernel + fused lane derivation must
+    equal the XLA sliding hashes AND the P16 lanes bit-exactly."""
+    from graph_kmer_index_tpu.ops.encode import (
+        sliding_hashes_pallas_p16, sliding_hashes_pallas_p8,
+        combine_u32_pair)
+    rng = np.random.default_rng(7)
+    seq = rng.integers(0, 4, 4099).astype(np.int32)
+    want = np.asarray(sliding_hashes(jnp.asarray(seq), k))
+    lo, hi = sliding_hashes_pallas_p8(jnp.asarray(seq), k, interpret=True)
+    got = np.asarray(combine_u32_pair(lo, hi))
+    np.testing.assert_array_equal(got, want)
+    lo16, hi16 = sliding_hashes_pallas_p16(jnp.asarray(seq), k,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo16))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi16))
+
+
 def test_stream_control_kernels_interpret():
     """The HBM-bandwidth control kernels (benchmarks/bench_primitives)
     must be semantically a copy / a sum — their GB/s numbers back the
