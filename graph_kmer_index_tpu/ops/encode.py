@@ -475,7 +475,10 @@ def read_tape_hashes(flat, starts, lens, n_real, k):
     valid ones first, and their count (device scalar).
     """
     n = flat.shape[0]
-    hashes = sliding_hashes(flat.astype(jnp.int32), k)
+    # u32-lane ladder + one combine: the u64 ladder is emulated on this
+    # TPU (~2x per op, ~20 u64 intermediates of HBM traffic)
+    hashes = combine_u32_pair(*sliding_hashes_u32(flat.astype(jnp.int32),
+                                                  k))
     ends = (starts + lens).astype(jnp.int32)
     inv_start = jnp.maximum(starts.astype(jnp.int32),
                             ends - jnp.int32(k - 1))

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .encode import sliding_hashes
+from .encode import combine_u32_pair, sliding_hashes_u32
 
 
 def _pack_tape(tape: np.ndarray) -> np.ndarray:
@@ -68,7 +68,9 @@ def _expand(k, total_tape, total_windows, total_rows, tape_packed, nw,
     shift = (jnp.arange(rep.shape[0], dtype=jnp.uint8) & jnp.uint8(3)) \
         * jnp.uint8(2)
     tape = ((rep >> shift) & jnp.uint8(3))[:total_tape].astype(jnp.int32)
-    hashes = sliding_hashes(tape, k)
+    # u32-lane ladder + one combine: the u64 ladder is emulated on this
+    # TPU (~2x per op, ~20 u64 intermediates of HBM traffic)
+    hashes = combine_u32_pair(*sliding_hashes_u32(tape, k))
     # exclusive prefix sums: spans own consecutive tape slices of
     # exactly nw + k - 1 bases and consecutive node-list slices of nl
     tlen = nw + jnp.int32(k - 1)

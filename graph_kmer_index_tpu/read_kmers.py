@@ -226,10 +226,11 @@ class ReadKmers:
             use_device = n >= (1 << 20)
         if use_device:
             import jax.numpy as jnp
-            from .ops.encode import sliding_hashes
-            all_hashes = np.asarray(
-                sliding_hashes(jnp.asarray(flat.astype(np.int32)), k)
-            ).astype(np.uint64)
+            from .ops.encode import combine_u32_pair, sliding_hashes_u32
+            # u32-lane ladder + one combine (u64 is emulated on TPU)
+            all_hashes = np.asarray(combine_u32_pair(
+                *sliding_hashes_u32(jnp.asarray(flat.astype(np.int32)), k)
+            )).astype(np.uint64)
         else:
             all_hashes = np.concatenate(
                 [sliding_window_hashes(flat.astype(np.uint64), k),
