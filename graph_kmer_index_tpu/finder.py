@@ -770,11 +770,12 @@ class DenseKmerFinder:
                 import jax
                 use_device = jax.default_backend() != "cpu"
         if use_device:
-            from .ops.encode import sliding_hashes
+            from .ops.encode import combine_u32_pair, sliding_hashes_u32
             import jax.numpy as jnp
-            all_hashes = np.asarray(
-                sliding_hashes(jnp.asarray(tape.astype(np.int32)), k)
-            ).astype(np.uint64)
+            # u32-lane ladder + one combine (u64 emulated on TPU)
+            all_hashes = np.asarray(combine_u32_pair(
+                *sliding_hashes_u32(jnp.asarray(tape.astype(np.int32)), k)
+            )).astype(np.uint64)
         else:
             all_hashes = sliding_window_hashes(
                 np.maximum(tape, 0).astype(np.uint64), k)

@@ -126,24 +126,6 @@ def sliding_hashes_u32(seq: jax.Array, k: int):
     return lo[:n], hi[:n]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def sliding_hashes_masked(seq: jax.Array, k: int, valid_mask: jax.Array | None = None):
-    """Window hashes plus a validity mask for windows that fit entirely
-    within a 'valid' region (used for concatenated path streams where
-    windows must not cross stream boundaries)."""
-    hashes = sliding_hashes(seq, k)
-    n = seq.shape[0]
-    idx = jnp.arange(n)
-    ok = idx <= n - k
-    if valid_mask is not None:
-        # window valid iff all k positions valid: min over window
-        m = valid_mask.astype(jnp.int32)
-        cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(m)])
-        cnt = cs[jnp.minimum(idx + k, n)] - cs[idx]
-        ok = ok & (cnt == k)
-    return hashes, ok
-
-
 # ---------------------------------------------------------------------------
 # Pallas kernel: sliding hashes over a halo-chunked layout.
 # ---------------------------------------------------------------------------

@@ -223,7 +223,7 @@ def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
     batch padded with :data:`KMER_PAD` (see make_count_step_packed).
     """
     from jax import shard_map
-    from ..ops.encode import sliding_hashes
+    from ..ops.encode import combine_u32_pair, sliding_hashes_u32
 
     m_local = shards.m_local
     max_scan = shards.max_scan
@@ -242,7 +242,8 @@ def make_count_step(mesh, shards: TableShards, n_nodes: int, k: int,
         else:
             r_loc, L = reads.shape
             flat = reads.reshape(-1)
-            hashes = sliding_hashes(flat, k)
+            # u32-lane ladder + one combine (u64 emulated on TPU)
+            hashes = combine_u32_pair(*sliding_hashes_u32(flat, k))
             # windows crossing read boundaries are invalid
             pos = jnp.arange(r_loc * L) % L
             valid = pos <= L - k
@@ -396,7 +397,7 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
     :data:`KMER_PAD`) instead of a 2-bit read matrix — the serving path
     for queries that didn't come from fixed-length reads."""
     from jax import shard_map
-    from ..ops.encode import sliding_hashes
+    from ..ops.encode import combine_u32_pair, sliding_hashes_u32
     from ..ops.lookup import _decode_group_rows, _compact_overflow
 
     m2_local = shards.m2_local
@@ -418,7 +419,8 @@ def make_count_step_packed(mesh, shards: PackedTableShards, n_nodes: int,
             r_loc, L = reads.shape
             n_q = r_loc * L
             flat = reads.reshape(-1)
-            hashes = sliding_hashes(flat, k)
+            # u32-lane ladder + one combine (u64 emulated on TPU)
+            hashes = combine_u32_pair(*sliding_hashes_u32(flat, k))
             pos = jnp.arange(n_q) % L
             valid = pos <= L - k
             kmers = jnp.where(valid, hashes, jnp.uint64(0))
@@ -500,7 +502,7 @@ def make_member_step_packed(mesh, shards: PackedTableShards, k: int,
     with :data:`KMER_PAD` (padding answers False) and the verdicts come
     back as a flat data-sharded vector."""
     from jax import shard_map
-    from ..ops.encode import sliding_hashes
+    from ..ops.encode import combine_u32_pair, sliding_hashes_u32
     from ..ops.lookup import _decode_group_rows, _compact_overflow
 
     m2_local = shards.m2_local
@@ -522,7 +524,8 @@ def make_member_step_packed(mesh, shards: PackedTableShards, k: int,
             r_loc, L = reads.shape
             n_q = r_loc * L
             flat = reads.reshape(-1)
-            hashes = sliding_hashes(flat, k)
+            # u32-lane ladder + one combine (u64 emulated on TPU)
+            hashes = combine_u32_pair(*sliding_hashes_u32(flat, k))
             pos = jnp.arange(n_q) % L
             valid = pos <= L - k
             kmers = jnp.where(valid, hashes, jnp.uint64(0))

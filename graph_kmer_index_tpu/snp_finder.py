@@ -342,9 +342,10 @@ class SnpKmerFinder:
         use_device = ref_len >= (1 << 20)
         if use_device:
             import jax.numpy as jnp
-            from .ops.encode import sliding_hashes
-            hashes = np.asarray(sliding_hashes(
-                jnp.asarray(refseq.astype(np.int32)), self.k)).astype(
+            from .ops.encode import combine_u32_pair, sliding_hashes_u32
+            # u32-lane ladder + one combine (u64 emulated on TPU)
+            hashes = np.asarray(combine_u32_pair(*sliding_hashes_u32(
+                jnp.asarray(refseq.astype(np.int32)), self.k))).astype(
                     np.uint64)[:max(0, ref_len - self.k + 1)]
         else:
             hashes = sliding_window_hashes(refseq.astype(np.uint64), self.k)
