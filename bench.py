@@ -275,30 +275,38 @@ def main():
 
     kernels = os.environ.get(
         "GKI_BENCH_KERNELS", "u32,p8,p16,pallas").split(",")
-    done = set()
-    for kernel in kernels:
-        if kernel == "pallas" and done & {"p8", "p16"}:
+
+    def _base(name):
+        return name.split(":")[0]  # "p16:32:2048" -> "p16"
+
+    done = set()   # exact entries (incl. pinned configs) that measured
+    for pos, kernel in enumerate(kernels):
+        if _base(kernel) == "pallas" and any(
+                _base(d) in ("p8", "p16") for d in done):
             break  # a roofline variant measured: pallas cannot beat it
         # floor-first ordering: u32 is XLA-only (cheapest compile) and
-        # guarantees a line; the roofline kernels (p8 then p16) split
-        # the remaining budget; pallas only runs if both failed. u32 is
-        # capped low — if the helper can't compile plain XLA in 120s it
-        # won't compile a Pallas kernel either, so hoarding budget for
-        # the roofline kernels after a u32 timeout would be wasted.
-        if kernel == "u32":
+        # guarantees a line; the roofline kernels (p8/p16, pinned
+        # configs included) split the remaining budget evenly; pallas
+        # only runs if all of them failed. u32 is capped low — if the
+        # helper can't compile plain XLA in 120s it won't compile a
+        # Pallas kernel either, so hoarding budget for the roofline
+        # kernels after a u32 timeout would be wasted.
+        if _base(kernel) == "u32":
             t = min(120, remaining() - 120)
-        elif kernel == "p8" and "p16" in kernels:
-            t = max(0, (remaining() - 30) / 2)  # leave p16 its half
         else:
-            t = remaining() - 15
+            n_left = max(1, sum(1 for x in kernels[pos:]
+                                if _base(x) in ("p8", "p16")))
+            t = (remaining() - 15) / n_left
         rate = _run_child(["--kernel", kernel], t)
         if rate is not None:
             done.add(kernel)
         record(kernel, rate)
-    for kernel in ("p8", "p16"):
+    for kernel in kernels:
         # a roofline compile timed out once; a second attempt often hits
-        # a less-loaded helper and it is ~2.5x+ the fallback kernel
-        if kernel not in done and remaining() > 60:
+        # a less-loaded helper and it is ~2.5x+ the fallback kernel.
+        # Retry only entries the user actually listed.
+        if (_base(kernel) in ("p8", "p16") and kernel not in done
+                and remaining() > 60):
             record(kernel,
                    _run_child(["--kernel", kernel], remaining() - 15))
     if not done and state["value"] == 0:

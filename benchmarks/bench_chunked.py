@@ -55,15 +55,21 @@ def main():
 
     def serial_counts():
         """The pre-pipeline driver: resolve each chunk before
-        dispatching the next (dispatch+finish back to back)."""
+        dispatching the next (dispatch+finish back to back), including
+        the same host-side ultra-row adjustment map_read_kmers applies
+        (so the checksums stay comparable on deep-bucket tables)."""
         total = None
+        host_adjust = np.zeros(n_nodes, dtype=np.int64)
         for chunk, nvc in dev._iter_device_chunks(reads):
             counts, host_mask = dev._counts_packed_full(chunk, nvc,
                                                         n_nodes)
             counts = counts.astype(jnp.int64)
             total = counts if total is None else total + counts
-            dev._fetch_masked_kmers(chunk, host_mask)
-        return np.asarray(total)
+            km, mult = dev._fetch_masked_kmers(chunk, host_mask)
+            if len(km):
+                for _kq, m, nodes_hit in dev._ultra_rows(km, mult):
+                    np.add.at(host_adjust, nodes_hit.astype(np.int64), m)
+        return np.asarray(total) + host_adjust
 
     # warm both compile sets
     dev.map_read_kmers(reads, n_nodes)

@@ -73,17 +73,46 @@ class Graph:
         max_id = max(node_sequences.keys())
         n = max_id + 1
         node_sizes = np.zeros(n, dtype=np.uint32)
-        # encode ONCE over the node-ordered concatenation (placing by
-        # seq_start is then the identity) — per-node encoding costs a
-        # python call per node, ~1 s per 300k nodes at chromosome scale
         items = sorted(node_sequences.items())
         for node, s in items:
             node_sizes[node] = len(s)
         seq_start = np.zeros(n + 1, dtype=np.int64)
         seq_start[1:] = np.cumsum(node_sizes)
-        sequence = letter_sequence_to_numeric(
-            "".join(s for _, s in items)).astype(np.int8)
-        assert len(sequence) == seq_start[-1]
+        # encode node-ordered SLABS of ~64 Mb (placing by seq_start is
+        # then the identity): per-node encoding costs a python call per
+        # node (~1 s per 300k nodes at chromosome scale), while one
+        # whole-genome call would materialize a joined str + an 8 B/base
+        # u64 transient (letter_sequence_to_numeric returns u64) — ~35
+        # bytes/base peak at 3 Gb. Non-str sequences (bytes / numeric
+        # arrays, which letter_sequence_to_numeric accepts per node)
+        # flush the slab and encode individually.
+        from .utils.hugepages import hp_empty
+        sequence = hp_empty(int(seq_start[-1]), np.int8)
+        _SLAB = 1 << 26
+        buf: list[str] = []
+        blen = wpos = 0
+
+        def _flush():
+            nonlocal buf, blen, wpos
+            if blen:
+                sequence[wpos:wpos + blen] = letter_sequence_to_numeric(
+                    "".join(buf)).astype(np.int8)
+                wpos += blen
+                buf, blen = [], 0
+
+        for _node, s in items:
+            if isinstance(s, str):
+                buf.append(s)
+                blen += len(s)
+                if blen >= _SLAB:
+                    _flush()
+            elif len(s):
+                _flush()
+                sequence[wpos:wpos + len(s)] = \
+                    letter_sequence_to_numeric(s).astype(np.int8)
+                wpos += len(s)
+        _flush()
+        assert wpos == seq_start[-1]
 
         edge_index = np.zeros(n + 1, dtype=np.int64)
         counts = np.zeros(n, dtype=np.int64)

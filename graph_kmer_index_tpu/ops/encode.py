@@ -239,9 +239,11 @@ def combine_u32_pair(lo: jax.Array, hi: jax.Array) -> jax.Array:
 # HBM-bandwidth speed-of-light from ~68G to ~160G kmers/s/chip.
 # ---------------------------------------------------------------------------
 
-def _hash_kernel_p16(seq_ref, p16_ref, *, m: int, chunk: int, halo: int):
-    """seq_ref: (ROWS, chunk + halo) int8; p16_ref: (ROWS, chunk) uint32
-    packing ``m`` bases per column (m = min(k, 16))."""
+def _pack_kernel(seq_ref, out_ref, *, m: int, chunk: int, halo: int):
+    """seq_ref: (ROWS, chunk + halo) int8; out_ref: (ROWS, chunk) packing
+    ``m`` bases per column. Compute stays in u32 lanes (the VPU's native
+    width); the store narrows to out_ref's dtype (u32 for P16, u16 for
+    P8)."""
     from jax.experimental.pallas import tpu as pltpu
 
     width = chunk + halo
@@ -264,17 +266,20 @@ def _hash_kernel_p16(seq_ref, p16_ref, *, m: int, chunk: int, halo: int):
                                   axis=1) << U32(2 * offset))
             acc = shifted if acc is None else (acc | shifted)
             offset += bit
-    p16_ref[:] = acc[:, :chunk]
+    out_ref[:] = acc[:, :chunk].astype(out_ref.dtype)
 
 
-def sliding_p16_pallas(seq: jax.Array, k: int, *, chunk: int = 2048,
-                       rows_per_block: int = 32, interpret: bool = False):
-    """P_{min(k,16)}[i] for every position, as uint32 (int8 input path)."""
+def _sliding_pack_pallas(seq: jax.Array, k: int, m_cap: int, out_dtype,
+                         *, chunk: int = 2048, rows_per_block: int = 32,
+                         interpret: bool = False):
+    """P_{min(k, m_cap)}[i] for every position (int8 input path): the
+    shared halo-chunked wrapper behind the P16 (u32) and P8 (u16)
+    roofline kernels."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert 1 <= k <= 31
-    m = min(k, 16)
+    m = min(k, m_cap)
     n = seq.shape[0]
     halo = 128
     n_chunks = max(1, -(-n // chunk))
@@ -287,8 +292,8 @@ def sliding_p16_pallas(seq: jax.Array, k: int, *, chunk: int = 2048,
     grid = (-(-n_chunks // rows_per_block),)
     rows = jnp.pad(rows, ((0, grid[0] * rows_per_block - n_chunks), (0, 0)))
 
-    p16 = pl.pallas_call(
-        functools.partial(_hash_kernel_p16, m=m, chunk=chunk, halo=halo),
+    out = pl.pallas_call(
+        functools.partial(_pack_kernel, m=m, chunk=chunk, halo=halo),
         grid=grid,
         in_specs=[pl.BlockSpec((rows_per_block, chunk + halo),
                                lambda i: (i, i - i),
@@ -296,10 +301,15 @@ def sliding_p16_pallas(seq: jax.Array, k: int, *, chunk: int = 2048,
         out_specs=pl.BlockSpec((rows_per_block, chunk), lambda i: (i, i - i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid[0] * rows_per_block, chunk),
-                                       U32),
+                                       out_dtype),
         interpret=interpret,
     )(rows)
-    return p16.reshape(-1)[:n]
+    return out.reshape(-1)[:n]
+
+
+def sliding_p16_pallas(seq: jax.Array, k: int, **kw):
+    """P_{min(k,16)}[i] for every position, as uint32 (int8 input path)."""
+    return _sliding_pack_pallas(seq, k, 16, U32, **kw)
 
 
 def p16_to_lanes(p16: jax.Array, k: int):
@@ -329,68 +339,9 @@ def sliding_hashes_pallas_p16(seq: jax.Array, k: int, **kw):
 # speed-of-light another ~1.67x past P16.
 # ---------------------------------------------------------------------------
 
-def _hash_kernel_p8(seq_ref, p8_ref, *, m: int, chunk: int, halo: int):
-    """seq_ref: (ROWS, chunk + halo) int8; p8_ref: (ROWS, chunk) uint16
-    packing ``m`` bases per column (m = min(k, 8)). Compute stays in
-    u32 lanes (the VPU's native width); only the store narrows."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    width = chunk + halo
-    p = seq_ref[:].astype(U32)
-    levels = {1: p}
-    span = 1
-    while span * 2 <= m:
-        prev = levels[span]
-        levels[span * 2] = prev | (
-            pltpu.roll(prev, shift=jnp.int32((-span) % width), axis=1)
-            << U32(2 * span))
-        span *= 2
-    acc = None
-    offset = 0
-    for bit in sorted(levels.keys(), reverse=True):
-        if offset + bit <= m:
-            part = levels[bit]
-            shifted = (part if offset == 0 else
-                       pltpu.roll(part, shift=jnp.int32((-offset) % width),
-                                  axis=1) << U32(2 * offset))
-            acc = shifted if acc is None else (acc | shifted)
-            offset += bit
-    p8_ref[:] = acc[:, :chunk].astype(jnp.uint16)
-
-
-def sliding_p8_pallas(seq: jax.Array, k: int, *, chunk: int = 2048,
-                      rows_per_block: int = 32, interpret: bool = False):
+def sliding_p8_pallas(seq: jax.Array, k: int, **kw):
     """P_{min(k,8)}[i] for every position, as uint16 (int8 input path)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    assert 1 <= k <= 31
-    m = min(k, 8)
-    n = seq.shape[0]
-    halo = 128
-    n_chunks = max(1, -(-n // chunk))
-    padded = (n_chunks + 1) * chunk
-    x = jnp.zeros(padded, jnp.int8).at[:n].set(seq.astype(jnp.int8))
-    base = x[: n_chunks * chunk].reshape(n_chunks, chunk)
-    nxt = x[chunk: (n_chunks + 1) * chunk].reshape(n_chunks, chunk)[:, :halo]
-    rows = jnp.concatenate([base, nxt], axis=1)
-
-    grid = (-(-n_chunks // rows_per_block),)
-    rows = jnp.pad(rows, ((0, grid[0] * rows_per_block - n_chunks), (0, 0)))
-
-    p8 = pl.pallas_call(
-        functools.partial(_hash_kernel_p8, m=m, chunk=chunk, halo=halo),
-        grid=grid,
-        in_specs=[pl.BlockSpec((rows_per_block, chunk + halo),
-                               lambda i: (i, i - i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((rows_per_block, chunk), lambda i: (i, i - i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid[0] * rows_per_block, chunk),
-                                       jnp.uint16),
-        interpret=interpret,
-    )(rows)
-    return p8.reshape(-1)[:n]
+    return _sliding_pack_pallas(seq, k, 8, jnp.uint16, **kw)
 
 
 def p8_to_lanes(p8: jax.Array, k: int):

@@ -126,6 +126,23 @@ def test_non_minimal_indels():
     assert idx.get(sequence_to_kmer_hash("ACCAT"))[0] is not None
 
 
+def test_from_dicts_accepts_bytes_and_numeric_sequences():
+    """letter_sequence_to_numeric accepts str/bytes/char/numeric per
+    node (hashing.py:47-62); from_dicts must keep accepting all of them
+    (the slab-encode fast path only covers str)."""
+    from graph_kmer_index_tpu.graph import Graph
+    want = Graph.from_dicts(
+        {1: "ACTG", 2: "A", 3: "C", 4: "GGTA"},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    got = Graph.from_dicts(
+        {1: b"ACTG", 2: np.array([0], np.int8), 3: "C",
+         4: np.array([2, 2, 3, 0], np.uint8)},
+        {1: [2, 3], 2: [4], 3: [4]}, [1, 2, 4])
+    np.testing.assert_array_equal(got.sequence, want.sequence)
+    np.testing.assert_array_equal(got.node_to_ref_offset,
+                                  want.node_to_ref_offset)
+
+
 def test_multi_chromosome_offset_conversion():
     """Chromosome '1' is the FIRST chromosome (VCF numbering), resolved
     by stored name; the old code indexed the start-node array 0-based
