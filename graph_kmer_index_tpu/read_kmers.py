@@ -20,6 +20,32 @@ def reverse_complement_string(seq: str) -> str:
     return seq.translate(_COMP)[::-1]
 
 
+def _iter_record_blocks(path: str, block_bytes: int):
+    """Yield whole-record byte blocks of a FASTA/FASTQ file, each
+    ~<= ``block_bytes`` (a single oversize record may exceed it).
+
+    Blocks cut only at record headers so each block parses standalone.
+    The line state machine mirrors ReadKmers._encode_block exactly:
+    blank lines do NOT consume the FASTQ quality state, and a quality
+    line may begin with '>'/'@'/'+' without being a header."""
+    buf = bytearray()
+    skip_quality = False
+    with open(path, "rb") as f:
+        for line in f:
+            s = line.strip()
+            if s:
+                if skip_quality:
+                    skip_quality = False
+                elif s.startswith(b"+"):
+                    skip_quality = True
+                elif s[:1] in (b">", b"@") and len(buf) >= block_bytes:
+                    yield bytes(buf)
+                    buf = bytearray()
+            buf += line
+    if buf:
+        yield bytes(buf)
+
+
 class DeviceReadKmers:
     """Device-resident read kmers: segments of (hashes u64 jax array,
     n_valid) with the valid kmers compacted to the front of each segment.
@@ -114,48 +140,61 @@ class ReadKmers:
 
     # -- batched production streaming (TPU path) -----------------------------
 
+    # hash_fasta_file processes the file in whole-record blocks of about
+    # this many bytes: host memory stays bounded (~2 blocks of text +
+    # tape) regardless of read-set size
+    BLOCK_BYTES = 1 << 30
+
+    @staticmethod
+    def _encode_block(text: bytes):
+        """(flat int8 tape, starts, lens) of one FASTA/FASTQ text block —
+        native C++ parser when available, python fallback otherwise."""
+        from . import native
+        encoded = native.fasta_encode(text)
+        if encoded is not None:
+            return encoded
+        lines = []
+        skip_quality = False  # FASTQ: line after '+' is quality data
+        for l in text.decode().splitlines():
+            l = l.strip()
+            if not l:
+                continue
+            if skip_quality:
+                skip_quality = False
+            elif l.startswith("+"):
+                skip_quality = True
+            elif not l.startswith((">", "@")):
+                lines.append(l)
+        arrays = [letter_sequence_to_numeric(l).astype(np.int8)
+                  for l in lines]
+        flat = (np.concatenate(arrays) if arrays
+                else np.zeros(0, np.int8))
+        starts = np.cumsum([0] + [len(a) for a in arrays[:-1]]) \
+            if arrays else np.zeros(0, np.int64)
+        lens = np.array([len(a) for a in arrays], dtype=np.int64)
+        return flat, starts, lens
+
     @staticmethod
     def hash_fasta_file(fasta_file_name, k, include_reverse_complements=False,
-                        use_device=None, keep_on_device=False):
+                        use_device=None, keep_on_device=False,
+                        block_bytes=None):
         """All window hashes of all reads in a FASTA/FASTQ file, flat, in
         read order — the production read-streaming front end. Parsing +
         2-bit encoding runs in the native C++ layer when available
         (native.fasta_encode); hashing runs through the sliding-window
         kernel over the concatenated read tape with cross-read windows
-        masked out, one device dispatch for the whole file."""
-        from . import native
+        masked out.
+
+        The file streams in whole-record blocks of ~``block_bytes``
+        (default BLOCK_BYTES = 1 GB), so host memory stays bounded at a
+        couple of blocks however large the read set — files below one
+        block behave exactly as a whole-file parse."""
         from .hashing import kmer_hashes_to_reverse_complement_hash
 
-        with open(fasta_file_name, "rb") as f:
-            text = f.read()
-        encoded = native.fasta_encode(text)
-        if encoded is None:  # no native toolchain: python fallback
-            lines = []
-            skip_quality = False  # FASTQ: line after '+' is quality data
-            for l in text.decode().splitlines():
-                l = l.strip()
-                if not l:
-                    continue
-                if skip_quality:
-                    skip_quality = False
-                elif l.startswith("+"):
-                    skip_quality = True
-                elif not l.startswith((">", "@")):
-                    lines.append(l)
-            arrays = [letter_sequence_to_numeric(l).astype(np.int8)
-                      for l in lines]
-            flat = (np.concatenate(arrays) if arrays
-                    else np.zeros(0, np.int8))
-            starts = np.cumsum([0] + [len(a) for a in arrays[:-1]]) \
-                if arrays else np.zeros(0, np.int64)
-            lens = np.array([len(a) for a in arrays], dtype=np.int64)
-        else:
-            flat, starts, lens = encoded
+        block_bytes = block_bytes or ReadKmers.BLOCK_BYTES
+        blocks = _iter_record_blocks(fasta_file_name, block_bytes)
 
-        n = len(flat)
         if keep_on_device:
-            if n == 0:
-                return DeviceReadKmers([], k)
             import jax.numpy as jnp
             from .ops.encode import read_tape_hashes, revcomp_hashes
 
@@ -164,22 +203,6 @@ class ReadKmers:
                 while p < m:
                     p = -(-(p * 5) // (4 * base)) * base
                 return p
-
-            # bound HBM: split the tape at read boundaries into segments
-            # of <= SEGMENT_BASES (each costs ~13 bytes/base of HBM
-            # transients through hash + sort)
-            seg_bound = ReadKmers.SEGMENT_BASES
-            ends_all = starts + lens
-            cut_reads = [0]
-            while True:
-                nxt = int(np.searchsorted(
-                    ends_all, starts[cut_reads[-1]] + seg_bound,
-                    side="right"))
-                nxt = max(nxt, cut_reads[-1] + 1)  # oversize single read
-                if nxt >= len(starts):
-                    break
-                cut_reads.append(nxt)
-            cut_reads.append(len(starts))
 
             # bounded-lookahead pipeline: dispatch up to LOOKAHEAD
             # segments ahead of the nv scalar fetch, so host-side buffer
@@ -199,48 +222,76 @@ class ReadKmers:
                     if rc_p is not None:
                         rc.append((rc_p, nv_i))
 
-            for r0, r1 in zip(cut_reads[:-1], cut_reads[1:]):
-                base = int(starts[r0])
-                seg_n = int(ends_all[r1 - 1]) - base
-                N = ladder(seg_n)
-                flatp = np.zeros(N, np.int8)
-                flatp[:seg_n] = flat[base:base + seg_n]
-                R = ladder(r1 - r0, 64)
-                sp = np.full(R, N, np.int32)
-                lp = np.zeros(R, np.int32)
-                sp[:r1 - r0] = starts[r0:r1] - base
-                lp[:r1 - r0] = lens[r0:r1]
-                hashes, nv = read_tape_hashes(
-                    jnp.asarray(flatp), jnp.asarray(sp), jnp.asarray(lp),
-                    seg_n, k)
-                rc_h = (revcomp_hashes(hashes, k)
-                        if include_reverse_complements else None)
-                pending.append((hashes, nv, rc_h))
-                drain(LOOKAHEAD)
+            seg_bound = ReadKmers.SEGMENT_BASES
+            for text in blocks:
+                flat, starts, lens = ReadKmers._encode_block(text)
+                if len(flat) == 0:
+                    continue
+                # bound HBM: split the tape at read boundaries into
+                # segments of <= SEGMENT_BASES (each costs ~13
+                # bytes/base of HBM transients through hash + sort)
+                ends_all = starts + lens
+                cut_reads = [0]
+                while True:
+                    nxt = int(np.searchsorted(
+                        ends_all, starts[cut_reads[-1]] + seg_bound,
+                        side="right"))
+                    nxt = max(nxt, cut_reads[-1] + 1)  # oversize read
+                    if nxt >= len(starts):
+                        break
+                    cut_reads.append(nxt)
+                cut_reads.append(len(starts))
+
+                for r0, r1 in zip(cut_reads[:-1], cut_reads[1:]):
+                    base = int(starts[r0])
+                    seg_n = int(ends_all[r1 - 1]) - base
+                    N = ladder(seg_n)
+                    flatp = np.zeros(N, np.int8)
+                    flatp[:seg_n] = flat[base:base + seg_n]
+                    R = ladder(r1 - r0, 64)
+                    sp = np.full(R, N, np.int32)
+                    lp = np.zeros(R, np.int32)
+                    sp[:r1 - r0] = starts[r0:r1] - base
+                    lp[:r1 - r0] = lens[r0:r1]
+                    hashes, nv = read_tape_hashes(
+                        jnp.asarray(flatp), jnp.asarray(sp),
+                        jnp.asarray(lp), seg_n, k)
+                    rc_h = (revcomp_hashes(hashes, k)
+                            if include_reverse_complements else None)
+                    pending.append((hashes, nv, rc_h))
+                    drain(LOOKAHEAD)
             drain(0)
             # host order is [all forward kmers, then all revcomps]
             return DeviceReadKmers(fw + rc, k)
-        if n == 0:
-            return np.zeros(0, dtype=np.uint64)
-        if use_device is None:
-            use_device = n >= (1 << 20)
-        if use_device:
-            import jax.numpy as jnp
-            from .ops.encode import combine_u32_pair, sliding_hashes_u32
-            # u32-lane ladder + one combine (u64 is emulated on TPU)
-            all_hashes = np.asarray(combine_u32_pair(
-                *sliding_hashes_u32(jnp.asarray(flat.astype(np.int32)), k)
-            )).astype(np.uint64)
-        else:
-            all_hashes = np.concatenate(
-                [sliding_window_hashes(flat.astype(np.uint64), k),
-                 np.zeros(min(k - 1, n), dtype=np.uint64)])
-        # valid windows: fully inside one read
-        pos = np.arange(n)
-        read_id = np.searchsorted(starts, pos, side="right") - 1
-        read_end = (starts + lens)[read_id]
-        valid = pos + k <= read_end
-        kmers = all_hashes[valid]
+
+        parts = []
+        for text in blocks:
+            flat, starts, lens = ReadKmers._encode_block(text)
+            n = len(flat)
+            if n == 0:
+                continue
+            ud = use_device if use_device is not None else n >= (1 << 20)
+            if ud:
+                import jax.numpy as jnp
+                from .ops.encode import (combine_u32_pair,
+                                         sliding_hashes_u32)
+                # u32-lane ladder + one combine (u64 is emulated on TPU)
+                all_hashes = np.asarray(combine_u32_pair(
+                    *sliding_hashes_u32(
+                        jnp.asarray(flat.astype(np.int32)), k)
+                )).astype(np.uint64)
+            else:
+                all_hashes = np.concatenate(
+                    [sliding_window_hashes(flat.astype(np.uint64), k),
+                     np.zeros(min(k - 1, n), dtype=np.uint64)])
+            # valid windows: fully inside one read
+            pos = np.arange(n)
+            read_id = np.searchsorted(starts, pos, side="right") - 1
+            read_end = (starts + lens)[read_id]
+            valid = pos + k <= read_end
+            parts.append(all_hashes[valid])
+        kmers = (np.concatenate(parts) if parts
+                 else np.zeros(0, dtype=np.uint64))
         if include_reverse_complements:
             kmers = np.concatenate(
                 [kmers, kmer_hashes_to_reverse_complement_hash(kmers, k)])

@@ -94,6 +94,40 @@ def test_hash_fastq_quality_lines_not_encoded(tmp_path):
         assert list(kmers) == expected
 
 
+def test_hash_fasta_file_streamed_blocks_equal_whole_file(tmp_path):
+    """Streaming in whole-record blocks (block_bytes) must reproduce the
+    whole-file parse bit-exactly — adversarial mix: FASTQ quality lines
+    starting with '>'/'@'/'+', blank lines, CRLF, multi-line FASTA, a
+    record far larger than the block size, and revcomps (whose order is
+    all-forward-then-all-revcomp across the WHOLE file, not per block)."""
+    import numpy as np
+    fx = tmp_path / "mix.fq"
+    big = "ACGTTGCA" * 500
+    fx.write_bytes(
+        b"@r1\nACTGACTG\n+\n@CGTACGT\n"          # quality starts with '@'
+        b"@r2\nTTTTTAAA\n+r2\n>IIIIIII\n"        # quality starts with '>'
+        b"@r3\nGGGGCCCC\n+\n+FFFFFFF\n"          # quality starts with '+'
+        b"\n@r4\r\nACACACAC\r\n+\r\nFFFFFFFF\r\n"  # blank line + CRLF
+        + f">big\n{big}\n".encode()               # record >> block size
+        + b">multi\nACGT\nTGCA\nGGCC\n")          # multi-line FASTA
+    k = 5
+    for rc in (False, True):
+        whole = ReadKmers.hash_fasta_file(str(fx), k, use_device=False,
+                                          include_reverse_complements=rc)
+        for bb in (1, 64, 300):
+            streamed = ReadKmers.hash_fasta_file(
+                str(fx), k, use_device=False,
+                include_reverse_complements=rc, block_bytes=bb)
+            np.testing.assert_array_equal(streamed, whole), (rc, bb)
+    # device-resident path: same kmers in the same order
+    whole = ReadKmers.hash_fasta_file(str(fx), k, use_device=False,
+                                      include_reverse_complements=True)
+    dev = ReadKmers.hash_fasta_file(str(fx), k, keep_on_device=True,
+                                    include_reverse_complements=True,
+                                    block_bytes=64)
+    np.testing.assert_array_equal(dev.to_numpy(), whole)
+
+
 def test_reference_differential_read_kmers():
     """ReadKmers.from_fasta_file vs the in-process reference: same kmer
     streams (single-k: reads then revcomps; multi-k: zipped triples)."""
