@@ -386,7 +386,12 @@ def fasta_encode(text: bytes, max_reads: int | None = None):
     if lib is None:
         return None
     n = len(text)
-    max_reads = max_reads or (n // 2 + 1)
+    # every read (= sequence LINE, matching the python fallback) needs
+    # at least one newline-terminated line, so the line count bounds the
+    # read count tightly — the old n//2+1 bound allocated-and-populated
+    # 8 bytes per BYTE of input for starts+lens (1.5 GB per 190 MB of
+    # FASTQ, dominating the encode wall time)
+    max_reads = max_reads or (text.count(b"\n") + 2)
     out = hp_empty(n, np.int8)
     starts = hp_empty(max_reads, np.int64)
     lens = hp_empty(max_reads, np.int64)
