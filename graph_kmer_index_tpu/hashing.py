@@ -176,16 +176,19 @@ def sliding_window_hashes(numeric_sequence: np.ndarray, k: int) -> np.ndarray:
     large inputs from its cache-hostile column reduce).
     The device version is :func:`graph_kmer_index_tpu.ops.encode.sliding_hashes`.
     """
-    seq = np.asarray(numeric_sequence, dtype=_U64)
-    n = len(seq) - k + 1
+    seq_in = np.asarray(numeric_sequence)
+    n = len(seq_in) - k + 1
     if n <= 0:
         return np.zeros(0, dtype=_U64)
 
     if n >= 4096:  # ctypes call overhead not worth it below this
         from . import native
-        h = native.sliding_hashes(seq.astype(np.int8), k)
+        # int8 view straight to C: converting an int8 tape to u64 and
+        # back cost 2 full-size copies (~16 bytes/base) per call
+        h = native.sliding_hashes(seq_in.astype(np.int8, copy=False), k)
         if h is not None:
             return h
+    seq = seq_in.astype(_U64, copy=False)
 
     # numpy log-doubling ladder: P_{2s}[i] = P_s[i] | P_s[i+s] << 2s
     x = np.concatenate([seq, np.zeros(32, dtype=_U64)])

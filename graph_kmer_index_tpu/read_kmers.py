@@ -142,8 +142,10 @@ class ReadKmers:
 
     # hash_fasta_file processes the file in whole-record blocks of about
     # this many bytes: host memory stays bounded (~2 blocks of text +
-    # tape) regardless of read-set size
-    BLOCK_BYTES = 1 << 30
+    # tape) regardless of read-set size. 128 MB measured as fast as or
+    # faster than 1 GB blocks on this host (cache locality of the
+    # n-sized passes) while bounding memory 8x tighter.
+    BLOCK_BYTES = 1 << 27
 
     @staticmethod
     def _encode_block(text: bytes):
@@ -282,13 +284,19 @@ class ReadKmers:
                 )).astype(np.uint64)
             else:
                 all_hashes = np.concatenate(
-                    [sliding_window_hashes(flat.astype(np.uint64), k),
+                    [sliding_window_hashes(flat, k),
                      np.zeros(min(k - 1, n), dtype=np.uint64)])
-            # valid windows: fully inside one read
-            pos = np.arange(n)
-            read_id = np.searchsorted(starts, pos, side="right") - 1
-            read_end = (starts + lens)[read_id]
-            valid = pos + k <= read_end
+            # valid windows: fully inside one read — the same two
+            # n_reads-sized scatters + one cumsum the device kernel
+            # uses (read_tape_hashes); the n-sized searchsorted this
+            # replaces cost more than the hashing itself
+            ends = (starts + lens).astype(np.int64)
+            inv_start = np.maximum(starts.astype(np.int64),
+                                   ends - (k - 1))
+            d = np.zeros(n + 1, np.int32)
+            np.add.at(d, inv_start, 1)
+            np.add.at(d, np.minimum(ends, n), -1)
+            valid = np.cumsum(d[:n]) == 0
             parts.append(all_hashes[valid])
         kmers = (np.concatenate(parts) if parts
                  else np.zeros(0, dtype=np.uint64))
