@@ -20,8 +20,21 @@ fallback wedged inside a C call where SIGALRM cannot fire):
     "last line wins" parsing can never come up empty;
   * the total budget (GKI_BENCH_BUDGET_S, default 420 s) leaves >= 60 s
     of margin under the driver's own timeout, and the relay is
-    TCP-prechecked so a dead backend costs seconds, not the budget.
+    TCP-prechecked so a dead backend costs seconds, not the budget;
+  * a down relay is POLLED for the whole budget (minus a measurement
+    floor) instead of abandoned after two retries — if it flaps up
+    mid-window, measurement starts within ~15 s of the first successful
+    connect (round-3 postmortem: the relay was down at capture time and
+    the old 40 s give-up made the round's number a guaranteed zero);
+  * every relay probe is appended, timestamped, to relay_uptime.jsonl so
+    the perf history can distinguish "kernel regressed" from "infra
+    down" from artifacts alone;
+  * after a successful roofline measurement a stream-copy HBM-bandwidth
+    control runs in the same budget and its rate is embedded in the
+    headline record (effective bytes/s over measured stream bytes/s), so
+    the roofline fraction is auditable from BENCH_rN.json alone.
 """
+import datetime
 import json
 import os
 import socket
@@ -35,6 +48,16 @@ N_CPU = 1 << 20      # bases for the CPU reference measurement
 REPS = 16
 METRIC = "kmers_hashed_per_sec_per_chip"
 RELAY_PORTS = (2025, 2297)
+RELAY_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "relay_uptime.jsonl")
+
+# Approximate HBM traffic per base of the TIMED CHAIN, used only to
+# express the headline rate as a fraction of the measured stream-copy
+# bandwidth. Accounting (ops/encode.py kernel docstrings + the int8
+# chain carrier): p16 kernel = 1 B in + 4 B out; p8 = 1 B in + 2 B out;
+# the chain body's read-modify-write of the int8 carrier adds ~2 B/base
+# (the consumer xor fuses into the kernel output read).
+CHAIN_BYTES_PER_BASE = {"p16": 7.0, "p16raw": 7.0, "p8": 5.0}
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +227,45 @@ def _relay_up(timeout_s=3.0):
     return False
 
 
+def _log_probe(up: bool, note: str = ""):
+    """Append a timestamped relay probe to relay_uptime.jsonl (the
+    committed uptime history; best-effort — a read-only checkout must
+    not break the bench)."""
+    rec = {"t": datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"), "up": bool(up)}
+    if note:
+        rec["note"] = note
+    try:
+        with open(RELAY_LOG, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
+
+
+def _stream_control(timeout_s):
+    """Measured achievable HBM bandwidth (bytes/s moved, read+write) via
+    the Pallas stream-copy control in benchmarks/bench_primitives.py.
+    Returns None on failure."""
+    prim = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "bench_primitives.py")
+    if timeout_s <= 5 or not os.path.exists(prim):
+        return None
+    try:
+        out = subprocess.run(
+            [sys.executable, prim, "--only", "stream_copy"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] stream control timed out after {timeout_s:.0f}s",
+              file=sys.stderr, flush=True)
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return float(json.loads(line)["rate"])
+        except (ValueError, KeyError):
+            continue
+    return None
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--kernel":
         print(json.dumps({"rate": measure_kernel(sys.argv[2])}))
@@ -257,21 +319,36 @@ def main():
             state["kernel"] = kernel
         emit()
 
-    # relay precheck: a dead/black-holed relay fails fast here instead of
-    # eating per-candidate timeouts. Re-check a couple of times in case
-    # it is restarting.
+    # relay precheck: a dead/black-holed relay must not eat per-candidate
+    # timeouts — but it must be POLLED for the whole budget, because a
+    # relay that returns mid-window is the difference between a real
+    # number and a zero (round-3 postmortem). Keep polling until only the
+    # minimum measurement floor remains; start measuring the moment a
+    # connect succeeds.
+    poll_floor_s = 130   # enough for one u32 (pure-XLA) measurement
+    t_poll0 = time.monotonic()
     up = _relay_up()
-    for _ in range(2):
-        if up or remaining() < 90:
-            break
-        time.sleep(20)
+    _log_probe(up, note="bench start")
+    last_emit = time.monotonic()
+    while not up and remaining() > poll_floor_s:
+        time.sleep(min(15, max(1, remaining() - poll_floor_s)))
         up = _relay_up()
+        _log_probe(up)
+        if time.monotonic() - last_emit > 60:
+            emit()   # keep the last line fresh/parseable during the wait
+            last_emit = time.monotonic()
+    waited = time.monotonic() - t_poll0
     if not up:
         if state["value"] == 0:
-            state["error"] = ("axon relay down (TCP connect failed); no "
-                              "on-chip measurement this run")
+            state["error"] = (
+                f"axon relay down for the whole budget (polled "
+                f"{waited:.0f}s, TCP connect failed throughout); no "
+                f"on-chip measurement this run")
         emit()
         return
+    if waited > 20:
+        state["relay_wait_s"] = round(waited)
+        _log_probe(True, note=f"relay up after {waited:.0f}s poll")
 
     kernels = os.environ.get(
         "GKI_BENCH_KERNELS", "u32,p8,p16,pallas").split(",")
@@ -292,11 +369,18 @@ def main():
         # Pallas kernel either, so hoarding budget for the roofline
         # kernels after a u32 timeout would be wasted.
         if _base(kernel) == "u32":
-            t = min(120, remaining() - 120)
+            # when the relay returned late and the window is short, the
+            # floor kernel gets nearly everything (one number beats
+            # timing out two candidates)
+            t = (min(120, remaining() - 120) if remaining() > 240
+                 else min(115, remaining() - 15))
         else:
             n_left = max(1, sum(1 for x in kernels[pos:]
                                 if _base(x) in ("p8", "p16")))
-            t = (remaining() - 15) / n_left
+            # leave ~60 s for the stream-bandwidth control when the
+            # window allows it
+            reserve = 75 if remaining() > 200 else 15
+            t = (remaining() - reserve) / n_left
         rate = _run_child(["--kernel", kernel], t)
         if rate is not None:
             done.add(kernel)
@@ -314,6 +398,24 @@ def main():
                           "timed out (wedged backend / degraded compile "
                           "helper); no on-chip measurement this run")
         emit()
+        return
+
+    # roofline auditability: measure achievable HBM bandwidth with the
+    # Pallas stream-copy control and embed it in the headline record, so
+    # "fraction of achievable BW" is computable from BENCH_rN.json alone
+    if done and remaining() > 70:
+        bw = _stream_control(min(150, remaining() - 15))
+        _log_probe(True, note=(f"stream control "
+                               f"{'ok' if bw else 'failed'}"))
+        if bw:
+            state["stream_copy_bytes_per_sec"] = round(bw)
+            bpb = CHAIN_BYTES_PER_BASE.get(
+                _base(state.get("kernel", "")))
+            if bpb:
+                state["chain_bytes_per_base"] = bpb
+                state["frac_of_stream_bw"] = round(
+                    state["value"] * bpb / bw, 3)
+            emit()
 
 
 if __name__ == "__main__":
