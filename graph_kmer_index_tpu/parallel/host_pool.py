@@ -316,9 +316,18 @@ def _ckpt_load_chunk(checkpoint_dir, chunk):
 
 
 def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
-                 chunks_per_worker, finder_kwargs, checkpoint_dir=None):
+                 chunks_per_worker, finder_kwargs, checkpoint_dir=None,
+                 mp_context=None):
     """Shared chunking + fork-pool driver: runs ``run_fn`` (a module-level
-    chunk worker) over critical-path chunks, serial or forked."""
+    chunk worker) over critical-path chunks, serial or forked.
+
+    ``mp_context``: multiprocessing start method. Default (None) picks
+    ``fork`` when no accelerator backend is live, else serial (the
+    round-2 safety bargain). Pass ``"spawn"`` to parallelize safely
+    AFTER jax has initialized — workers re-import from scratch (a few
+    seconds each) instead of inheriting device state, so neither the
+    fork-after-init deadlock nor jax's os.fork RuntimeWarning applies.
+    """
     if critical_paths is None:
         critical_paths = CriticalGraphPaths.from_graph(graph, k)
     if position_id is None:
@@ -354,13 +363,18 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
         if not work:
             return results, position_id
 
-    if n_workers > 1 and _accelerator_backend_live():
-        # fork() after an accelerator backend initialized can deadlock the
-        # child (inherited device state). The safe pattern is pool-before-
-        # first-jax-op; fall back to serial otherwise.
-        logging.warning("accelerator backend already initialized; running "
-                        "worklist serially (fork would be unsafe)")
-        n_workers = 1
+    if mp_context is None:
+        mp_context = "fork"
+        if n_workers > 1 and _accelerator_backend_live():
+            # fork() after an accelerator backend initialized can deadlock
+            # the child (inherited device state). The safe patterns are
+            # pool-before-first-jax-op or mp_context="spawn"; fall back to
+            # serial otherwise.
+            logging.warning("accelerator backend already initialized; "
+                            "running worklist serially (fork would be "
+                            "unsafe; pass mp_context='spawn' to "
+                            "parallelize)")
+            n_workers = 1
 
     if n_workers <= 1:
         _init_worker(graph, k, critical_paths, position_id, finder_kwargs)
@@ -369,7 +383,7 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
             if checkpoint_dir is not None:
                 _ckpt_save_chunk(checkpoint_dir, chunks[i], results[i])
     else:
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(mp_context)
         with ctx.Pool(n_workers, initializer=_init_worker,
                       initargs=(graph, k, critical_paths, position_id,
                                 finder_kwargs)) as pool:
@@ -388,7 +402,8 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
 
 def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
                         position_id=None, chunks_per_worker=20,
-                        checkpoint_dir=None, **finder_kwargs):
+                        checkpoint_dir=None, mp_context=None,
+                        **finder_kwargs):
     """Full-graph DenseKmerFinder sharded over ``n_workers`` processes.
 
     Returns FlatKmers identical (same rows, chunk-concatenation order) to
@@ -400,7 +415,8 @@ def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
     results, _ = _find_pooled(_run_chunk, graph, k, n_workers,
                               critical_paths, position_id,
                               chunks_per_worker, finder_kwargs,
-                              checkpoint_dir=checkpoint_dir)
+                              checkpoint_dir=checkpoint_dir,
+                              mp_context=mp_context)
     shards = [FlatKmers(h, n, r, a) for h, n, r, a in results]
     del results  # consume=True frees each shard as it is copied
     return FlatKmers.from_multiple_flat_kmers(shards, consume=True)
@@ -408,7 +424,8 @@ def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
 
 def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
                                position_id=None, chunks_per_worker=20,
-                               checkpoint_dir=None, **finder_kwargs):
+                               checkpoint_dir=None, mp_context=None,
+                               **finder_kwargs):
     """find_kmers_parallel with a DEVICE-RESIDENT finalize: workers
     return compact span tapes (~1 byte/base + span descriptors), the
     parent merges them on host and expands rows ON DEVICE
@@ -425,12 +442,14 @@ def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
         return find_kmers_parallel(
             graph, k, n_workers, critical_paths=critical_paths,
             position_id=position_id, chunks_per_worker=chunks_per_worker,
-            checkpoint_dir=checkpoint_dir, **finder_kwargs)
+            checkpoint_dir=checkpoint_dir, mp_context=mp_context,
+            **finder_kwargs)
     only_save_one = finder_kwargs.get("only_save_one_node_per_kmer", False)
     only_store_nodes = finder_kwargs.get("only_store_nodes")
     results, position_id = _find_pooled(
         _run_chunk_spans, graph, k, n_workers, critical_paths, position_id,
-        chunks_per_worker, finder_kwargs, checkpoint_dir=checkpoint_dir)
+        chunks_per_worker, finder_kwargs, checkpoint_dir=checkpoint_dir,
+        mp_context=mp_context)
 
     from ..utils.hugepages import hp_concatenate
     tapes = [r[0] for r in results]
