@@ -59,6 +59,12 @@ def build_graph_from_vcf(reference_sequences: dict, variants: VcfVariants):
         prev_tails: list[int] = []
         first_node_of_chrom = None
 
+        # multi-allelic sites arrive as several bi-allelic variants at
+        # the same position (variants.py splits ALT "G,T"); encode them
+        # as ONE bubble — one shared ref-allele node, one alt node per
+        # allele — like the obgraph merge topology the reference pipeline
+        # consumes, instead of dropping all but the first as overlaps
+        last_site = None  # (seg_end, after, seg, ref_allele)
         for v in chrom_variants:
             pos0 = v.position - 1  # VCF is 1-based
             if v.type not in ("SNP", "INSERTION", "DELETION"):
@@ -90,6 +96,19 @@ def build_graph_from_vcf(reference_sequences: dict, variants: VcfVariants):
             after = pos0 + len(ref_s)
             ref_allele_seq = seq[seg_end:after]
             alt_allele_seq = alt_s[pre:]
+
+            if last_site is not None and (seg_end, after) == last_site[:2]:
+                # same REF span as the previous variant: another allele
+                # of the same site — share its segment and ref node
+                _, _, seg, ref_allele = last_site
+                alt_allele = add_node(alt_allele_seq)
+                edges[seg].append(alt_allele)
+                prev_tails.append(alt_allele)
+                if v.vcf_line_number is not None:
+                    ref_nodes_v[v.vcf_line_number] = ref_allele
+                    var_nodes_v[v.vcf_line_number] = alt_allele
+                continue
+
             if seg_end < cursor:
                 logging.warning("overlapping variant at %s:%d — skipping",
                                 chrom, v.position)
@@ -107,6 +126,7 @@ def build_graph_from_vcf(reference_sequences: dict, variants: VcfVariants):
             linear_ref.append(ref_allele)
             prev_tails = [ref_allele, alt_allele]
             cursor = after
+            last_site = (seg_end, after, seg, ref_allele)
             if v.vcf_line_number is not None:
                 ref_nodes_v[v.vcf_line_number] = ref_allele
                 var_nodes_v[v.vcf_line_number] = alt_allele
