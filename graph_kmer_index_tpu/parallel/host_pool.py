@@ -382,6 +382,22 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
             results[i] = run_fn(chunks[i])
             if checkpoint_dir is not None:
                 _ckpt_save_chunk(checkpoint_dir, chunks[i], results[i])
+    elif mp_context == "spawn":
+        # fresh processes after a live jax backend. NOT multiprocessing's
+        # spawn context: that replays the parent's __main__ in every
+        # worker (re-executes an unguarded harness script; dies in a
+        # respawn loop when __main__ is stdin). SubprocessPool workers
+        # run `python -m ...proc_pool` — importable, inert __main__ —
+        # with the same fresh-import isolation (see proc_pool.py).
+        from .proc_pool import SubprocessPool
+        with SubprocessPool(n_workers, initializer=_init_worker,
+                            initargs=(graph, k, critical_paths,
+                                      position_id, finder_kwargs)) as pool:
+            for i, r in pool.imap_unordered(
+                    run_fn, [(i, chunks[i]) for i in work]):
+                results[i] = r
+                if checkpoint_dir is not None:
+                    _ckpt_save_chunk(checkpoint_dir, chunks[i], r)
     else:
         ctx = mp.get_context(mp_context)
         with ctx.Pool(n_workers, initializer=_init_worker,

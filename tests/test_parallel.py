@@ -148,6 +148,37 @@ def test_host_pool_parallel_equals_serial():
                           np.asarray(par._ref_offsets))
 
 
+def test_host_pool_subprocess_context_equals_serial():
+    """mp_context='spawn' routes to the SubprocessPool (fresh `python -m`
+    workers, no __main__ replay — proc_pool.py rationale) and must give
+    the identical rows; safe to use after jax is live in THIS process."""
+    from graph_kmer_index_tpu.parallel.host_pool import find_kmers_parallel
+    from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+
+    jax.devices()  # backend live: the fork default would refuse this
+    graph, _ = random_snp_graph(2000, 20, seed=11)
+    serial = find_kmers_parallel(graph, 7, n_workers=1)
+    par = find_kmers_parallel(graph, 7, n_workers=2, mp_context="spawn")
+    assert np.array_equal(np.asarray(serial._hashes), np.asarray(par._hashes))
+    assert np.array_equal(np.asarray(serial._nodes), np.asarray(par._nodes))
+    assert np.array_equal(np.asarray(serial._ref_offsets),
+                          np.asarray(par._ref_offsets))
+
+
+def test_subprocess_pool_propagates_worker_errors():
+    """A task that raises in the worker must surface as a RuntimeError
+    carrying the worker traceback — never a hang or a silent drop."""
+    import math
+    import pytest
+    from graph_kmer_index_tpu.parallel.proc_pool import SubprocessPool
+
+    # math.log pickles by stdlib reference — no dependence on this test
+    # module being importable inside the worker
+    with SubprocessPool(2) as pool, pytest.raises(RuntimeError,
+                                                  match="math domain error"):
+        list(pool.imap_unordered(math.log, [(0, 1.0), (1, 0.0), (2, 4.0)]))
+
+
 def test_merge_flat_kmers_all_gather():
     """all_gather merge == host concatenate (reference
     FlatKmers.from_multiple_flat_kmers, flat_kmers.py:71-90)."""
