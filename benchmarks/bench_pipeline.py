@@ -40,7 +40,14 @@ def main():
 
     t0 = time.perf_counter()
     if device_finalize:
-        flat = find_kmers_parallel_device(graph, k, n_workers=4)
+        # quarter-graph stream groups: the device expansion (tape upload
+        # + hash + row expansion) overlaps the host find, so this stage
+        # time approaches max(find, finalize) — the build below keeps
+        # only the global sort + bucket tables
+        flat = find_kmers_parallel_device(
+            graph, k, n_workers=4,
+            stream_rows_target=max(2_000_000, int(n_bases * 1.4) // 4),
+            stream_tape_target=max(2_000_000, n_bases // 4))
         import jax
         jax.block_until_ready(flat._hashes)
     else:

@@ -99,6 +99,98 @@ def _expand(k, total_tape, total_windows, total_rows, tape_packed, nw,
     return kmers, nodes, ref_offsets, af
 
 
+def _rung(n: int, ratio: float, base: int) -> int:
+    """Smallest ladder value >= n from the geometric series
+    ``base * ratio^i``. Streamed chunk groups pad their array dims to
+    rungs so the jit-compile key set stays bounded within (and across)
+    runs — each fresh shape is a 30-120 s remote compile on this
+    sandbox's TPU path."""
+    if n <= base:
+        return base
+    import math
+    steps = math.ceil(math.log(n / base) / math.log(ratio))
+    r = int(math.ceil(base * ratio ** steps))
+    while r < n:  # float rounding guard
+        r = int(math.ceil(r * ratio))
+    return r
+
+
+def _pad_to(a: np.ndarray, size: int) -> np.ndarray:
+    out = np.zeros(size, dtype=a.dtype)
+    out[:len(a)] = a
+    return out
+
+
+def expand_spans_device_padded(tape, nw, s_node, s_off, nl, span_nodes,
+                               s_af, position_start_ids, k):
+    """Ladder-padded :func:`expand_spans_device` for STREAMED chunk
+    groups: returns (hashes, nodes, ref_offsets, af, n_real_rows) where
+    the device arrays are rung-sized and only the first ``n_real_rows``
+    entries are real — jnp.repeat with a padded total_repeat_length
+    fills the tail by repeating its last element, and every real row
+    occupies its exact slot ``cum_rows[span] + local`` (a contiguous
+    prefix), so the tail is garbage-but-bounded and simply never read
+    (:func:`assemble_group_columns` slices it off). Bit-equality of the
+    prefix with the exact-shape path is pinned by
+    tests/test_device_pipeline.py.
+
+    Ladder ratios: the tape crosses the host->device link (~5 MB/s
+    here), so its rung is tight (1.05, <=5% transfer waste); windows
+    and rows are device-only compute/memory (1.25); span-level dims are
+    tiny (pow2).
+    """
+    nw = np.asarray(nw, dtype=np.int64)
+    nl64 = np.asarray(nl, dtype=np.int64)
+    total_windows = int(nw.sum())
+    total_rows = int((nw * nl64).sum())
+    assert len(tape) < 2**31 and total_rows < 2**31, \
+        "int32 device index space exceeded; chunk the build"
+    tape_rung = _rung(len(tape), 1.05, 1 << 16)
+    spans_rung = _rung(len(nw), 2.0, 1 << 10)
+    nodes_rung = _rung(len(span_nodes), 2.0, 1 << 10)
+    win_rung = _rung(max(total_windows, 1), 1.25, 1 << 16)
+    row_rung = _rung(max(total_rows, 1), 1.25, 1 << 16)
+    packed = _pad_to(_pack_tape(tape), (tape_rung + 3) // 4)
+    out = _expand(
+        int(k), tape_rung, win_rung, row_rung,
+        jnp.asarray(packed),
+        jnp.asarray(_pad_to(nw.astype(np.int32), spans_rung)),
+        jnp.asarray(_pad_to(np.asarray(s_node, np.int32), spans_rung)),
+        jnp.asarray(_pad_to(np.asarray(s_off, np.int32), spans_rung)),
+        jnp.asarray(_pad_to(nl64.astype(np.int32), spans_rung)),
+        jnp.asarray(_pad_to(np.asarray(span_nodes, np.int32), nodes_rung)),
+        jnp.asarray(_pad_to(np.asarray(s_af, np.float32), nodes_rung)),
+        jnp.asarray(np.asarray(position_start_ids, dtype=np.int64)))
+    return (*out, total_rows)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _assemble(lens, *cols):
+    """ONE fused slice+concatenate over all group columns (eager per-
+    group slices would each be their own remote compile here)."""
+    n_groups = len(lens)
+    out = []
+    for c in range(4):
+        parts = [cols[c * n_groups + g][:lens[g]] for g in range(n_groups)]
+        out.append(jnp.concatenate(parts) if len(parts) > 1 else parts[0])
+    return tuple(out)
+
+
+def assemble_group_columns(groups):
+    """Concatenate streamed groups' valid prefixes in group order.
+
+    ``groups``: list of (hashes, nodes, ref_offsets, af, n_real) from
+    :func:`expand_spans_device_padded`. Returns the four exact-length
+    device columns, identical to a single exact-shape expansion over the
+    concatenated spans.
+    """
+    lens = tuple(int(g[4]) for g in groups)
+    flat = []
+    for c in range(4):
+        flat.extend(g[c] for g in groups)
+    return _assemble(lens, *flat)
+
+
 def expand_spans_device(tape, nw, s_node, s_off, nl, span_nodes,
                         s_af, position_start_ids, k):
     """Expand merged span arrays to device-resident FlatKmers columns.

@@ -317,7 +317,7 @@ def _ckpt_load_chunk(checkpoint_dir, chunk):
 
 def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
                  chunks_per_worker, finder_kwargs, checkpoint_dir=None,
-                 mp_context=None):
+                 mp_context=None, on_result=None):
     """Shared chunking + fork-pool driver: runs ``run_fn`` (a module-level
     chunk worker) over critical-path chunks, serial or forked.
 
@@ -327,6 +327,12 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
     AFTER jax has initialized — workers re-import from scratch (a few
     seconds each) instead of inheriting device state, so neither the
     fork-after-init deadlock nor jax's os.fork RuntimeWarning applies.
+
+    ``on_result(i, result)``: streaming consumer. When given, each chunk
+    result (including checkpoint-resumed ones) is handed over the moment
+    it exists instead of being retained — the returned ``results`` list
+    is all None and the consumer owns buffering/ordering. This is what
+    lets the device finalize overlap the host find.
     """
     if critical_paths is None:
         critical_paths = CriticalGraphPaths.from_graph(graph, k)
@@ -344,6 +350,13 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
                  n_paths, len(chunks), n_workers)
 
     results = [None] * len(chunks)
+
+    def _deliver(i, r):
+        if on_result is None:
+            results[i] = r
+        else:
+            on_result(i, r)
+
     work = list(range(len(chunks)))
     if checkpoint_dir is not None:
         mode = "spans" if run_fn is _run_chunk_spans else "rows"
@@ -355,7 +368,7 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
             if r is None:
                 work.append(i)
             else:
-                results[i] = r
+                _deliver(i, r)
         if len(work) < len(chunks):
             logging.info("find checkpoint: resumed %d/%d chunks from %s",
                          len(chunks) - len(work), len(chunks),
@@ -379,9 +392,10 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
     if n_workers <= 1:
         _init_worker(graph, k, critical_paths, position_id, finder_kwargs)
         for i in work:
-            results[i] = run_fn(chunks[i])
+            r = run_fn(chunks[i])
             if checkpoint_dir is not None:
-                _ckpt_save_chunk(checkpoint_dir, chunks[i], results[i])
+                _ckpt_save_chunk(checkpoint_dir, chunks[i], r)
+            _deliver(i, r)
     elif mp_context == "spawn":
         # fresh processes after a live jax backend. NOT multiprocessing's
         # spawn context: that replays the parent's __main__ in every
@@ -395,9 +409,9 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
                                       position_id, finder_kwargs)) as pool:
             for i, r in pool.imap_unordered(
                     run_fn, [(i, chunks[i]) for i in work]):
-                results[i] = r
                 if checkpoint_dir is not None:
                     _ckpt_save_chunk(checkpoint_dir, chunks[i], r)
+                _deliver(i, r)
     else:
         ctx = mp.get_context(mp_context)
         with ctx.Pool(n_workers, initializer=_init_worker,
@@ -410,9 +424,9 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
             for i, r in pool.imap_unordered(
                     _run_indexed,
                     [(i, run_fn, chunks[i]) for i in work]):
-                results[i] = r
                 if checkpoint_dir is not None:
                     _ckpt_save_chunk(checkpoint_dir, chunks[i], r)
+                _deliver(i, r)
     return results, position_id
 
 
@@ -438,18 +452,50 @@ def find_kmers_parallel(graph, k, n_workers, critical_paths=None,
     return FlatKmers.from_multiple_flat_kmers(shards, consume=True)
 
 
+def _merge_span_results(results, k):
+    """Concatenate chunk span tuples (worker emission order) into one
+    span set, pinning the consecutive-tape-slice invariant the device
+    expansion relies on (cumsum-derived starts, ops/finalize.py)."""
+    from ..utils.hugepages import hp_concatenate
+    tapes = [r[0] for r in results]
+    tape_off = np.cumsum([0] + [len(t) for t in tapes[:-1]])
+    tape = hp_concatenate(tapes) if tapes else np.zeros(0, np.int8)
+    ts = hp_concatenate([r[1] + off for r, off in zip(results, tape_off)])
+    nw = hp_concatenate([r[2] for r in results])
+    s_node = hp_concatenate([r[3] for r in results])
+    s_off = hp_concatenate([r[4] for r in results])
+    raw_nl = hp_concatenate([r[5] for r in results])
+    raw_nodes = hp_concatenate([r[6] for r in results])
+    tlen = nw.astype(np.int64) + (k - 1)
+    assert np.array_equal(ts, np.cumsum(tlen) - tlen), \
+        "span tape slices are not consecutive; device finalize invariant"
+    return tape, nw, s_node, s_off, raw_nl, raw_nodes
+
+
 def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
                                position_id=None, chunks_per_worker=20,
                                checkpoint_dir=None, mp_context=None,
+                               stream_rows_target=16_000_000,
+                               stream_tape_target=16_000_000,
                                **finder_kwargs):
-    """find_kmers_parallel with a DEVICE-RESIDENT finalize: workers
-    return compact span tapes (~1 byte/base + span descriptors), the
-    parent merges them on host and expands rows ON DEVICE
-    (ops.finalize.expand_spans_device).  Returns FlatKmers whose column
-    arrays are JAX device arrays, ready for a zero-copy
-    KmerIndex.from_flat_kmers device build — the expanded rows
-    (~24 bytes/row) never cross the host<->device link.  Rows are
+    """find_kmers_parallel with a STREAMED DEVICE-RESIDENT finalize:
+    workers return compact span tapes (~1 byte/base + span descriptors);
+    the parent expands rows ON DEVICE (ops.finalize) as chunks finish,
+    so the tape upload + hash + row expansion overlap the host find
+    instead of following it — wall-clock approaches
+    max(find, device finalize) rather than their sum. Returns FlatKmers
+    whose column arrays are JAX device arrays, ready for a zero-copy
+    KmerIndex.from_flat_kmers device build; the expanded rows
+    (~24 bytes/row) never cross the host<->device link. Rows are
     bit-identical to find_kmers_parallel (tests/test_device_pipeline.py).
+
+    Streaming mechanics: completions arrive unordered; chunks buffer
+    until a CONSECUTIVE prefix is ready, and the buffer flushes to a
+    ladder-padded device expansion (bounded compile-shape set,
+    expand_spans_device_padded) whenever it holds ``stream_rows_target``
+    rows or ``stream_tape_target`` tape bytes. Runs that never cross a
+    threshold take the single exact-shape expansion — identical compile
+    behavior to the pre-streaming path.
     """
     if finder_kwargs.get("whitelist") is not None:
         # the whitelist filter is applied at finalize time per window;
@@ -462,35 +508,69 @@ def find_kmers_parallel_device(graph, k, n_workers, critical_paths=None,
             **finder_kwargs)
     only_save_one = finder_kwargs.get("only_save_one_node_per_kmer", False)
     only_store_nodes = finder_kwargs.get("only_store_nodes")
-    results, position_id = _find_pooled(
-        _run_chunk_spans, graph, k, n_workers, critical_paths, position_id,
-        chunks_per_worker, finder_kwargs, checkpoint_dir=checkpoint_dir,
-        mp_context=mp_context)
-
-    from ..utils.hugepages import hp_concatenate
-    tapes = [r[0] for r in results]
-    tape_off = np.cumsum([0] + [len(t) for t in tapes[:-1]])
-    tape = hp_concatenate(tapes) if tapes else np.zeros(0, np.int8)
-    ts = hp_concatenate([r[1] + off for r, off in zip(results, tape_off)])
-    nw = hp_concatenate([r[2] for r in results])
-    s_node = hp_concatenate([r[3] for r in results])
-    s_off = hp_concatenate([r[4] for r in results])
-    raw_nl = hp_concatenate([r[5] for r in results])
-    raw_nodes = hp_concatenate([r[6] for r in results])
-
-    # the device expansion derives tape starts as cumsum(nw + k - 1) —
-    # pin the emission invariant it relies on (every span's tape slice
-    # is exactly nw + k - 1 bases, emitted consecutively)
-    tlen = nw.astype(np.int64) + (k - 1)
-    assert np.array_equal(ts, np.cumsum(tlen) - tlen), \
-        "span tape slices are not consecutive; device finalize invariant"
+    if critical_paths is None:
+        critical_paths = CriticalGraphPaths.from_graph(graph, k)
+    if position_id is None:
+        from ..graph import PositionId
+        position_id = PositionId.from_graph(graph)
 
     from ..finder import _dedup_span_nodes
-    from ..ops.finalize import expand_spans_device
-    nl, ns, span_nodes, s_af = _dedup_span_nodes(
-        raw_nl, raw_nodes, graph.allele_frequencies,
-        only_save_one, only_store_nodes)
-    hashes, nodes, ref_offsets, af = expand_spans_device(
-        tape, nw, s_node, s_off, nl, span_nodes, s_af,
-        position_id._start_ids, k)
+    from ..ops.finalize import (assemble_group_columns,
+                                expand_spans_device,
+                                expand_spans_device_padded)
+
+    pending: dict = {}
+    buffer: list = []
+    state = {"next": 0, "rows": 0, "tape": 0}
+    groups: list = []
+
+    def _flush():
+        tape, nw, s_node, s_off, raw_nl, raw_nodes = _merge_span_results(
+            buffer, k)
+        nl, ns, span_nodes, s_af = _dedup_span_nodes(
+            raw_nl, raw_nodes, graph.allele_frequencies,
+            only_save_one, only_store_nodes)
+        groups.append(expand_spans_device_padded(
+            tape, nw, s_node, s_off, nl, span_nodes, s_af,
+            position_id._start_ids, k))
+        buffer.clear()
+        state["rows"] = state["tape"] = 0
+
+    def _on_result(i, r):
+        pending[i] = r
+        while state["next"] in pending:
+            r2 = pending.pop(state["next"])
+            state["next"] += 1
+            buffer.append(r2)
+            state["tape"] += len(r2[0])
+            # dedup can only shrink node lists: raw product is a safe
+            # upper bound for the flush threshold
+            state["rows"] += int(np.sum(r2[2].astype(np.int64)
+                                        * r2[5].astype(np.int64)))
+        if (state["rows"] >= stream_rows_target
+                or state["tape"] >= stream_tape_target):
+            _flush()
+
+    _, position_id = _find_pooled(
+        _run_chunk_spans, graph, k, n_workers, critical_paths, position_id,
+        chunks_per_worker, finder_kwargs, checkpoint_dir=checkpoint_dir,
+        mp_context=mp_context, on_result=_on_result)
+    assert not pending, "chunk stream ended with a gap in the prefix"
+
+    if not groups:
+        # single exact-shape expansion (small runs / tests): identical
+        # dispatch pattern to the pre-streaming implementation
+        tape, nw, s_node, s_off, raw_nl, raw_nodes = _merge_span_results(
+            buffer, k)
+        nl, ns, span_nodes, s_af = _dedup_span_nodes(
+            raw_nl, raw_nodes, graph.allele_frequencies,
+            only_save_one, only_store_nodes)
+        hashes, nodes, ref_offsets, af = expand_spans_device(
+            tape, nw, s_node, s_off, nl, span_nodes, s_af,
+            position_id._start_ids, k)
+        return FlatKmers(hashes, nodes, ref_offsets, af)
+
+    if buffer:
+        _flush()
+    hashes, nodes, ref_offsets, af = assemble_group_columns(groups)
     return FlatKmers(hashes, nodes, ref_offsets, af)

@@ -47,6 +47,32 @@ def test_device_pipeline_matches_host_random():
             _assert_flat_equal(dev, host)
 
 
+def test_device_pipeline_streamed_groups_match_host():
+    """Tiny stream thresholds force MANY ladder-padded group expansions
+    (the find-overlapped finalize); assembled rows must stay bit-equal
+    to the host path — order, values, and the padded tails sliced off."""
+    for seed in (3, 12):
+        graph, _ = random_snp_graph(1500, 25, seed=seed, indel_fraction=0.3)
+        host = find_kmers_parallel(graph, 7, n_workers=2)
+        dev = find_kmers_parallel_device(graph, 7, n_workers=2,
+                                         stream_rows_target=200,
+                                         stream_tape_target=400)
+        _assert_flat_equal(dev, host)
+
+
+def test_device_pipeline_streamed_matches_unstreamed_device():
+    """Streamed (multi-group) and single-expansion device paths agree,
+    including under only_save_one + only_store_nodes filters."""
+    graph, _ = random_snp_graph(900, 15, seed=5)
+    kwargs = dict(only_save_one_node_per_kmer=True,
+                  only_store_nodes={1, 2, 3, 4, 5, 6, 7, 8, 9, 10})
+    one = find_kmers_parallel_device(graph, 6, n_workers=2, **kwargs)
+    streamed = find_kmers_parallel_device(graph, 6, n_workers=2,
+                                          stream_rows_target=100,
+                                          stream_tape_target=300, **kwargs)
+    _assert_flat_equal(streamed, one)
+
+
 def test_device_pipeline_only_save_one_and_store_nodes():
     graph, _ = random_snp_graph(300, 8, seed=3)
     kwargs = dict(only_save_one_node_per_kmer=True)
