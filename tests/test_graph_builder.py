@@ -89,6 +89,59 @@ def test_multiallelic_vcf_records_split(tmp_path):
     assert [v.vcf_line_number for v in variants] == [0, 1, 2]
 
 
+def test_multiallelic_sites_share_one_bubble():
+    """Randomized property check of the multi-allelic encoding: all
+    alleles of one site share a segment + ref node (one bubble, the
+    obgraph merge topology), every allele node carries its ALT bases,
+    and the linear reference reconstructs exactly."""
+    import numpy as np
+    from graph_kmer_index_tpu.graph_builder import build_graph_from_vcf
+    from graph_kmer_index_tpu.variants import VcfVariant, VcfVariants
+
+    rng = np.random.default_rng(99)
+    for trial in range(20):
+        n = 400
+        seq = "".join(rng.choice(list("ACGT"), n))
+        variants, line = [], 0
+        pos = 10
+        while pos < n - 10:
+            ref = seq[pos - 1]
+            n_alts = int(rng.integers(1, 4))  # up to tri-allelic +1
+            alts = list(rng.permutation([b for b in "ACGT" if b != ref]))
+            for alt in alts[:n_alts]:
+                variants.append(VcfVariant("1", pos, ref, str(alt),
+                                           vcf_line_number=line))
+                line += 1
+            pos += int(rng.integers(8, 40))
+        vs = VcfVariants(variants)
+        graph, v2n = build_graph_from_vcf({"1": seq}, vs)
+
+        # reconstruction
+        _, _, refseq = graph.linear_ref_sequence()
+        got = "".join("ACGT"[b] for b in np.asarray(refseq, np.int64))
+        assert got == seq, trial
+
+        by_pos = {}
+        for i, v in enumerate(vs):
+            by_pos.setdefault(v.position, []).append(i)
+        for pos_, idxs in by_pos.items():
+            ref_nodes = {int(v2n.ref_nodes[i]) for i in idxs}
+            assert len(ref_nodes) == 1, (trial, pos_)  # shared ref node
+            alt_nodes = [int(v2n.var_nodes[i]) for i in idxs]
+            assert len(set(alt_nodes)) == len(alt_nodes)
+            for i in idxs:
+                assert graph.get_node_sequence(
+                    int(v2n.var_nodes[i])).upper() == \
+                    vs[i].variant_sequence, (trial, pos_)
+                assert graph.get_node_sequence(
+                    int(v2n.ref_nodes[i])).upper() == vs[i].ref_sequence
+            # all alleles hang off the same segment node
+            preds = {int(graph.get_reverse_edges(a)[0])
+                     for a in alt_nodes} | {
+                int(graph.get_reverse_edges(next(iter(ref_nodes)))[0])}
+            assert len(preds) == 1, (trial, pos_)
+
+
 def test_non_minimal_indels():
     """Non-minimal indel records (multi-base shared anchor) must spell
     the correct alt haplotype: the unconsumed anchor bases used to be
