@@ -22,6 +22,8 @@ class CriticalGraphPaths:
         self.nodes = nodes
         self.offsets = offsets
         self._index = index
+        self._dense_crit = None  # node -> offset (-1), length >= n_nodes
+        self._seen_rev = None    # (nodes, offsets) int64, path order reversed
 
     @classmethod
     def empty(cls):
@@ -40,6 +42,30 @@ class CriticalGraphPaths:
         # node -> critical offset (-1 = none); at most one critical per node
         self._index = np.full(int(np.max(self.nodes)) + 1, -1, dtype=np.int32)
         self._index[self.nodes.astype(np.int64)] = self.offsets.astype(np.int32)
+
+    def dense_index(self, n: int):
+        """Dense node -> critical-offset map (-1 = none) covering at least
+        ``n`` nodes, cached — the native walker consumes this every chunk,
+        so a per-chunk np.full over the whole node space would make chunked
+        finds O(n_nodes * n_chunks) (the round-4 profile's top cost)."""
+        if self._dense_crit is None or len(self._dense_crit) < n:
+            if self._index is None:
+                self._make_index()
+            crit = np.full(max(n, len(self._index)), -1, dtype=np.int32)
+            m = min(len(crit), len(self._index))
+            crit[:m] = self._index[:m]
+            self._dense_crit = crit
+        return self._dense_crit
+
+    def reversed_points(self):
+        """(nodes, offsets) in reversed path order as int64 arrays, cached.
+        This is the finder's seen-point set / worklist base; building it
+        from python tuples per chunk was O(n_paths) per chunk."""
+        if self._seen_rev is None:
+            self._seen_rev = (
+                np.ascontiguousarray(self.nodes[::-1], dtype=np.int64),
+                np.ascontiguousarray(self.offsets[::-1], dtype=np.int64))
+        return self._seen_rev
 
     def is_critical(self, node, offset) -> bool:
         if self._index is None:

@@ -195,34 +195,50 @@ class DenseKmerFinder:
         if self._critical_graph_paths is None:
             self._critical_graph_paths = CriticalGraphPaths.from_graph(
                 self._graph, self._k)
+        cgp = self._critical_graph_paths
+        n_paths = len(cgp)
 
-        starting_points = list(self._critical_graph_paths)[::-1]
+        # All worklist/seen-point construction is vectorized: a chunked
+        # find constructs one finder per critical-path chunk, so anything
+        # O(n_paths) here multiplies by the chunk count (quadratic at
+        # chromosome scale — the round-4 profile's dominant cost).
+        seen_nodes, seen_offsets = cgp.reversed_points()
 
         stop_at_node = None
         if (self._stop_at_critical_path_number is not None
-                and self._stop_at_critical_path_number < len(starting_points)):
-            stop_at_node = starting_points[-self._stop_at_critical_path_number - 1][0]
+                and self._stop_at_critical_path_number < n_paths):
+            # == list(cgp)[::-1][-stop-1][0], i.e. path-order entry `stop`
+            stop_at_node = int(cgp.nodes[self._stop_at_critical_path_number])
 
-        self._starting_points_set = set(starting_points)
-        worklist = starting_points
-
-        if (self._start_at_critical_path_number is not None
-                and self._start_at_critical_path_number > 0):
-            worklist = worklist[: -self._start_at_critical_path_number]
-
+        # worklist: path-order slice [start:], reversed (the walk consumes
+        # from the back, reference kmer_finder.py:190-221 ordering)
+        lo = int(self._start_at_critical_path_number or 0)
+        n_wl = max(0, n_paths - lo)
+        extra = None
         if not self._start_at_critical_path_number:
             first = self._graph.get_first_node()
             if self._graph.get_node_size(first) <= self._k:
-                worklist = worklist + [(first, 0)]
+                extra = (int(first), 0)
+        wl_nodes = np.empty(n_wl + (extra is not None), dtype=np.int64)
+        wl_offsets = np.empty_like(wl_nodes)
+        if n_wl:
+            wl_nodes[:n_wl] = seen_nodes[:n_wl]
+            wl_offsets[:n_wl] = seen_offsets[:n_wl]
+        if extra is not None:
+            wl_nodes[n_wl], wl_offsets[n_wl] = extra
 
         if use_native is None:
             use_native = True
-        if use_native and self._find_native(worklist, starting_points,
+        if use_native and self._find_native((wl_nodes, wl_offsets),
+                                            (seen_nodes, seen_offsets),
                                             stop_at_node):
             self._finalize()
             return
 
-        self._starting_points = list(worklist)
+        self._starting_points = list(zip(wl_nodes.tolist(),
+                                         wl_offsets.tolist()))
+        self._starting_points_set = set(zip(cgp.nodes.tolist(),
+                                            cgp.offsets.tolist()))
         while self._starting_points:
             critical_node, critical_offset = self._starting_points.pop()
             if stop_at_node is not None and stop_at_node == critical_node:
@@ -239,17 +255,11 @@ class DenseKmerFinder:
         if not native.available():
             return False
         cgp = self._critical_graph_paths
-        if cgp._index is None:
-            cgp._make_index()
         n = self._graph.n_nodes()
-        crit = np.full(n, -1, dtype=np.int32)
-        if len(cgp._index):
-            m = min(n, len(cgp._index))
-            crit[:m] = cgp._index[:m]
+        crit = cgp.dense_index(n)  # cached across chunked-find calls
         res = native.walk(
             self._graph, crit, self._k, self._max_variant_nodes,
-            worklist=np.array(worklist, dtype=np.int64).reshape(-1, 2),
-            seen_points=np.array(seen_points, dtype=np.int64).reshape(-1, 2),
+            worklist=worklist, seen_points=seen_points,
             stop_at_node=-1 if stop_at_node is None else int(stop_at_node),
             early_stop=early_stop,
             only_follow_nodes=self._only_follow_nodes)

@@ -266,12 +266,20 @@ def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,
     crit = np.ascontiguousarray(crit_index, np.int32)
     assert len(crit) >= n, "crit_index must cover all nodes"
 
-    wl = np.asarray(worklist, dtype=np.int64).reshape(-1, 2)
-    sp = np.asarray(seen_points, dtype=np.int64).reshape(-1, 2)
-    wl_nodes = np.ascontiguousarray(wl[:, 0])
-    wl_offsets = np.ascontiguousarray(wl[:, 1])
-    seen_nodes = np.ascontiguousarray(sp[:, 0])
-    seen_offsets = np.ascontiguousarray(sp[:, 1])
+    def _cols(points):
+        # accept either an (n, 2) row layout or a pre-split
+        # (nodes, offsets) column tuple (the finder's chunked path —
+        # avoids an O(n_paths) copy per chunk)
+        if isinstance(points, tuple):
+            nodes, offsets = points
+            return (np.ascontiguousarray(nodes, dtype=np.int64),
+                    np.ascontiguousarray(offsets, dtype=np.int64))
+        rows = np.asarray(points, dtype=np.int64).reshape(-1, 2)
+        return (np.ascontiguousarray(rows[:, 0]),
+                np.ascontiguousarray(rows[:, 1]))
+
+    wl_nodes, wl_offsets = _cols(worklist)
+    seen_nodes, seen_offsets = _cols(seen_points)
 
     follow = np.ascontiguousarray(
         np.array(sorted(only_follow_nodes), dtype=np.int64)
