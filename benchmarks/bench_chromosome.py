@@ -93,7 +93,10 @@ def main():
     t_packed = time.perf_counter() - t0
     rec("packed_table_build", round(t_packed, 1), "s")
 
-    # read mapping: device-resident hash + lookup, no query transfer
+    # read mapping. On chip: device-resident hash + lookup, no query
+    # transfer. On the CPU fallback the jax lookup is not the honest
+    # host path — the native C++ batched lookup is (the reference's
+    # Cython lookup analog, cython_kmer_index.pyx) — so route there.
     rng = np.random.default_rng(1)
     _, _, refseq = graph.linear_ref_sequence()
     starts = rng.integers(0, len(refseq) - 150, n_reads)
@@ -103,17 +106,23 @@ def main():
     flatr = reads.reshape(-1).astype(np.int8)
     rstarts = (np.arange(n_reads) * 150).astype(np.int32)
     rlens = np.full(n_reads, 150, np.int32)
+    map_backend = "device" if backend != "cpu" else "native"
     t0 = time.perf_counter()
     hashes_d, nv = read_tape_hashes(
         jnp.asarray(flatr), jnp.asarray(rstarts), jnp.asarray(rlens),
         len(flatr), k)
-    kmers = DeviceReadKmers([(hashes_d, int(nv))], k)
-    counts = index.map_kmers(kmers, graph.n_nodes())
+    if map_backend == "native":
+        hq = np.asarray(hashes_d)[:int(nv)]
+        counts = index.map_kmers(hq, graph.n_nodes(), backend="native")
+    else:
+        kmers = DeviceReadKmers([(hashes_d, int(nv))], k)
+        counts = index.map_kmers(kmers, graph.n_nodes())
     t_map = time.perf_counter() - t0
     n_q = n_reads * (150 - k + 1)
     rec("read_mapping", round(t_map, 1), "s", n_read_kmers=n_q,
         mkmers_per_s=round(n_q / t_map / 1e6, 2),
-        hits_per_query=round(float(np.sum(counts)) / n_q, 2))
+        hits_per_query=round(float(np.sum(counts)) / n_q, 2),
+        map_backend=map_backend)
 
     total = sum((t_find, t_build, t_packed, t_map))
     rec("pipeline_total", round(total, 1), "s",

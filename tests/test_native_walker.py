@@ -134,3 +134,44 @@ def test_native_only_follow_nodes():
                          np.asarray(flat._ref_offsets)))
         for a, b in zip(*outs):
             assert np.array_equal(a, b), (i, target)
+
+
+@pytest.mark.parametrize("start,stop", [
+    (None, 0),      # stop at the very first critical path
+    (None, 1),
+    (0, None),      # explicit 0 == None for the slicing, but adds (first,0)
+    (10**9, None),  # start beyond the path count -> empty worklist
+    (None, 10**9),  # stop beyond the path count -> no stop node
+])
+def test_worklist_boundary_configs(start, stop):
+    """Vectorized worklist construction == python tuple construction at
+    the slicing edge cases (start/stop at 0, beyond the path count)."""
+    graph, _ = random_snp_graph(3000, 50, seed=11, indel_fraction=0.2)
+    kwargs = {}
+    if start is not None:
+        kwargs["start_at_critical_path_number"] = start
+    if stop is not None:
+        kwargs["stop_at_critical_path_number"] = stop
+    py = _flat_tuple(graph, 9, use_native=False, **kwargs)
+    cc = _flat_tuple(graph, 9, use_native=True, **kwargs)
+    for a, b, name in zip(py, cc, ("hashes", "nodes", "ref_offsets", "af")):
+        assert np.array_equal(a, b), name
+
+
+def test_chunked_union_covers_full_find():
+    """Disjoint (start, stop) chunks reproduce the unchunked find's rows
+    exactly (concatenated in chunk order) — pins the vectorized slice
+    arithmetic against off-by-one drift."""
+    from graph_kmer_index_tpu.critical_paths import CriticalGraphPaths
+    graph, _ = random_snp_graph(5000, 80, seed=12, indel_fraction=0.3)
+    cp = CriticalGraphPaths.from_graph(graph, 9)
+    full = _flat_tuple(graph, 9, use_native=True, critical_graph_paths=cp)
+    parts = []
+    for s in range(0, len(cp) + 3, 7):  # ragged chunking past the end
+        parts.append(_flat_tuple(
+            graph, 9, use_native=True, critical_graph_paths=cp,
+            start_at_critical_path_number=s,
+            stop_at_critical_path_number=min(len(cp) + 3, s + 7)))
+    for i, name in enumerate(("hashes", "nodes", "ref_offsets", "af")):
+        got = np.concatenate([p[i] for p in parts])
+        assert np.array_equal(got, full[i]), name
