@@ -83,6 +83,12 @@ def main():
     # per-row frequencies (the north-star configuration)
     t0 = time.perf_counter()
     index = KmerIndex.from_flat_kmers(flat, modulo=modulo)
+    # honest stage attribution: the frequency computation is dispatched
+    # asynchronously — without this barrier it executes inside whatever
+    # stage first touches the array (round-4 postmortem: it smeared
+    # ~1/3 of the build into the mapping stage)
+    jax.block_until_ready([a for a in vars(index).values()
+                           if isinstance(a, jax.Array)])
     t_build = time.perf_counter() - t0
     rec("device_index_build", round(t_build, 1), "s", modulo=modulo,
         rows_per_s=round(n_rows / t_build))

@@ -60,21 +60,28 @@ def get_lib():
         lib.gki_sliding_hashes.restype = i64
         lib.gki_sliding_hashes.argtypes = [p(ctypes.c_int8), i64, i32,
                                            p(ctypes.c_uint64)]
-        lib.gki_bucket_lookup.restype = i64
-        lib.gki_bucket_lookup.argtypes = [
-            p(ctypes.c_uint64), i64, p(ctypes.c_uint64),
-            p(ctypes.c_uint32), p(ctypes.c_uint64), p(ctypes.c_uint16),
-            p(ctypes.c_float), p(ctypes.c_int64), p(ctypes.c_uint32),
-            u64, i64, i64, i32, p(ctypes.c_uint64), i64]
-        lib.gki_map_kmers.restype = None
-        lib.gki_map_kmers.argtypes = [
-            p(ctypes.c_uint64), i64, p(ctypes.c_uint64), p(ctypes.c_uint32),
-            p(ctypes.c_int64), p(ctypes.c_uint32), u64, i64,
-            p(ctypes.c_int64)]
-        lib.gki_has_kmers.restype = None
-        lib.gki_has_kmers.argtypes = [
-            p(ctypes.c_uint64), i64, p(ctypes.c_uint64), p(ctypes.c_int64),
-            p(ctypes.c_uint32), u64, p(ctypes.c_uint8)]
+        # every bucket-table entry point has an int64- and an int32-starts
+        # variant (suffix 32); the starts dtype is dispatched per call so
+        # a device-built int32 table is never widened (see gki.cpp)
+        for suffix, start_t in (("", ctypes.c_int64), ("32", ctypes.c_int32)):
+            bl = getattr(lib, f"gki_bucket_lookup{suffix}")
+            bl.restype = i64
+            bl.argtypes = [
+                p(ctypes.c_uint64), i64, p(ctypes.c_uint64),
+                p(ctypes.c_uint32), p(ctypes.c_uint64), p(ctypes.c_uint16),
+                p(ctypes.c_float), p(start_t), p(ctypes.c_uint32),
+                u64, i64, i64, i32, p(ctypes.c_uint64), i64]
+            mk = getattr(lib, f"gki_map_kmers{suffix}")
+            mk.restype = None
+            mk.argtypes = [
+                p(ctypes.c_uint64), i64, p(ctypes.c_uint64),
+                p(ctypes.c_uint32), p(start_t), p(ctypes.c_uint32), u64, i64,
+                p(ctypes.c_int64)]
+            hk = getattr(lib, f"gki_has_kmers{suffix}")
+            hk.restype = None
+            hk.argtypes = [
+                p(ctypes.c_uint64), i64, p(ctypes.c_uint64), p(start_t),
+                p(ctypes.c_uint32), u64, p(ctypes.c_uint8)]
         lib.gki_fasta_encode.restype = i64
         lib.gki_fasta_encode.argtypes = [
             ctypes.c_char_p, i64, p(ctypes.c_int8), i64, p(ctypes.c_int64),
@@ -130,6 +137,18 @@ def _ptr(a, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _starts_args(starts_tbl):
+    """(array, ctypes pointer, fn-suffix) for a bucket starts table.
+    int32 inputs stay int32 (the device build's layout — widening the
+    production-modulo table is a 3.6 GB copy); anything else takes the
+    legacy int64 path."""
+    a = np.asarray(starts_tbl)
+    if a.dtype == np.int32 and a.flags.c_contiguous:
+        return a, _ptr(a, ctypes.c_int32), "32"
+    a = np.ascontiguousarray(a, np.int64)
+    return a, _ptr(a, ctypes.c_int64), ""
+
+
 def _check_modulo(modulo):
     # guard BEFORE entering C: `kmer % 0` there is a SIGFPE that kills
     # the whole process instead of raising (a corrupt/empty index file
@@ -179,6 +198,7 @@ def bucket_lookup(kmers, table_kmers, table_nodes, table_ref_offsets,
         return None
     _check_modulo(modulo)
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    starts, starts_ptr, suffix = _starts_args(starts_tbl)
     args = (
         _ptr(kmers, ctypes.c_uint64), len(kmers),
         _ptr(np.ascontiguousarray(table_kmers, np.uint64), ctypes.c_uint64),
@@ -189,13 +209,14 @@ def bucket_lookup(kmers, table_kmers, table_nodes, table_ref_offsets,
              ctypes.c_uint16),
         _ptr(np.ascontiguousarray(table_allele_frequencies, np.float32),
              ctypes.c_float),
-        _ptr(np.ascontiguousarray(starts_tbl, np.int64), ctypes.c_int64),
+        starts_ptr,
         _ptr(np.ascontiguousarray(sizes_tbl, np.uint32), ctypes.c_uint32),
         int(modulo), int(hit_cap), int(freq_cap))
-    n_hits = lib.gki_bucket_lookup(*args, 1, None, 0)
+    fn = getattr(lib, f"gki_bucket_lookup{suffix}")
+    n_hits = fn(*args, 1, None, 0)
     out = hp_zeros((5, max(1, n_hits)), np.uint64)
     if n_hits > 0:
-        lib.gki_bucket_lookup(*args, 0, _ptr(out, ctypes.c_uint64), n_hits)
+        fn(*args, 0, _ptr(out, ctypes.c_uint64), n_hits)
     return out[:, :n_hits]
 
 
@@ -206,14 +227,15 @@ def map_kmers(kmers, table_kmers, table_nodes, starts_tbl, sizes_tbl,
         return None
     _check_modulo(modulo)
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    starts, starts_ptr, suffix = _starts_args(starts_tbl)
     # int64 like the packed path: uint32 silently wrapped at 2^32
     # accumulated hits per node, and the two backends must agree
     counts = hp_zeros(n_nodes, np.int64)
-    lib.gki_map_kmers(
+    getattr(lib, f"gki_map_kmers{suffix}")(
         _ptr(kmers, ctypes.c_uint64), len(kmers),
         _ptr(np.ascontiguousarray(table_kmers, np.uint64), ctypes.c_uint64),
         _ptr(np.ascontiguousarray(table_nodes, np.uint32), ctypes.c_uint32),
-        _ptr(np.ascontiguousarray(starts_tbl, np.int64), ctypes.c_int64),
+        starts_ptr,
         _ptr(np.ascontiguousarray(sizes_tbl, np.uint32), ctypes.c_uint32),
         int(modulo), n_nodes - 1, _ptr(counts, ctypes.c_int64))
     return counts
@@ -226,11 +248,12 @@ def has_kmers(kmers, table_kmers, starts_tbl, sizes_tbl,
         return None
     _check_modulo(modulo)
     kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    starts, starts_ptr, suffix = _starts_args(starts_tbl)
     out = hp_zeros(len(kmers), np.uint8)
-    lib.gki_has_kmers(
+    getattr(lib, f"gki_has_kmers{suffix}")(
         _ptr(kmers, ctypes.c_uint64), len(kmers),
         _ptr(np.ascontiguousarray(table_kmers, np.uint64), ctypes.c_uint64),
-        _ptr(np.ascontiguousarray(starts_tbl, np.int64), ctypes.c_int64),
+        starts_ptr,
         _ptr(np.ascontiguousarray(sizes_tbl, np.uint32), ctypes.c_uint32),
         int(modulo), _ptr(out, ctypes.c_uint8))
     return out.astype(bool)

@@ -63,14 +63,24 @@ int64_t gki_sliding_hashes(const int8_t* seq, int64_t n, int32_t k,
 // frequency > freq_cap. Pass 1 (count_only=1) returns the total number
 // of surviving hits; pass 2 fills the (5, n_hits) row-major output
 // [node, ref_offset, query_index, frequency, 1000*allele_frequency].
-int64_t gki_bucket_lookup(
+//
+// Each lookup comes in two starts-table widths: int64 (legacy host
+// builds / old npz files) and int32 (the device build's native layout —
+// row counts are < 2^31 everywhere, reference_kmer_index.py:89, and the
+// int32->int64 widening of a production-modulo table is a 3.6 GB copy
+// that costs more than the lookup itself).
+}  // extern "C" (templates cannot carry C linkage)
+
+namespace {
+template <typename StartT>
+int64_t bucket_lookup_impl(
     const uint64_t* kmers, int64_t n_kmers,
     const uint64_t* table_kmers,
     const uint32_t* table_nodes,
     const uint64_t* table_ref_offsets,
     const uint16_t* table_frequencies,
     const float* table_allele_frequencies,
-    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    const StartT* starts_tbl, const uint32_t* sizes_tbl,
     uint64_t modulo, int64_t hit_cap, int64_t freq_cap,
     int32_t count_only, uint64_t* out, int64_t out_capacity) {
     int64_t n_hits = 0;
@@ -105,10 +115,11 @@ int64_t gki_bucket_lookup(
 }
 
 // kmer_mapper.map_kmers_to_graph_index equivalent: node hit counts.
-void gki_map_kmers(
+template <typename StartT>
+void map_kmers_impl(
     const uint64_t* kmers, int64_t n_kmers,
     const uint64_t* table_kmers, const uint32_t* table_nodes,
-    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    const StartT* starts_tbl, const uint32_t* sizes_tbl,
     uint64_t modulo, int64_t max_node_id, int64_t* counts /* size max+1 */) {
     for (int64_t q = 0; q < n_kmers; ++q) {
         uint64_t kmer = kmers[q];
@@ -123,10 +134,11 @@ void gki_map_kmers(
 }
 
 // kmer_mapper.in_graph_index equivalent: membership mask.
-void gki_has_kmers(
+template <typename StartT>
+void has_kmers_impl(
     const uint64_t* kmers, int64_t n_kmers,
     const uint64_t* table_kmers,
-    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    const StartT* starts_tbl, const uint32_t* sizes_tbl,
     uint64_t modulo, uint8_t* out) {
     for (int64_t q = 0; q < n_kmers; ++q) {
         uint64_t kmer = kmers[q];
@@ -138,6 +150,75 @@ void gki_has_kmers(
             hit = (table_kmers[r] == kmer);
         out[q] = hit;
     }
+}
+}  // namespace
+
+extern "C" {
+
+int64_t gki_bucket_lookup(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers, const uint32_t* table_nodes,
+    const uint64_t* table_ref_offsets, const uint16_t* table_frequencies,
+    const float* table_allele_frequencies,
+    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, int64_t hit_cap, int64_t freq_cap,
+    int32_t count_only, uint64_t* out, int64_t out_capacity) {
+    return bucket_lookup_impl(kmers, n_kmers, table_kmers, table_nodes,
+                              table_ref_offsets, table_frequencies,
+                              table_allele_frequencies, starts_tbl, sizes_tbl,
+                              modulo, hit_cap, freq_cap, count_only, out,
+                              out_capacity);
+}
+
+int64_t gki_bucket_lookup32(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers, const uint32_t* table_nodes,
+    const uint64_t* table_ref_offsets, const uint16_t* table_frequencies,
+    const float* table_allele_frequencies,
+    const int32_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, int64_t hit_cap, int64_t freq_cap,
+    int32_t count_only, uint64_t* out, int64_t out_capacity) {
+    return bucket_lookup_impl(kmers, n_kmers, table_kmers, table_nodes,
+                              table_ref_offsets, table_frequencies,
+                              table_allele_frequencies, starts_tbl, sizes_tbl,
+                              modulo, hit_cap, freq_cap, count_only, out,
+                              out_capacity);
+}
+
+void gki_map_kmers(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers, const uint32_t* table_nodes,
+    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, int64_t max_node_id, int64_t* counts) {
+    map_kmers_impl(kmers, n_kmers, table_kmers, table_nodes, starts_tbl,
+                   sizes_tbl, modulo, max_node_id, counts);
+}
+
+void gki_map_kmers32(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers, const uint32_t* table_nodes,
+    const int32_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, int64_t max_node_id, int64_t* counts) {
+    map_kmers_impl(kmers, n_kmers, table_kmers, table_nodes, starts_tbl,
+                   sizes_tbl, modulo, max_node_id, counts);
+}
+
+void gki_has_kmers(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers,
+    const int64_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, uint8_t* out) {
+    has_kmers_impl(kmers, n_kmers, table_kmers, starts_tbl, sizes_tbl,
+                   modulo, out);
+}
+
+void gki_has_kmers32(
+    const uint64_t* kmers, int64_t n_kmers,
+    const uint64_t* table_kmers,
+    const int32_t* starts_tbl, const uint32_t* sizes_tbl,
+    uint64_t modulo, uint8_t* out) {
+    has_kmers_impl(kmers, n_kmers, table_kmers, starts_tbl, sizes_tbl,
+                   modulo, out);
 }
 
 // FASTA/FASTQ streaming: scan a buffer of text, 2-bit-encode every
