@@ -129,3 +129,58 @@ def test_native_map_kmers_int64_counts():
                               st, sz, 2, 3)
     assert counts.dtype == np.int64
     assert counts.tolist() == [0, 2, 1]
+
+
+def test_packed_rent_or_buy_heuristic():
+    """Auto mode chases small query volumes, builds the packed records
+    once cumulative queries reach ~4x the table rows, and both paths
+    return identical counts/masks."""
+    graph, flat, index = _toy_index()
+    q = np.asarray(flat._hashes, dtype=np.uint64)
+    n = len(index._kmers)
+
+    nk = NativeKmerIndex(index)
+    small = q[: max(1, min(len(q), n // 2))]
+    c1 = nk.map_kmers(small, graph.n_nodes() + 1)
+    assert getattr(nk, "_packed_np", None) is None, \
+        "packed records built below the query-volume threshold"
+    # push cumulative volume past 4x rows -> packed build kicks in
+    for _ in range(12):
+        c2 = nk.map_kmers(q, graph.n_nodes() + 1)
+    assert nk._packed_np, "packed records never built in auto mode"
+
+    forced = NativeKmerIndex(index)
+    forced.prefer_packed = False
+    assert np.array_equal(forced.map_kmers(small, graph.n_nodes() + 1), c1)
+    assert np.array_equal(forced.map_kmers(q, graph.n_nodes() + 1), c2)
+    assert getattr(forced, "_packed_np", None) is None
+    assert np.array_equal(forced.has_kmers(q), nk.has_kmers(q))
+
+
+def test_native_int32_starts_dispatch():
+    """int32 bucket tables take the *32 C entry points without widening;
+    results match the int64 path bit-for-bit."""
+    graph, flat, index = _toy_index()
+    q = np.concatenate([np.asarray(flat._hashes, dtype=np.uint64),
+                        np.array([987654321, 7], dtype=np.uint64)])
+    nk = NativeKmerIndex(index)
+    s32 = np.ascontiguousarray(nk.starts_tbl, np.int32)
+    s64 = np.ascontiguousarray(nk.starts_tbl, np.int64)
+    n_nodes = graph.n_nodes() + 1
+    assert np.array_equal(
+        native.map_kmers(q, nk.table_kmers, nk.table_nodes, s32,
+                         nk.sizes_tbl, nk.modulo, n_nodes),
+        native.map_kmers(q, nk.table_kmers, nk.table_nodes, s64,
+                         nk.sizes_tbl, nk.modulo, n_nodes))
+    assert np.array_equal(
+        native.has_kmers(q, nk.table_kmers, s32, nk.sizes_tbl, nk.modulo),
+        native.has_kmers(q, nk.table_kmers, s64, nk.sizes_tbl, nk.modulo))
+    a = native.bucket_lookup(q, nk.table_kmers, nk.table_nodes,
+                             nk.table_ref_offsets, nk.table_frequencies,
+                             nk.table_allele_frequencies, s32, nk.sizes_tbl,
+                             nk.modulo)
+    b = native.bucket_lookup(q, nk.table_kmers, nk.table_nodes,
+                             nk.table_ref_offsets, nk.table_frequencies,
+                             nk.table_allele_frequencies, s64, nk.sizes_tbl,
+                             nk.modulo)
+    assert np.array_equal(a, b)
