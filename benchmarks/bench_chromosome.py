@@ -86,9 +86,13 @@ def main():
     # honest stage attribution: the frequency computation is dispatched
     # asynchronously — without this barrier it executes inside whatever
     # stage first touches the array (round-4 postmortem: it smeared
-    # ~1/3 of the build into the mapping stage)
-    jax.block_until_ready([a for a in vars(index).values()
-                           if isinstance(a, jax.Array)])
+    # ~1/3 of the build into the mapping stage). Scalar fetches, not
+    # block_until_ready: only a scalar fetch truly syncs on the axon
+    # backend (CLAUDE.md), and each one-element slice-sum depends on
+    # its full producer buffer.
+    for a in vars(index).values():
+        if isinstance(a, jax.Array) and a.ndim and a.shape[0]:
+            float(jnp.sum(a[:1].astype(jnp.float32)))
     t_build = time.perf_counter() - t0
     rec("device_index_build", round(t_build, 1), "s", modulo=modulo,
         rows_per_s=round(n_rows / t_build))
@@ -112,7 +116,13 @@ def main():
     flatr = reads.reshape(-1).astype(np.int8)
     rstarts = (np.arange(n_reads) * 150).astype(np.int32)
     rlens = np.full(n_reads, 150, np.int32)
-    map_backend = "device" if backend != "cpu" else "native"
+    map_backend = "device"
+    if backend == "cpu" and index._native() is not None:
+        # record "native" only when the C++ lib actually loaded —
+        # map_kmers(backend="native") silently falls back to the jax
+        # path otherwise and the record would lie about both the
+        # backend and (async dispatch) the time
+        map_backend = "native"
     t0 = time.perf_counter()
     hashes_d, nv = read_tape_hashes(
         jnp.asarray(flatr), jnp.asarray(rstarts), jnp.asarray(rlens),
@@ -120,14 +130,18 @@ def main():
     if map_backend == "native":
         hq = np.asarray(hashes_d)[:int(nv)]
         counts = index.map_kmers(hq, graph.n_nodes(), backend="native")
+        hits = float(np.sum(counts))
     else:
         kmers = DeviceReadKmers([(hashes_d, int(nv))], k)
         counts = index.map_kmers(kmers, graph.n_nodes())
+        # scalar fetch INSIDE the timed section: the device path is an
+        # async dispatch, and only a scalar fetch syncs on axon
+        hits = float(jnp.sum(counts))
     t_map = time.perf_counter() - t0
     n_q = n_reads * (150 - k + 1)
     rec("read_mapping", round(t_map, 1), "s", n_read_kmers=n_q,
         mkmers_per_s=round(n_q / t_map / 1e6, 2),
-        hits_per_query=round(float(np.sum(counts)) / n_q, 2),
+        hits_per_query=round(hits / n_q, 2),
         map_backend=map_backend)
 
     total = sum((t_find, t_build, t_packed, t_map))

@@ -211,8 +211,10 @@ class DenseKmerFinder:
             stop_at_node = int(cgp.nodes[self._stop_at_critical_path_number])
 
         # worklist: path-order slice [start:], reversed (the walk consumes
-        # from the back, reference kmer_finder.py:190-221 ordering)
-        lo = int(self._start_at_critical_path_number or 0)
+        # from the back, reference kmer_finder.py:190-221 ordering).
+        # Clamp negative starts to 0: the old tuple code only sliced for
+        # start > 0, so a negative value meant "full worklist".
+        lo = max(0, int(self._start_at_critical_path_number or 0))
         n_wl = max(0, n_paths - lo)
         extra = None
         if not self._start_at_critical_path_number:

@@ -103,14 +103,39 @@ class NativeKmerIndex:
     def available() -> bool:
         return native.available()
 
+    @cached_property
+    def _get_args(self):
+        """Cached ctypes pointers + starts-width suffix for get() — the
+        per-call marshal otherwise dominates small-batch lookups (the
+        CythonKmerIndex.get usage pattern: many tiny batches)."""
+        import ctypes
+        starts, starts_ptr, suffix = native._starts_args(self.starts_tbl)
+        p = native._ptr
+        return (p(self.table_kmers, ctypes.c_uint64),
+                p(self.table_nodes, ctypes.c_uint32),
+                p(self.table_ref_offsets, ctypes.c_uint64),
+                p(self.table_frequencies, ctypes.c_uint16),
+                p(self.table_allele_frequencies, ctypes.c_float),
+                starts_ptr,
+                p(self.sizes_tbl, ctypes.c_uint32)), suffix, starts
+
     def get(self, kmers, hit_cap=10000, freq_cap=20):
         """(5, n_hits) uint64 [node, ref_offset, query_index, frequency,
         1000*allele_frequency] (cython_kmer_index.pyx:101-106)."""
-        return native.bucket_lookup(
-            kmers, self.table_kmers, self.table_nodes,
-            self.table_ref_offsets, self.table_frequencies,
-            self.table_allele_frequencies, self.starts_tbl, self.sizes_tbl,
-            self.modulo, hit_cap=hit_cap, freq_cap=freq_cap)
+        import ctypes
+        lib = native.get_lib()
+        if lib is None:
+            return None
+        (ptrs, suffix, _starts_keepalive) = self._get_args
+        kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+        args = (native._ptr(kmers, ctypes.c_uint64), len(kmers), *ptrs,
+                int(self.modulo), int(hit_cap), int(freq_cap))
+        fn = getattr(lib, f"gki_bucket_lookup{suffix}")
+        n_hits = fn(*args, 1, None, 0)
+        out = np.zeros((5, max(1, n_hits)), dtype=np.uint64)
+        if n_hits > 0:
+            fn(*args, 0, native._ptr(out, ctypes.c_uint64), n_hits)
+        return out[:, :n_hits]
 
     # host records cost 64B/row; above this budget keep the bucket chase
     PACKED_BYTE_BUDGET = 16 << 30

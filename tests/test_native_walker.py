@@ -175,3 +175,15 @@ def test_chunked_union_covers_full_find():
     for i, name in enumerate(("hashes", "nodes", "ref_offsets", "af")):
         got = np.concatenate([p[i] for p in parts])
         assert np.array_equal(got, full[i]), name
+
+
+def test_negative_start_number_means_full_worklist():
+    """The reference's tuple slicing only fired for start > 0; a negative
+    value silently meant 'full worklist'. The vectorized construction
+    must preserve that (it crashed with a broadcast error once)."""
+    graph, _ = random_snp_graph(2000, 30, seed=13)
+    full = _flat_tuple(graph, 9, use_native=True)
+    neg = _flat_tuple(graph, 9, use_native=True,
+                      start_at_critical_path_number=-1)
+    for a, b, name in zip(full, neg, ("hashes", "nodes", "ref_offsets", "af")):
+        assert np.array_equal(a, b), name
