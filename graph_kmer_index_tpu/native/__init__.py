@@ -26,7 +26,7 @@ _tried = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-o", _SO] + _SRCS
+           "-pthread", "-o", _SO] + _SRCS
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return True
@@ -115,6 +115,10 @@ def get_lib():
             p(ctypes.c_int32), i64,
             p(ctypes.c_uint64), p(ctypes.c_int32),
             p(ctypes.c_int32), p(ctypes.c_int16), p(ctypes.c_double)]
+        lib.gki_frequencies_bucket_ordered.restype = i32
+        lib.gki_frequencies_bucket_ordered.argtypes = [
+            p(ctypes.c_uint64), p(ctypes.c_uint64), i64, u64,
+            p(ctypes.c_uint16), i32]
         lib.gki_build_packed.restype = None
         lib.gki_build_packed.argtypes = [
             p(ctypes.c_uint64), p(ctypes.c_uint32), i64, u64,
@@ -257,6 +261,34 @@ def has_kmers(kmers, table_kmers, starts_tbl, sizes_tbl,
         _ptr(np.ascontiguousarray(sizes_tbl, np.uint32), ctypes.c_uint32),
         int(modulo), _ptr(out, ctypes.c_uint8))
     return out.astype(bool)
+
+
+def frequencies_bucket_ordered(kmers, ref_offsets, modulo,
+                               n_threads=None) -> np.ndarray | None:
+    """frequency[row] = #distinct ref offsets among rows with the same
+    kmer, for rows already sorted by hash bucket (the index build's row
+    layout — equal kmers always share a bucket, so this is a parallel
+    linear pass with tiny per-bucket sorts instead of a global n-log-n
+    sort; reference semantics collision_free_kmer_index.py:267-293,
+    uint16 wrap identical to the numpy/device paths). Returns None when
+    the library is unavailable or the rows are NOT bucket-ordered
+    (verified in-pass) — callers fall back to the sorting path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _check_modulo(modulo)
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    ref_offsets = np.ascontiguousarray(ref_offsets, dtype=np.uint64)
+    if len(ref_offsets) != len(kmers):
+        return None
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    out = hp_empty(len(kmers), np.uint16)
+    rc = lib.gki_frequencies_bucket_ordered(
+        _ptr(kmers, ctypes.c_uint64), _ptr(ref_offsets, ctypes.c_uint64),
+        len(kmers), int(modulo), _ptr(out, ctypes.c_uint16),
+        int(n_threads))
+    return out if rc == 0 else None
 
 
 def walk(graph, crit_index, k, max_variant_nodes, worklist, seen_points,

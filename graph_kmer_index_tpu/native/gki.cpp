@@ -71,6 +71,101 @@ int64_t gki_sliding_hashes(const int8_t* seq, int64_t n, int32_t k,
 // that costs more than the lookup itself).
 }  // extern "C" (templates cannot carry C linkage)
 
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+// one bucket run's frequency computation: rows [i, j) share a hash
+// bucket; distinct (kmer, ref_offset) pairs are counted per kmer and
+// written back to every member row (reference set_frequencies
+// semantics, collision_free_kmer_index.py:267-293; uint16 wrap matches
+// the numpy/device casts)
+void bucket_run_frequencies(const uint64_t* kmers, const uint64_t* ros,
+                            int64_t i, int64_t j, uint16_t* out,
+                            std::vector<int64_t>& scratch) {
+    if (j - i == 1) {  // dominant case: <1 row per bucket on average
+        out[i] = 1;
+        return;
+    }
+    scratch.clear();
+    for (int64_t r = i; r < j; ++r) scratch.push_back(r);
+    std::sort(scratch.begin(), scratch.end(),
+              [&](int64_t a, int64_t b) {
+                  if (kmers[a] != kmers[b]) return kmers[a] < kmers[b];
+                  return ros[a] < ros[b];
+              });
+    size_t g = 0;  // start of the current kmer group in scratch
+    while (g < scratch.size()) {
+        size_t e = g;
+        int64_t distinct = 0;
+        uint64_t prev_ro = 0;
+        const uint64_t km = kmers[scratch[g]];
+        while (e < scratch.size() && kmers[scratch[e]] == km) {
+            uint64_t ro = ros[scratch[e]];
+            if (e == g || ro != prev_ro) ++distinct;
+            prev_ro = ro;
+            ++e;
+        }
+        for (size_t r = g; r < e; ++r)
+            out[scratch[r]] = (uint16_t)distinct;
+        g = e;
+    }
+}
+}  // namespace
+
+extern "C" {
+
+// frequency[row] = #distinct ref offsets among rows with the same kmer,
+// for rows already sorted by hash bucket (the index build's layout:
+// equal kmers always share a bucket, so each bucket run is an
+// independent subproblem — a linear pass with tiny per-run sorts
+// instead of a global n-log-n sort). Verifies the bucket order while
+// scanning; returns 0 on success, -1 if rows are not bucket-ordered
+// (caller falls back to the sorting path).
+int32_t gki_frequencies_bucket_ordered(
+    const uint64_t* kmers, const uint64_t* ref_offsets, int64_t n,
+    uint64_t modulo, uint16_t* out, int32_t n_threads) {
+    if (modulo == 0) return -1;
+    if (n == 0) return 0;
+    if (n_threads < 1) n_threads = 1;
+    std::vector<std::thread> threads;
+    std::vector<int32_t> oks((size_t)n_threads, 1);
+    auto worker = [&](int32_t t) {
+        int64_t lo = n * t / n_threads, hi = n * (t + 1) / n_threads;
+        // align both ends forward to bucket-run boundaries (thread t
+        // owns runs STARTING in [lo, hi))
+        while (lo > 0 && lo < n &&
+               kmers[lo] % modulo == kmers[lo - 1] % modulo) ++lo;
+        while (hi < n && kmers[hi] % modulo == kmers[hi - 1] % modulo) ++hi;
+        std::vector<int64_t> scratch;
+        int64_t i = lo;
+        while (i < hi) {
+            const uint64_t b = kmers[i] % modulo;
+            if (i > 0 && b < kmers[i - 1] % modulo) {  // order violated
+                oks[(size_t)t] = 0;
+                return;
+            }
+            int64_t j = i + 1;
+            while (j < hi && kmers[j] % modulo == b) ++j;
+            bucket_run_frequencies(kmers, ref_offsets, i, j, out, scratch);
+            i = j;
+        }
+    };
+    if (n_threads == 1) {
+        worker(0);
+    } else {
+        for (int32_t t = 0; t < n_threads; ++t)
+            threads.emplace_back(worker, t);
+        for (auto& th : threads) th.join();
+    }
+    for (int32_t ok : oks)
+        if (!ok) return -1;
+    return 0;
+}
+
+}  // extern "C"
+
 namespace {
 template <typename StartT>
 int64_t bucket_lookup_impl(

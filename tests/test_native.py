@@ -184,3 +184,41 @@ def test_native_int32_starts_dispatch():
                              nk.table_allele_frequencies, s64, nk.sizes_tbl,
                              nk.modulo)
     assert np.array_equal(a, b)
+
+
+def test_frequencies_bucket_ordered_differential():
+    """Native bucket-ordered frequencies == numpy lexsort path == device
+    path, on bucket-sorted rows with heavy kmer duplication, bucket
+    collisions (tiny modulo), duplicate (kmer, ro) pairs, and >2^32 ref
+    offsets; non-bucket-ordered input is refused (None)."""
+    from graph_kmer_index_tpu.models.kmer_index import (
+        _frequencies_by_distinct_ref_offsets)
+    from graph_kmer_index_tpu.ops.build import frequencies_device
+
+    rng = np.random.default_rng(0)
+    for trial, (n, modulo, kmer_space, wide) in enumerate([
+            (5000, 97, 50, False),         # heavy collisions + duplicates
+            (20000, 1009, 300, False),
+            (8000, 211, 40, True),         # ref offsets beyond 2^32
+            (1, 7, 3, False),
+            (0, 13, 3, False)]):
+        kmers = rng.integers(0, kmer_space, n, dtype=np.uint64)
+        ro = rng.integers(0, 20, n, dtype=np.uint64)
+        if wide:
+            ro = ro + ((np.uint64(1) << np.uint64(32))
+                       * rng.integers(0, 3, n, dtype=np.uint64))
+        order = np.argsort(kmers % np.uint64(modulo), kind="stable")
+        kmers, ro = kmers[order], ro[order]
+
+        want = _frequencies_by_distinct_ref_offsets(kmers, ro)
+        got = native.frequencies_bucket_ordered(kmers, ro, modulo)
+        assert got is not None, trial
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, want), trial
+        dev = np.asarray(frequencies_device(kmers, ro))
+        assert np.array_equal(dev, want), trial
+
+    # not bucket-ordered -> refused, never silently wrong
+    kmers = np.array([5, 3, 5], dtype=np.uint64)  # buckets 5,3,5 mod 7
+    ro = np.zeros(3, np.uint64)
+    assert native.frequencies_bucket_ordered(kmers, ro, 7) is None
