@@ -190,10 +190,11 @@ class CollisionFreeKmerIndex:
         # n-log-n sort (~400 s single-threaded XLA-CPU sort at 241 M
         # rows). Taken only when the rows are host-reachable without a
         # device fetch; on a real accelerator the device sort stays.
-        if (int(self._modulo) > 0 and np.ndim(ro) == 1
+        from .. import native
+        if (native.available() and int(self._modulo) > 0
+                and np.ndim(ro) == 1
                 and np.shape(ro)[0] == len(self._kmers)
                 and _host_reachable(self._kmers) and _host_reachable(ro)):
-            from .. import native
             freqs = native.frequencies_bucket_ordered(
                 np.asarray(self._kmers), np.asarray(ro), self._modulo)
             if freqs is not None:

@@ -137,7 +137,8 @@ int32_t gki_frequencies_bucket_ordered(
         // owns runs STARTING in [lo, hi))
         while (lo > 0 && lo < n &&
                kmers[lo] % modulo == kmers[lo - 1] % modulo) ++lo;
-        while (hi < n && kmers[hi] % modulo == kmers[hi - 1] % modulo) ++hi;
+        while (hi > 0 && hi < n &&
+               kmers[hi] % modulo == kmers[hi - 1] % modulo) ++hi;
         std::vector<int64_t> scratch;
         int64_t i = lo;
         while (i < hi) {

@@ -222,3 +222,20 @@ def test_frequencies_bucket_ordered_differential():
     kmers = np.array([5, 3, 5], dtype=np.uint64)  # buckets 5,3,5 mod 7
     ro = np.zeros(3, np.uint64)
     assert native.frequencies_bucket_ordered(kmers, ro, 7) is None
+
+
+def test_frequencies_small_n_many_threads():
+    """n < n_threads left threads with hi==0 dereferencing kmers[-1]
+    (ASAN-confirmed OOB read). Every tiny n must work with more threads
+    than rows and match the numpy path."""
+    from graph_kmer_index_tpu.models.kmer_index import (
+        _frequencies_by_distinct_ref_offsets)
+    rng = np.random.default_rng(3)
+    for n in range(1, 8):
+        kmers = rng.integers(0, 50, n, dtype=np.uint64)
+        ro = rng.integers(0, 5, n, dtype=np.uint64)
+        order = np.argsort(kmers % np.uint64(13), kind="stable")
+        kmers, ro = kmers[order], ro[order]
+        got = native.frequencies_bucket_ordered(kmers, ro, 13, n_threads=8)
+        want = _frequencies_by_distinct_ref_offsets(kmers, ro)
+        assert got is not None and np.array_equal(got, want), n
