@@ -182,10 +182,19 @@ class DenseKmerFinder:
         self._n_skipped_whitelist = 0
 
         self._finalized = None
-        self.kmers_found = []
+        self._kmers_found_dbg = []
         self.results = []
 
     # -- public API -----------------------------------------------------
+
+    @property
+    def kmers_found(self):
+        """Debug list of the first ~500 found windows (reference
+        kmer_finder.py ``kmers_found``). Accessing it materializes the
+        lazy finalize — ``find()`` itself only produces the compact span
+        stream."""
+        self._results()
+        return self._kmers_found_dbg
 
     def find(self, use_native=None):
         """Full-graph enumeration from critical starting points
@@ -229,12 +238,18 @@ class DenseKmerFinder:
         if extra is not None:
             wl_nodes[n_wl], wl_offsets[n_wl] = extra
 
+        # finalization (span stream -> expanded rows) is LAZY: _results()
+        # runs it on first access. Span-only consumers (the pooled find's
+        # workers return compact tapes for the parent's device expansion)
+        # never pay for row expansion — which is mostly multi-GB output
+        # buffer population at chromosome scale, ~4x the walk itself.
+        self._finalized = None
+
         if use_native is None:
             use_native = True
         if use_native and self._find_native((wl_nodes, wl_offsets),
                                             (seen_nodes, seen_offsets),
                                             stop_at_node):
-            self._finalize()
             return
 
         self._starting_points = list(zip(wl_nodes.tolist(),
@@ -246,8 +261,6 @@ class DenseKmerFinder:
             if stop_at_node is not None and stop_at_node == critical_node:
                 break
             self._start_search(critical_node, critical_offset)
-
-        self._finalize()
 
     def _find_native(self, worklist, seen_points, stop_at_node,
                      early_stop=False) -> bool:
@@ -665,7 +678,7 @@ class DenseKmerFinder:
                     break
                 out.append((None, set(uniq), int(s_node[sp]),
                             int(hashes[w])))
-        self.kmers_found = out
+        self._kmers_found_dbg = out
 
     def _finalize_small(self):
         """Scalar finalize for tiny searches (the per-candidate early-stop
@@ -730,7 +743,7 @@ class DenseKmerFinder:
             np.array(out_sn, dtype=np.int32),
             np.array(out_so, dtype=np.int64).astype(np.int16),
             np.array(out_af, dtype=np.float64))
-        self.kmers_found = kmers_found
+        self._kmers_found_dbg = kmers_found
 
     # below this span count the scalar finalize path beats numpy overhead
     _SMALL_FINALIZE_SPANS = 32
@@ -833,15 +846,15 @@ class DenseKmerFinder:
         self._finalized = (kmers, nodes, start_nodes, start_offsets, af)
 
         # debug/testing aid mirroring reference kmers_found (first 500)
-        self.kmers_found = []
+        self._kmers_found_dbg = []
         for w in range(total_windows):
-            if len(self.kmers_found) >= 500:
+            if len(self._kmers_found_dbg) >= 500:
                 break
             if not win_ok[w]:
                 continue
             sp = win_span[w]
             nset = set(span_nodes[ns[sp]: ns[sp] + nl[sp]].tolist())
-            self.kmers_found.append(
+            self._kmers_found_dbg.append(
                 (None, nset, int(s_node[sp]), int(win_kmer[w])))
 
     def _whitelist_mask(self, kmers):
