@@ -190,11 +190,22 @@ class DenseKmerFinder:
     @property
     def kmers_found(self):
         """Debug list of the first ~500 found windows (reference
-        kmer_finder.py ``kmers_found``). Accessing it materializes the
-        lazy finalize — ``find()`` itself only produces the compact span
-        stream."""
+        kmer_finder.py ``kmers_found``). In the whitelist-free case it
+        rebuilds from the first few spans only (cap-bounded) — reading a
+        debug list must not trigger the multi-GB row expansion the lazy
+        finalize avoids; with a whitelist the list is win_ok-filtered,
+        so the full finalize runs."""
+        if self._finalized is None and self._whitelist is None:
+            self._rebuild_kmers_found_debug()
+            return self._kmers_found_dbg
         self._results()
         return self._kmers_found_dbg
+
+    @kmers_found.setter
+    def kmers_found(self, value):
+        # reference API compatibility: kmers_found is a plain mutable
+        # attribute there (callers may reset it between chunks)
+        self._kmers_found_dbg = value
 
     def find(self, use_native=None):
         """Full-graph enumeration from critical starting points
