@@ -174,9 +174,10 @@ def main():
     n_paths = len(cpaths)
     ok = 0
     rng2 = np.random.default_rng(7)
+    hi = max(2, n_paths - 40)  # small smoke sizes: keep low < high
     picks = sorted(set(
-        rng2.integers(0, max(1, n_paths - 40), 2).tolist()
-        + rng2.integers(n_paths // 2, max(1, n_paths - 40), 2).tolist()))
+        rng2.integers(0, hi, 2).tolist()
+        + rng2.integers(min(n_paths // 2, hi - 1), hi, 2).tolist()))
     for start in picks:
         stop = min(n_paths, start + 40)
         fr = ref.DenseKmerFinder(

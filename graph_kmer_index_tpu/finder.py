@@ -183,6 +183,8 @@ class DenseKmerFinder:
 
         self._finalized = None
         self._kmers_found_dbg = []
+        self._kmers_found_explicit = False
+        self._kmers_found_fresh = False
         self.results = []
 
     # -- public API -----------------------------------------------------
@@ -191,12 +193,18 @@ class DenseKmerFinder:
     def kmers_found(self):
         """Debug list of the first ~500 found windows (reference
         kmer_finder.py ``kmers_found``). In the whitelist-free case it
-        rebuilds from the first few spans only (cap-bounded) — reading a
-        debug list must not trigger the multi-GB row expansion the lazy
-        finalize avoids; with a whitelist the list is win_ok-filtered,
-        so the full finalize runs."""
+        rebuilds from the first few spans only (cap-bounded, cached) —
+        reading a debug list must not trigger the multi-GB row expansion
+        the lazy finalize avoids; with a whitelist the list is
+        win_ok-filtered, so the full finalize runs. An explicitly
+        assigned value (reference plain-attribute semantics) is returned
+        as-is until the next find()."""
+        if self._kmers_found_explicit:
+            return self._kmers_found_dbg
         if self._finalized is None and self._whitelist is None:
-            self._rebuild_kmers_found_debug()
+            if not self._kmers_found_fresh:
+                self._rebuild_kmers_found_debug()
+                self._kmers_found_fresh = True
             return self._kmers_found_dbg
         self._results()
         return self._kmers_found_dbg
@@ -206,6 +214,7 @@ class DenseKmerFinder:
         # reference API compatibility: kmers_found is a plain mutable
         # attribute there (callers may reset it between chunks)
         self._kmers_found_dbg = value
+        self._kmers_found_explicit = True
 
     def find(self, use_native=None):
         """Full-graph enumeration from critical starting points
@@ -255,6 +264,8 @@ class DenseKmerFinder:
         # never pay for row expansion — which is mostly multi-GB output
         # buffer population at chromosome scale, ~4x the walk itself.
         self._finalized = None
+        self._kmers_found_explicit = False
+        self._kmers_found_fresh = False
 
         if use_native is None:
             use_native = True
@@ -306,6 +317,8 @@ class DenseKmerFinder:
         """Early-stop mode: emit the first full window of every DFS branch
         from (node, offset) (reference kmer_finder.py:170-177)."""
         self._early_stop = True
+        self._kmers_found_explicit = False
+        self._kmers_found_fresh = False
         self._critical_graph_paths = CriticalGraphPaths.empty()
         self._starting_points = []
         self._starting_points_set = set()

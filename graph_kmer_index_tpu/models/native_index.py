@@ -126,6 +126,7 @@ class NativeKmerIndex:
         lib = native.get_lib()
         if lib is None:
             return None
+        native._check_modulo(self.modulo)  # modulo==0 is SIGFPE in C
         (ptrs, suffix, _starts_keepalive) = self._get_args
         kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
         args = (native._ptr(kmers, ctypes.c_uint64), len(kmers), *ptrs,

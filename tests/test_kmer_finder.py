@@ -509,3 +509,19 @@ def test_hard_shapes_match_reference_exactly():
                                           np.asarray(rflat._nodes))
             np.testing.assert_array_equal(np.asarray(flat._ref_offsets),
                                           np.asarray(rflat._ref_offsets))
+
+
+def test_kmers_found_assignment_semantics():
+    """Reference plain-attribute semantics: an assigned value is returned
+    as-is until the next find(); reads are cached (same list object);
+    the modulo==0 native get path raises instead of SIGFPE-ing."""
+    from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+    graph, _ = random_snp_graph(2000, 20, seed=1)
+    f = DenseKmerFinder(graph, k=7)
+    f.find()
+    first = f.kmers_found
+    assert first and f.kmers_found is first  # cached, not rebuilt per read
+    f.kmers_found = []
+    assert f.kmers_found == []               # explicit value wins
+    f.find()
+    assert f.kmers_found                     # next find() resets it
