@@ -81,18 +81,13 @@ def main():
 
     # collision-free device build at the production modulo, WITH
     # per-row frequencies (the north-star configuration)
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from accept_common import (choose_map_backend, read_mapping_stage,
+                               sync_index_arrays)
+
     t0 = time.perf_counter()
     index = KmerIndex.from_flat_kmers(flat, modulo=modulo)
-    # honest stage attribution: the frequency computation is dispatched
-    # asynchronously — without this barrier it executes inside whatever
-    # stage first touches the array (round-4 postmortem: it smeared
-    # ~1/3 of the build into the mapping stage). Scalar fetches, not
-    # block_until_ready: only a scalar fetch truly syncs on the axon
-    # backend (CLAUDE.md), and each one-element slice-sum depends on
-    # its full producer buffer.
-    for a in vars(index).values():
-        if isinstance(a, jax.Array) and a.ndim and a.shape[0]:
-            float(jnp.sum(a[:1].astype(jnp.float32)))
+    sync_index_arrays(index)
     t_build = time.perf_counter() - t0
     rec("device_index_build", round(t_build, 1), "s", modulo=modulo,
         rows_per_s=round(n_rows / t_build))
@@ -103,42 +98,14 @@ def main():
     t_packed = time.perf_counter() - t0
     rec("packed_table_build", round(t_packed, 1), "s")
 
-    # read mapping. On chip: device-resident hash + lookup, no query
-    # transfer. On the CPU fallback the jax lookup is not the honest
-    # host path — the native C++ batched lookup is (the reference's
-    # Cython lookup analog, cython_kmer_index.pyx) — so route there.
+    # read mapping (shared stage, accept_common.py): on chip the device
+    # kernel; on the CPU fallback the native C++ batched lookup (the
+    # reference's Cython lookup analog, cython_kmer_index.pyx).
     rng = np.random.default_rng(1)
     _, _, refseq = graph.linear_ref_sequence()
-    starts = rng.integers(0, len(refseq) - 150, n_reads)
-    reads = np.stack([refseq[s:s + 150] for s in starts])
-    from graph_kmer_index_tpu.ops.encode import read_tape_hashes
-    from graph_kmer_index_tpu.read_kmers import DeviceReadKmers
-    flatr = reads.reshape(-1).astype(np.int8)
-    rstarts = (np.arange(n_reads) * 150).astype(np.int32)
-    rlens = np.full(n_reads, 150, np.int32)
-    map_backend = "device"
-    if backend == "cpu" and index._native() is not None:
-        # record "native" only when the C++ lib actually loaded —
-        # map_kmers(backend="native") silently falls back to the jax
-        # path otherwise and the record would lie about both the
-        # backend and (async dispatch) the time
-        map_backend = "native"
-    t0 = time.perf_counter()
-    hashes_d, nv = read_tape_hashes(
-        jnp.asarray(flatr), jnp.asarray(rstarts), jnp.asarray(rlens),
-        len(flatr), k)
-    if map_backend == "native":
-        hq = np.asarray(hashes_d)[:int(nv)]
-        counts = index.map_kmers(hq, graph.n_nodes(), backend="native")
-        hits = float(np.sum(counts))
-    else:
-        kmers = DeviceReadKmers([(hashes_d, int(nv))], k)
-        counts = index.map_kmers(kmers, graph.n_nodes())
-        # scalar fetch INSIDE the timed section: the device path is an
-        # async dispatch, and only a scalar fetch syncs on axon
-        hits = float(jnp.sum(counts))
-    t_map = time.perf_counter() - t0
-    n_q = n_reads * (150 - k + 1)
+    map_backend = choose_map_backend(index, backend)
+    t_map, hits, n_q = read_mapping_stage(
+        index, graph, refseq, rng, n_reads, k, map_backend)
     rec("read_mapping", round(t_map, 1), "s", n_read_kmers=n_q,
         mkmers_per_s=round(n_q / t_map / 1e6, 2),
         hits_per_query=round(hits / n_q, 2),

@@ -128,40 +128,22 @@ def main():
     rec("find_streamed_finalize", round(t_find, 1), "s", rows=n_rows,
         rows_per_s=round(n_rows / t_find))
 
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from accept_common import (choose_map_backend, read_mapping_stage,
+                               sync_index_arrays)
+
     t0 = time.perf_counter()
     index = KmerIndex.from_flat_kmers(flat, modulo=modulo)
-    for a in vars(index).values():
-        if isinstance(a, jax.Array) and a.ndim and a.shape[0]:
-            float(jnp.sum(a[:1].astype(jnp.float32)))
+    sync_index_arrays(index)
     t_build = time.perf_counter() - t0
     rec("device_index_build", round(t_build, 1), "s", modulo=modulo,
         rows_per_s=round(n_rows / t_build))
 
-    # read mapping: reads drawn from BOTH chromosomes' linear refs
-    from graph_kmer_index_tpu.ops.encode import read_tape_hashes
+    # read mapping (shared stage): reads drawn from BOTH chromosomes
     _, _, refseq = graph.linear_ref_sequence()
-    starts = rng.integers(0, len(refseq) - 150, n_reads)
-    reads = np.stack([refseq[s:s + 150] for s in starts])
-    flatr = reads.reshape(-1).astype(np.int8)
-    rstarts = (np.arange(n_reads) * 150).astype(np.int32)
-    rlens = np.full(n_reads, 150, np.int32)
-    map_backend = ("native" if backend == "cpu"
-                   and index._native() is not None else "device")
-    t0 = time.perf_counter()
-    hashes_d, nv = read_tape_hashes(
-        jnp.asarray(flatr), jnp.asarray(rstarts), jnp.asarray(rlens),
-        len(flatr), k)
-    if map_backend == "native":
-        hq = np.asarray(hashes_d)[:int(nv)]
-        counts = index.map_kmers(hq, graph.n_nodes(), backend="native")
-        hits = float(np.sum(counts))
-    else:
-        from graph_kmer_index_tpu.read_kmers import DeviceReadKmers
-        kmers_q = DeviceReadKmers([(hashes_d, int(nv))], k)
-        counts = index.map_kmers(kmers_q, graph.n_nodes())
-        hits = float(jnp.sum(counts))
-    t_map = time.perf_counter() - t0
-    n_q = n_reads * (150 - k + 1)
+    map_backend = choose_map_backend(index, backend)
+    t_map, hits, n_q = read_mapping_stage(
+        index, graph, refseq, rng, n_reads, k, map_backend)
     rec("read_mapping", round(t_map, 1), "s", n_read_kmers=n_q,
         hits_per_query=round(hits / n_q, 2), map_backend=map_backend)
 
