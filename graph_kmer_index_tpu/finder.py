@@ -869,7 +869,10 @@ class DenseKmerFinder:
 
         self._finalized = (kmers, nodes, start_nodes, start_offsets, af)
 
-        # debug/testing aid mirroring reference kmers_found (first 500)
+        # debug/testing aid mirroring reference kmers_found (first 500).
+        # Apply the same only_save_one_node_per_kmer / only_store_nodes
+        # filtering as _rebuild_kmers_found_debug so the list is
+        # path-independent (ADVICE r4).
         self._kmers_found_dbg = []
         for w in range(total_windows):
             if len(self._kmers_found_dbg) >= 500:
@@ -877,9 +880,13 @@ class DenseKmerFinder:
             if not win_ok[w]:
                 continue
             sp = win_span[w]
-            nset = set(span_nodes[ns[sp]: ns[sp] + nl[sp]].tolist())
+            uniq = sorted(set(span_nodes[ns[sp]: ns[sp] + nl[sp]].tolist()))
+            if self._only_save_one_node_per_kmer:
+                uniq = uniq[:1]
+            if self._only_store_nodes is not None:
+                uniq = [v for v in uniq if v in self._only_store_nodes]
             self._kmers_found_dbg.append(
-                (None, nset, int(s_node[sp]), int(win_kmer[w])))
+                (None, set(uniq), int(s_node[sp]), int(win_kmer[w])))
 
     def _whitelist_mask(self, kmers):
         if self._whitelist is None:
