@@ -473,6 +473,40 @@ def shard_index(args):
                  args.n_shards, args.layout, args.out_prefix)
 
 
+def make_index_out_of_core(args):
+    """Extra subcommand: genome-scale find+build with bounded memory
+    (bucket-range disk spills; parallel/oocbuild.py). The reference's
+    pipeline holds every row in memory at once
+    (command_line_interface.py:601-616), which cannot reach its own
+    --genome-size default of 3e9 on a 128 GB host; this one streams.
+    Produces a shard checkpoint servable by ``map_reads
+    --table-shards`` or reassembled with
+    ``oocbuild.index_from_shard_checkpoint``."""
+    from . import CriticalGraphPaths, Graph
+    from .parallel.oocbuild import find_and_build_out_of_core
+
+    graph = Graph.from_file(args.graph)
+    critical_paths = None
+    if args.critical_graph_paths is not None:
+        critical_paths = args.critical_graph_paths
+    else:
+        logging.info("Making critical graph paths since not specified")
+        critical_paths = CriticalGraphPaths.from_graph(graph,
+                                                       args.kmer_size)
+    res = find_and_build_out_of_core(
+        graph, args.kmer_size, n_workers=args.n_threads,
+        workdir=args.workdir, modulo=args.hash_modulo,
+        n_ranges=args.n_ranges, critical_paths=critical_paths,
+        skip_frequencies=args.skip_frequencies,
+        delete_spills=not args.keep_spills,
+        checkpoint_dir=args.checkpoint_dir,
+        out_prefix=args.out_prefix,
+        max_variant_nodes=args.max_variant_nodes,
+        only_save_one_node_per_kmer=args.only_save_one_node_per_kmer)
+    logging.info("Out-of-core index done: %d rows in %d shards at %s*",
+                 res["total_rows"], res["n_table"], res["prefix"])
+
+
 def make_graph(args):
     """Extra subcommand (not in the reference CLI — the reference relies
     on the external obgraph package for graph construction)."""
@@ -620,6 +654,31 @@ def build_argument_parser():
                    choices=["packed", "csr"])
     s.add_argument("-o", "--out-prefix", required=True)
     s.set_defaults(func=shard_index)
+
+    s = subparsers.add_parser("make_index_out_of_core")
+    s.add_argument("-g", "--graph", required=True)
+    s.add_argument("-c", "--critical_graph_paths", required=False,
+                   type=lambda f: __import__(
+                       "graph_kmer_index_tpu.utils.serialize",
+                       fromlist=["from_file"]).from_file(f))
+    s.add_argument("-k", "--kmer-size", type=int, default=31)
+    s.add_argument("-d", "--workdir", required=True,
+                   help="spill + default output directory")
+    s.add_argument("-o", "--out-prefix", required=False, default=None,
+                   help="shard checkpoint prefix (default WORKDIR/index)")
+    s.add_argument("-t", "--n-threads", type=int, default=1)
+    s.add_argument("-m", "--hash-modulo", type=int, default=452930477)
+    s.add_argument("-n", "--n-ranges", type=int, default=32,
+                   help="bucket ranges == shards; peak memory ~rows/n")
+    s.add_argument("-v", "--max-variant-nodes", type=int, default=5)
+    s.add_argument("-O", "--only-save-one-node-per-kmer", type=bool,
+                   default=False)
+    s.add_argument("--skip-frequencies", type=bool, default=False)
+    s.add_argument("--keep-spills", type=bool, default=False)
+    s.add_argument("--checkpoint-dir", required=False, default=None,
+                   help="also persist per-chunk find results; a killed "
+                        "run resumes without re-walking the graph")
+    s.set_defaults(func=make_index_out_of_core)
 
     s = subparsers.add_parser("make_graph")
     s.add_argument("-R", "--reference-fasta", required=True)

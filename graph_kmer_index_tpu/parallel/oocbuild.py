@@ -1,0 +1,438 @@
+"""Out-of-core genome-scale index build: bucket-range spills on disk.
+
+The reference's whole pipeline is in-memory: the CLI's ``index`` command
+merges every chunk's FlatKmers into one array set
+(command_line_interface.py:601-616) and ``make_from_flat`` argsorts the
+full row set at once (collision_free_kmer_index.py:422-467). At its own
+implied scale — ``--genome-size`` defaults to 3e9
+(command_line_interface.py:261) — that is ~4.8 G rows and ~125 GB of row
+arrays before the two modulo-sized tables, which does not fit a 128 GB
+host in one piece. The reference simply never runs there.
+
+This module makes the build **streaming and bounded**, reusing the
+bucket-range-owner decomposition the multi-chip sharded build
+(:mod:`.sharded`) already proved bit-equal:
+
+1. **Spill** (:class:`SpillWriter`): as find chunks finish (in chunk
+   order), each row is routed to the owner of its bucket range
+   (``owner = (kmer % modulo) // ceil(modulo/n_ranges)``) and appended
+   to that range's on-disk column files. Only the current chunk is ever
+   in memory. A journal (written after the data it covers) makes the
+   spill crash-safe and resumable: on reopen, partially-written tails
+   beyond the journal are truncated away.
+2. **Per-range build** (:func:`build_shards_from_spills`): each range's
+   rows are loaded (~total/n_ranges), stably sorted by bucket, turned
+   into that shard's local CSR tables + row slabs, and written as one
+   shard file of a :mod:`.checkpoint`-compatible checkpoint. Peak memory
+   is one range, not the genome. Shard files are atomic, so the build
+   stage resumes per shard; spills can be deleted as each shard lands,
+   which bounds peak **disk** at ~max(spill, checkpoint) too.
+3. **Serve / assemble**: the result is a standard shard checkpoint —
+   ``checkpoint.load_shards`` serves it over a mesh without ever
+   materializing the whole table, and
+   :func:`index_from_shard_checkpoint` reassembles a full
+   ``CollisionFreeKmerIndex`` when it fits (testing, smaller runs).
+
+Bit-equality contract: a global stable sort by bucket, restricted to a
+contiguous bucket range, equals the stable sort of that range's rows
+taken in global input order — so shard row slabs and sizes are
+bit-identical to ``TableShards.from_index(monolithic, n_ranges)`` built
+from the same FlatKmers (pinned in tests/test_oocbuild.py). The one
+deliberate difference: empty buckets store ``starts = 0`` here, whereas
+``from_index`` rebases the monolithic table's zeros to ``-shard_row_lo``
+— both are dead values (every reader masks on ``sizes > 0``).
+
+Frequencies use the reference ``set_frequencies`` semantics (distinct
+ref offsets per kmer, collision_free_kmer_index.py:267-293); equal kmers
+share a bucket, hence a range, so they are computed exactly per shard.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+
+from ..utils.hugepages import hp_empty, hp_zeros
+
+_SPILL_VERSION = 1
+_COLS = (("kmers", np.uint64), ("nodes", np.int32),
+         ("refs", np.uint64), ("afs", np.float32))
+
+
+def _range_path(spill_dir: str, t: int, col: str) -> str:
+    return os.path.join(spill_dir, f"range-{t:05d}.{col}.bin")
+
+
+def _m_range(modulo: int, n_ranges: int) -> int:
+    return -(-int(modulo) // int(n_ranges))
+
+
+class SpillWriter:
+    """Append find-chunk rows to per-bucket-range spill files.
+
+    ``add_chunk`` must be called in strictly increasing ``chunk_id``
+    order (global input order is what makes the per-range row order
+    match the monolithic build's stable sort); completions arriving
+    out of order are the caller's to buffer. Chunks already journaled
+    are skipped, so a resumed driver can replay the full sequence.
+    """
+
+    def __init__(self, spill_dir: str, modulo: int, n_ranges: int,
+                 pins: dict | None = None):
+        self.spill_dir = spill_dir
+        self.modulo = int(modulo)
+        self.n_ranges = int(n_ranges)
+        self.m_range = _m_range(modulo, n_ranges)
+        os.makedirs(spill_dir, exist_ok=True)
+        meta = {"version": _SPILL_VERSION, "modulo": self.modulo,
+                "n_ranges": self.n_ranges, "pins": pins or {}}
+        meta_path = os.path.join(spill_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+            if old != meta:
+                raise ValueError(
+                    f"spill dir {spill_dir!r} was written with different "
+                    f"inputs ({old} != {meta}); refusing to mix spills")
+        else:
+            tmp = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
+
+        self.journal_path = os.path.join(spill_dir, "journal.jsonl")
+        self.range_rows = np.zeros(self.n_ranges, dtype=np.int64)
+        self.done: set[int] = set()
+        self._next = 0
+        if os.path.exists(self.journal_path):
+            with open(self.journal_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # torn tail line: everything after is void
+                    self.done.add(int(rec["chunk"]))
+                    self.range_rows += np.asarray(rec["rows"],
+                                                  dtype=np.int64)
+            self._next = (max(self.done) + 1) if self.done else 0
+            if self.done != set(range(self._next)):
+                raise ValueError(
+                    f"spill journal {self.journal_path!r} has chunk gaps "
+                    f"({sorted(self.done)[:10]}...); cannot resume")
+            # crash cleanup: drop any partially-appended tail beyond the
+            # journaled lengths
+            for t in range(self.n_ranges):
+                for col, dtype in _COLS:
+                    path = _range_path(spill_dir, t, col)
+                    want = int(self.range_rows[t]) * np.dtype(dtype).itemsize
+                    if os.path.exists(path):
+                        if os.path.getsize(path) < want:
+                            raise ValueError(
+                                f"spill file {path} shorter than its "
+                                f"journal ({os.path.getsize(path)} < "
+                                f"{want}); spill dir is corrupt")
+                        if os.path.getsize(path) > want:
+                            os.truncate(path, want)
+                    elif want:
+                        raise ValueError(f"spill file {path} missing but "
+                                         f"journaled nonempty")
+
+    def add_chunk(self, chunk_id: int, hashes, nodes, ref_offsets,
+                  allele_frequencies) -> None:
+        chunk_id = int(chunk_id)
+        if chunk_id in self.done:
+            return
+        if chunk_id != self._next:
+            raise ValueError(f"add_chunk out of order: got {chunk_id}, "
+                             f"expected {self._next}")
+        h = np.ascontiguousarray(hashes, dtype=np.uint64)
+        cols = (h, np.ascontiguousarray(nodes, dtype=np.int32),
+                np.ascontiguousarray(ref_offsets, dtype=np.uint64),
+                np.ascontiguousarray(allele_frequencies, dtype=np.float32))
+        owner = (h % np.uint64(self.modulo)).astype(np.int64) // self.m_range
+        order = np.argsort(owner, kind="stable")
+        owner_sorted = owner[order]
+        counts = np.bincount(owner_sorted, minlength=self.n_ranges
+                             ).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        for t in range(self.n_ranges):
+            lo, hi = int(bounds[t]), int(bounds[t + 1])
+            if lo == hi:
+                continue
+            sel = order[lo:hi]
+            for (col, dtype), arr in zip(_COLS, cols):
+                with open(_range_path(self.spill_dir, t, col), "ab") as f:
+                    arr[sel].tofile(f)
+                    f.flush()
+                    os.fsync(f.fileno())
+        # journal only after the data it describes is durable
+        with open(self.journal_path, "a") as f:
+            f.write(json.dumps({"chunk": chunk_id,
+                                "rows": counts.tolist()}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self.done.add(chunk_id)
+        self._next = chunk_id + 1
+        self.range_rows += counts
+
+    def finish(self) -> dict:
+        return {"n_chunks": len(self.done),
+                "range_rows": self.range_rows.copy(),
+                "total_rows": int(self.range_rows.sum())}
+
+
+def _load_spill_range(spill_dir: str, t: int, n_rows: int):
+    """Read one range's spilled columns into hugepage-advised buffers
+    (this host first-touch faults fresh 4 KB pages at ~22 MB/s; a plain
+    np.fromfile allocation would serialize on that)."""
+    out = []
+    for col, dtype in _COLS:
+        buf = hp_empty(n_rows, dtype)
+        if n_rows:
+            with open(_range_path(spill_dir, t, col), "rb") as f:
+                got = f.readinto(memoryview(buf).cast("B"))
+            assert got == n_rows * np.dtype(dtype).itemsize, \
+                (col, t, got, n_rows)
+        out.append(buf)
+    return out
+
+
+def _shard_meta_path(prefix: str, t: int, n_table: int) -> str:
+    return f"{prefix}.shard-{t:05d}-of-{n_table:05d}.meta.json"
+
+
+def build_shards_from_spills(spill_dir: str, out_prefix: str,
+                             skip_frequencies: bool = False,
+                             delete_spills: bool = False) -> dict:
+    """Per-range merge+build with bounded peak memory.
+
+    For each bucket range: load its spilled rows, stable-sort by bucket,
+    emit the shard's local CSR tables + padded row slabs (plus the full
+    index's extra columns: ref offsets, allele frequencies and — unless
+    skipped — reference-semantics frequencies) as one atomic
+    ``checkpoint.shard_path`` file. The manifest is written last, after
+    every shard landed, carrying the cross-shard aggregates
+    (``max_scan``, ``max_node``) and the extra-column names.
+
+    Already-present shard files are skipped (their sidecar meta carries
+    their aggregates), so an interrupted build resumes per shard.
+    Returns ``{"prefix", "n_table", "total_rows", "max_scan"}``.
+    """
+    from . import checkpoint as ckpt
+
+    with open(os.path.join(spill_dir, "meta.json")) as f:
+        meta = json.load(f)
+    modulo = int(meta["modulo"])
+    n_ranges = int(meta["n_ranges"])
+    m_range = _m_range(modulo, n_ranges)
+    writer = SpillWriter(spill_dir, modulo, n_ranges,
+                         pins=meta.get("pins") or {})
+    range_rows = writer.range_rows
+    rmax = max(1, int(range_rows.max()) if len(range_rows) else 1)
+
+    max_scan = 1
+    max_node = 0
+    extras = ["row_ref_offsets", "row_afs"]
+    if not skip_frequencies:
+        extras.append("row_frequencies")
+
+    for t in range(n_ranges):
+        spath = ckpt.shard_path(out_prefix, t, n_ranges)
+        mpath = _shard_meta_path(out_prefix, t, n_ranges)
+        if os.path.exists(spath) and os.path.exists(mpath):
+            with open(mpath) as f:
+                sm = json.load(f)
+            if sm["rows"] == int(range_rows[t]) and sm["rmax"] == rmax:
+                max_scan = max(max_scan, sm["max_scan"])
+                max_node = max(max_node, sm["max_node"])
+                logging.info("ooc build: shard %d/%d already built; "
+                             "skipping", t, n_ranges)
+                continue
+        nt = int(range_rows[t])
+        kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt)
+        local = ((kmers % np.uint64(modulo)).astype(np.int64)
+                 - t * m_range)
+        order = np.argsort(local, kind="stable")
+        local = local[order]
+        kmers, nodes = kmers[order], nodes[order]
+        refs, afs = refs[order], afs[order]
+
+        diffs = (np.ediff1d(local, to_begin=np.int64(1))
+                 if nt else np.zeros(0, np.int64))
+        bstarts = np.nonzero(diffs)[0]
+        ubuckets = local[bstarts]
+        n_entries = (np.ediff1d(bstarts, to_end=nt - bstarts[-1])
+                     if len(bstarts) else np.zeros(0, np.int64))
+        starts_tbl = hp_zeros(m_range, np.int64, populate=True)
+        sizes_tbl = hp_zeros(m_range, np.int32, populate=True)
+        starts_tbl[ubuckets] = bstarts
+        sizes_tbl[ubuckets] = n_entries
+        shard_scan = int(n_entries.max()) if len(n_entries) else 0
+        max_scan = max(max_scan, shard_scan)
+        shard_node = int(nodes.max()) if nt else 0
+        max_node = max(max_node, shard_node)
+
+        def pad(a, dtype):
+            out = np.zeros(rmax, dtype=dtype)
+            out[:nt] = a
+            return out
+
+        cols = {"starts": starts_tbl, "sizes": sizes_tbl,
+                "row_kmers": pad(kmers, np.uint64),
+                "row_nodes": pad(nodes, np.int32),
+                "row_ref_offsets": pad(refs, np.uint64),
+                "row_afs": pad(afs, np.float32),
+                "n_rows": np.int64(nt)}
+        if not skip_frequencies:
+            from ..models.kmer_index import \
+                _frequencies_by_distinct_ref_offsets
+            cols["row_frequencies"] = pad(
+                _frequencies_by_distinct_ref_offsets(kmers, refs),
+                np.uint16)
+        ckpt._atomic_savez(spath, **cols)
+        tmp = f"{mpath}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"rows": nt, "rmax": rmax, "max_scan": shard_scan,
+                       "max_node": shard_node}, f)
+        os.replace(tmp, mpath)
+        logging.info("ooc build: shard %d/%d built (%d rows, scan<=%d)",
+                     t, n_ranges, nt, shard_scan)
+        if delete_spills:
+            for col, _ in _COLS:
+                path = _range_path(spill_dir, t, col)
+                if os.path.exists(path):
+                    os.remove(path)
+
+    ckpt._atomic_savez(
+        ckpt.manifest_path(out_prefix),
+        kind="csr", version=ckpt._VERSION, n_table=n_ranges,
+        m_local=m_range, modulo=modulo, max_scan=max_scan,
+        max_node=max_node,
+        extras=np.asarray(extras),
+        shard_rows=range_rows.astype(np.int64),
+        shape_starts=np.asarray([m_range], dtype=np.int64),
+        shape_sizes=np.asarray([m_range], dtype=np.int64),
+        shape_row_kmers=np.asarray([rmax], dtype=np.int64),
+        shape_row_nodes=np.asarray([rmax], dtype=np.int64))
+    return {"prefix": out_prefix, "n_table": n_ranges,
+            "total_rows": int(range_rows.sum()), "max_scan": max_scan}
+
+
+def index_from_shard_checkpoint(prefix: str):
+    """Reassemble a full ``CollisionFreeKmerIndex`` from an out-of-core
+    shard checkpoint (requires the whole row set to fit in memory —
+    the genome-scale path serves via ``checkpoint.load_shards`` on a
+    mesh instead). Bit-equal to ``from_flat_kmers`` on the same rows
+    (tests/test_oocbuild.py)."""
+    from . import checkpoint as ckpt
+    from ..models.kmer_index import CollisionFreeKmerIndex
+
+    with np.load(ckpt.manifest_path(prefix)) as z:
+        n_table = int(z["n_table"])
+        m_range = int(z["m_local"])
+        modulo = int(z["modulo"])
+        shard_rows = z["shard_rows"].astype(np.int64)
+        extras = [str(s) for s in z["extras"]] if "extras" in z.files \
+            else []
+    total = int(shard_rows.sum())
+    kmers = hp_empty(total, np.uint64)
+    nodes = hp_empty(total, np.int32)
+    refs = hp_empty(total, np.uint64)
+    afs = hp_empty(total, np.float32)
+    freqs = hp_empty(total, np.uint16) if "row_frequencies" in extras \
+        else None
+    starts_g = hp_zeros(modulo, np.int64, populate=True)
+    sizes_g = hp_zeros(modulo, np.uint32, populate=True)
+    off = 0
+    for t in range(n_table):
+        nt = int(shard_rows[t])
+        with np.load(ckpt.shard_path(prefix, t, n_table)) as z:
+            # the last ranges of an m_range*n_ranges > modulo layout are
+            # pure padding: no bucket (hence no row) can land there
+            b0 = min(modulo, t * m_range)
+            b1 = min(modulo, b0 + m_range)
+            sizes_t = z["sizes"][: b1 - b0]
+            nz = sizes_t > 0
+            starts_g[b0:b1][nz] = z["starts"][: b1 - b0][nz] + off
+            sizes_g[b0:b1] = sizes_t
+            kmers[off:off + nt] = z["row_kmers"][:nt]
+            nodes[off:off + nt] = z["row_nodes"][:nt]
+            refs[off:off + nt] = z["row_ref_offsets"][:nt]
+            afs[off:off + nt] = z["row_afs"][:nt]
+            if freqs is not None:
+                freqs[off:off + nt] = z["row_frequencies"][:nt]
+        off += nt
+    idx = CollisionFreeKmerIndex(
+        starts_g, sizes_g, nodes, refs, kmers, modulo,
+        _frequencies=freqs if freqs is not None else 0,
+        _allele_frequencies=afs)
+    return idx
+
+
+def find_and_build_out_of_core(graph, k, n_workers, workdir,
+                               modulo=452930477, n_ranges=32,
+                               critical_paths=None, position_id=None,
+                               chunks_per_worker=20,
+                               skip_frequencies=False,
+                               delete_spills=True,
+                               checkpoint_dir=None, mp_context=None,
+                               out_prefix=None,
+                               **finder_kwargs) -> dict:
+    """Genome-scale pipeline: pooled find → bucket-range spill →
+    per-range build → shard checkpoint at ``out_prefix``.
+
+    Rows stream from the find pool straight to disk in chunk order
+    (buffering only until a consecutive prefix exists — same discipline
+    as the streamed device finalize), so peak memory is a few chunks,
+    never the genome. With ``checkpoint_dir`` set, find chunks also
+    persist individually and a killed run resumes without recomputing
+    them (at the cost of a second on-disk copy of the rows); without
+    it, an interrupted run re-walks the graph but re-spills nothing
+    already journaled.
+    """
+    from .host_pool import (_find_pooled, _graph_fingerprint, _run_chunk,
+                            _value_fingerprint)
+    from ..critical_paths import CriticalGraphPaths
+
+    if critical_paths is None:
+        critical_paths = CriticalGraphPaths.from_graph(graph, k)
+    if position_id is None:
+        from ..graph import PositionId
+        position_id = PositionId.from_graph(graph)
+
+    pins = {"graph": _graph_fingerprint(graph), "k": int(k),
+            "kwargs": {kk: _value_fingerprint(v)
+                       for kk, v in sorted(finder_kwargs.items())}}
+    spill_dir = os.path.join(workdir, "spill")
+    if out_prefix is None:
+        out_prefix = os.path.join(workdir, "index")
+    writer = SpillWriter(spill_dir, modulo, n_ranges, pins=pins)
+
+    pending: dict = {}
+    state = {"next": 0}
+
+    def on_result(i, r):
+        pending[i] = r
+        while state["next"] in pending:
+            h, n, ro, af = pending.pop(state["next"])
+            writer.add_chunk(state["next"], h, n, ro, af)
+            state["next"] += 1
+
+    _find_pooled(_run_chunk, graph, k, n_workers, critical_paths,
+                 position_id, chunks_per_worker, finder_kwargs,
+                 checkpoint_dir=checkpoint_dir, mp_context=mp_context,
+                 on_result=on_result)
+    assert not pending, "chunk stream ended with a gap in the prefix"
+    spill = writer.finish()
+    logging.info("ooc find: %d chunks, %d rows spilled",
+                 spill["n_chunks"], spill["total_rows"])
+    res = build_shards_from_spills(spill_dir, out_prefix,
+                                   skip_frequencies=skip_frequencies,
+                                   delete_spills=delete_spills)
+    res["spilled_rows"] = spill["total_rows"]
+    return res

@@ -133,6 +133,40 @@ def test_cli_index_with_whitelist(fixtures):
         np.asarray(got._hashes, np.uint64), backend="native"))
 
 
+def test_cli_make_index_out_of_core(tmp_path, fixtures):
+    """make_index_out_of_core == index + make_from_flat, and its shard
+    checkpoint serves through map_reads --table-shards."""
+    _, g, v2n, _ = fixtures
+    flat = str(tmp_path / "flat.npz")
+    kindex = str(tmp_path / "kindex.npz")
+    run_argument_parser(["index", "-g", g, "-k", "5", "-o", flat])
+    run_argument_parser(["make_from_flat", "-f", flat, "-o", kindex,
+                         "-m", "4099"])
+    wd = str(tmp_path / "ooc")
+    run_argument_parser(["make_index_out_of_core", "-g", g, "-k", "5",
+                         "-d", wd, "-m", "4099", "-n", "4", "-O", "1"])
+    from graph_kmer_index_tpu.parallel.oocbuild import \
+        index_from_shard_checkpoint
+    mono = KmerIndex.from_file(kindex)
+    ooc = index_from_shard_checkpoint(str(pathlib.Path(wd) / "index"))
+    np.testing.assert_array_equal(np.asarray(ooc._kmers, np.uint64),
+                                  np.asarray(mono._kmers, np.uint64))
+    np.testing.assert_array_equal(np.asarray(ooc._nodes),
+                                  np.asarray(mono._nodes))
+
+    reads = str(tmp_path / "reads.fa")
+    with open(reads, "w") as f:
+        f.write(">r1\nACTGACTGTCTAGGACTGAC\n")
+    counts = str(tmp_path / "counts.npy")
+    run_argument_parser(["map_reads", "-i", kindex, "-r", reads,
+                         "-k", "5", "-o", counts])
+    counts_sh = str(tmp_path / "counts_ooc.npy")
+    run_argument_parser(["map_reads", "-T", str(pathlib.Path(wd) / "index"),
+                         "-r", reads, "-k", "5",
+                         "-n", str(len(np.load(counts))), "-o", counts_sh])
+    np.testing.assert_array_equal(np.load(counts_sh), np.load(counts))
+
+
 def test_cli_full_user_journey(tmp_path):
     """FASTA+VCF -> make_graph -> index -> make_from_flat -> map_reads:
     the complete switch-from-reference workflow through the CLI."""

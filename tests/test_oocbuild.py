@@ -1,0 +1,239 @@
+"""Out-of-core (bucket-range spill) build == monolithic build.
+
+The contract mirrors the sharded-build tests: every decomposition of the
+index build must reproduce the single-piece result bit-for-bit
+(reference invariant: the index -t N merge equals one big find+build,
+command_line_interface.py:574-623 / collision_free_kmer_index.py:422-467).
+"""
+import os
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from graph_kmer_index_tpu import CollisionFreeKmerIndex
+from graph_kmer_index_tpu.parallel.host_pool import find_kmers_parallel
+from graph_kmer_index_tpu.parallel.oocbuild import (
+    SpillWriter, build_shards_from_spills, find_and_build_out_of_core,
+    index_from_shard_checkpoint)
+from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
+
+MODULO = 1009
+K = 7
+
+
+def _fixture(seed=13):
+    graph, _ = random_snp_graph(4000, 50, seed=seed, indel_fraction=0.3)
+    flat = find_kmers_parallel(graph, K, n_workers=1)
+    mono = CollisionFreeKmerIndex.from_flat_kmers(flat, modulo=MODULO,
+                                                  use_device=False)
+    return graph, flat, mono
+
+
+def _assert_index_equal(a, b):
+    assert np.array_equal(np.asarray(a._kmers, dtype=np.uint64),
+                          np.asarray(b._kmers, dtype=np.uint64))
+    assert np.array_equal(np.asarray(a._nodes), np.asarray(b._nodes))
+    assert np.array_equal(np.asarray(a._ref_offsets, dtype=np.uint64),
+                          np.asarray(b._ref_offsets, dtype=np.uint64))
+    assert np.array_equal(np.asarray(a._allele_frequencies,
+                                     dtype=np.float32),
+                          np.asarray(b._allele_frequencies,
+                                     dtype=np.float32))
+    sa = np.asarray(a._n_kmers, dtype=np.int64)
+    sb = np.asarray(b._n_kmers, dtype=np.int64)
+    assert np.array_equal(sa, sb)
+    nz = sa > 0
+    assert np.array_equal(np.asarray(a._hashes_to_index)[nz],
+                          np.asarray(b._hashes_to_index)[nz])
+    assert np.array_equal(np.asarray(a._frequencies, dtype=np.int64),
+                          np.asarray(b._frequencies, dtype=np.int64))
+
+
+def _spill_flat(spill_dir, flat, n_chunks, n_ranges, modulo=MODULO):
+    w = SpillWriter(spill_dir, modulo, n_ranges)
+    h = np.asarray(flat._hashes, dtype=np.uint64)
+    bounds = np.linspace(0, len(h), n_chunks + 1).astype(int)
+    for c in range(n_chunks):
+        s = slice(bounds[c], bounds[c + 1])
+        w.add_chunk(c, h[s], np.asarray(flat._nodes)[s],
+                    np.asarray(flat._ref_offsets)[s],
+                    np.asarray(flat._allele_frequencies)[s])
+    return w
+
+
+def test_spill_build_matches_monolithic(tmp_path):
+    graph, flat, mono = _fixture()
+    for n_ranges in (1, 3, 8):
+        d = tmp_path / f"r{n_ranges}"
+        _spill_flat(str(d / "spill"), flat, n_chunks=5, n_ranges=n_ranges)
+        res = build_shards_from_spills(str(d / "spill"), str(d / "index"))
+        assert res["total_rows"] == len(flat)
+        ooc = index_from_shard_checkpoint(str(d / "index"))
+        _assert_index_equal(ooc, mono)
+
+
+def test_ooc_shards_match_from_index(tmp_path):
+    """Shard container equality vs TableShards.from_index of the
+    monolithic build (the serving layout)."""
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+    from graph_kmer_index_tpu.parallel.sharded import TableShards
+
+    graph, flat, mono = _fixture()
+    n_ranges = 4
+    _spill_flat(str(tmp_path / "spill"), flat, 3, n_ranges)
+    build_shards_from_spills(str(tmp_path / "spill"),
+                             str(tmp_path / "index"))
+    got = ckpt.load_shards(str(tmp_path / "index"))
+    want = TableShards.from_index(mono, n_ranges)
+    assert got.modulo == want.modulo and got.m_local == want.m_local
+    assert got.max_scan == want.max_scan
+    assert np.array_equal(np.asarray(got.sizes), np.asarray(want.sizes))
+    assert np.array_equal(np.asarray(got.row_kmers),
+                          np.asarray(want.row_kmers))
+    assert np.array_equal(np.asarray(got.row_nodes),
+                          np.asarray(want.row_nodes))
+    nz = np.asarray(want.sizes) > 0
+    assert np.array_equal(np.asarray(got.starts)[nz],
+                          np.asarray(want.starts)[nz])
+
+
+def test_ooc_checkpoint_serves_on_mesh(tmp_path):
+    """The out-of-core checkpoint drives the mesh count step with
+    results equal to the monolithic host lookup."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+    from graph_kmer_index_tpu.parallel.sharded import (KMER_PAD,
+                                                       make_count_step)
+
+    graph, flat, mono = _fixture()
+    n_table = 4
+    _spill_flat(str(tmp_path / "spill"), flat, 4, n_table)
+    build_shards_from_spills(str(tmp_path / "spill"),
+                             str(tmp_path / "index"))
+
+    rng = np.random.default_rng(5)
+    qs = np.concatenate([
+        rng.choice(np.asarray(flat._hashes, dtype=np.uint64), 64),
+        rng.integers(0, 1 << 40, 64).astype(np.uint64)])
+    n_nodes = graph.n_nodes()
+    expected = mono.map_kmers(qs, n_nodes)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, n_table)
+    mesh = Mesh(devices, ("data", "table"))
+    shards = ckpt.load_shards(str(tmp_path / "index"), mesh=mesh)
+    step = make_count_step(mesh, shards, n_nodes, K, from_kmers=True)
+    qpad = np.full(128, KMER_PAD, dtype=np.uint64)
+    qpad[:len(qs)] = qs
+    qj = jax.device_put(jnp.asarray(qpad.reshape(2, 64)),
+                        NamedSharding(mesh, P("data", None)))
+    got = np.asarray(step(qj, shards.starts, shards.sizes,
+                          shards.row_kmers, shards.row_nodes))
+    assert np.array_equal(got, expected)
+
+
+def test_spill_crash_truncation_and_order(tmp_path):
+    graph, flat, mono = _fixture(seed=21)
+    d = str(tmp_path / "spill")
+    w = _spill_flat(d, flat, n_chunks=6, n_ranges=3)
+    # only 4 of 6 chunks "completed" before the crash: rebuild journal
+    with open(os.path.join(d, "journal.jsonl")) as f:
+        lines = f.readlines()
+    with open(os.path.join(d, "journal.jsonl"), "w") as f:
+        f.writelines(lines[:4])
+    # simulate a torn post-crash append beyond the journal
+    with open(os.path.join(d, "range-00001.kmers.bin"), "ab") as f:
+        f.write(b"\xff" * 24)
+
+    w2 = SpillWriter(d, MODULO, 3)
+    assert w2.done == {0, 1, 2, 3}
+    with pytest.raises(ValueError):
+        w2.add_chunk(5, *[np.zeros(0)] * 4)  # out of order
+    h = np.asarray(flat._hashes, dtype=np.uint64)
+    bounds = np.linspace(0, len(h), 7).astype(int)
+    for c in (3, 4, 5):  # 3 is journaled: must be a no-op replay
+        s = slice(bounds[c], bounds[c + 1])
+        w2.add_chunk(c, h[s], np.asarray(flat._nodes)[s],
+                     np.asarray(flat._ref_offsets)[s],
+                     np.asarray(flat._allele_frequencies)[s])
+    assert np.array_equal(w2.range_rows, w.range_rows)
+    build_shards_from_spills(d, str(tmp_path / "index"))
+    _assert_index_equal(index_from_shard_checkpoint(str(tmp_path / "index")),
+                        mono)
+
+
+def test_build_stage_resumes_per_shard(tmp_path):
+    graph, flat, mono = _fixture(seed=33)
+    d = str(tmp_path / "spill")
+    _spill_flat(d, flat, n_chunks=4, n_ranges=4)
+    prefix = str(tmp_path / "index")
+    build_shards_from_spills(d, prefix)
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+    # wipe the manifest + one shard: the re-run must rebuild exactly that
+    os.remove(ckpt.manifest_path(prefix))
+    os.remove(ckpt.shard_path(prefix, 2, 4))
+    kept = {t: os.path.getmtime(ckpt.shard_path(prefix, t, 4))
+            for t in (0, 1, 3)}
+    build_shards_from_spills(d, prefix)
+    for t, mt in kept.items():
+        assert os.path.getmtime(ckpt.shard_path(prefix, t, 4)) == mt, \
+            f"shard {t} was rebuilt needlessly"
+    _assert_index_equal(index_from_shard_checkpoint(prefix), mono)
+
+
+def test_find_and_build_out_of_core_end_to_end(tmp_path):
+    """The full driver (pooled find -> spill -> build) == monolithic,
+    including a find-checkpointed resume after deleting the spills."""
+    graph, flat, mono = _fixture(seed=44)
+    wd = str(tmp_path / "wd")
+    res = find_and_build_out_of_core(
+        graph, K, n_workers=1, workdir=wd, modulo=MODULO, n_ranges=4,
+        checkpoint_dir=os.path.join(wd, "findck"), delete_spills=True)
+    assert res["spilled_rows"] == len(flat)
+    ooc = index_from_shard_checkpoint(os.path.join(wd, "index"))
+    _assert_index_equal(ooc, mono)
+    # spills were deleted as shards landed
+    assert not any(f.endswith(".bin")
+                   for f in os.listdir(os.path.join(wd, "spill")))
+
+    # resume path: wipe spill + index, keep find checkpoints; the rerun
+    # must replay chunks from the checkpoint into a fresh spill
+    import shutil
+    shutil.rmtree(os.path.join(wd, "spill"))
+    for f in list(os.listdir(wd)):
+        if f.startswith("index"):
+            os.remove(os.path.join(wd, f))
+    res2 = find_and_build_out_of_core(
+        graph, K, n_workers=1, workdir=wd, modulo=MODULO, n_ranges=4,
+        checkpoint_dir=os.path.join(wd, "findck"), delete_spills=False)
+    assert res2["spilled_rows"] == len(flat)
+    _assert_index_equal(index_from_shard_checkpoint(os.path.join(wd, "index")),
+                        mono)
+
+
+def test_spill_refuses_mismatched_inputs(tmp_path):
+    d = str(tmp_path / "spill")
+    SpillWriter(d, MODULO, 4)
+    with pytest.raises(ValueError):
+        SpillWriter(d, MODULO, 8)
+    with pytest.raises(ValueError):
+        SpillWriter(d, 2003, 4)
+
+
+def test_empty_and_tiny_inputs(tmp_path):
+    # zero rows overall; ranges larger than distinct buckets
+    w = SpillWriter(str(tmp_path / "s0"), 17, 8)
+    w.add_chunk(0, *[np.zeros(0, d) for d in
+                     (np.uint64, np.int32, np.uint64, np.float32)])
+    res = build_shards_from_spills(str(tmp_path / "s0"),
+                                   str(tmp_path / "i0"))
+    assert res["total_rows"] == 0
+    idx = index_from_shard_checkpoint(str(tmp_path / "i0"))
+    assert len(np.asarray(idx._kmers)) == 0
+    assert not idx.has_kmers(np.array([3], dtype=np.uint64),
+                             backend="host").any()
