@@ -206,9 +206,69 @@ def _shard_meta_path(prefix: str, t: int, n_table: int) -> str:
     return f"{prefix}.shard-{t:05d}-of-{n_table:05d}.meta.json"
 
 
+def _build_one_shard(arg) -> tuple:
+    """Module-level per-shard build (one bucket range: load, stable
+    sort, CSR tables, atomic write) — callable serially or from a
+    jax-free SubprocessPool worker. Returns ``(t, max_scan, max_node)``.
+    """
+    (spill_dir, out_prefix, t, n_ranges, modulo, nt, rmax,
+     skip_frequencies) = arg
+    from . import checkpoint as ckpt
+
+    m_range = _m_range(modulo, n_ranges)
+    kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt)
+    local = ((kmers % np.uint64(modulo)).astype(np.int64)
+             - t * m_range)
+    order = np.argsort(local, kind="stable")
+    local = local[order]
+    kmers, nodes = kmers[order], nodes[order]
+    refs, afs = refs[order], afs[order]
+
+    diffs = (np.ediff1d(local, to_begin=np.int64(1))
+             if nt else np.zeros(0, np.int64))
+    bstarts = np.nonzero(diffs)[0]
+    ubuckets = local[bstarts]
+    n_entries = (np.ediff1d(bstarts, to_end=nt - bstarts[-1])
+                 if len(bstarts) else np.zeros(0, np.int64))
+    starts_tbl = hp_zeros(m_range, np.int64, populate=True)
+    sizes_tbl = hp_zeros(m_range, np.int32, populate=True)
+    starts_tbl[ubuckets] = bstarts
+    sizes_tbl[ubuckets] = n_entries
+    shard_scan = int(n_entries.max()) if len(n_entries) else 0
+    shard_node = int(nodes.max()) if nt else 0
+
+    def pad(a, dtype):
+        out = np.zeros(rmax, dtype=dtype)
+        out[:nt] = a
+        return out
+
+    cols = {"starts": starts_tbl, "sizes": sizes_tbl,
+            "row_kmers": pad(kmers, np.uint64),
+            "row_nodes": pad(nodes, np.int32),
+            "row_ref_offsets": pad(refs, np.uint64),
+            "row_afs": pad(afs, np.float32),
+            "n_rows": np.int64(nt)}
+    if not skip_frequencies:
+        from ..models.kmer_index import \
+            _frequencies_by_distinct_ref_offsets
+        cols["row_frequencies"] = pad(
+            _frequencies_by_distinct_ref_offsets(kmers, refs),
+            np.uint16)
+    ckpt._atomic_savez(ckpt.shard_path(out_prefix, t, n_ranges), **cols)
+    mpath = _shard_meta_path(out_prefix, t, n_ranges)
+    tmp = f"{mpath}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"rows": nt, "rmax": rmax, "max_scan": shard_scan,
+                   "max_node": shard_node}, f)
+    os.replace(tmp, mpath)
+    return t, shard_scan, shard_node
+
+
 def build_shards_from_spills(spill_dir: str, out_prefix: str,
                              skip_frequencies: bool = False,
-                             delete_spills: bool = False) -> dict:
+                             delete_spills: bool = False,
+                             keep_ranges: tuple = (),
+                             n_workers: int = 1) -> dict:
     """Per-range merge+build with bounded peak memory.
 
     For each bucket range: load its spilled rows, stable-sort by bucket,
@@ -221,6 +281,9 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
 
     Already-present shard files are skipped (their sidecar meta carries
     their aggregates), so an interrupted build resumes per shard.
+    ``n_workers > 1`` builds ranges concurrently in jax-free subprocess
+    workers (ranges are independent; peak memory becomes
+    ``n_workers * range``, so size ``n_ranges`` accordingly).
     Returns ``{"prefix", "n_table", "total_rows", "max_scan"}``.
     """
     from . import checkpoint as ckpt
@@ -241,6 +304,7 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
     if not skip_frequencies:
         extras.append("row_frequencies")
 
+    todo = []
     for t in range(n_ranges):
         spath = ckpt.shard_path(out_prefix, t, n_ranges)
         mpath = _shard_meta_path(out_prefix, t, n_ranges)
@@ -253,60 +317,30 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
                 logging.info("ooc build: shard %d/%d already built; "
                              "skipping", t, n_ranges)
                 continue
-        nt = int(range_rows[t])
-        kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt)
-        local = ((kmers % np.uint64(modulo)).astype(np.int64)
-                 - t * m_range)
-        order = np.argsort(local, kind="stable")
-        local = local[order]
-        kmers, nodes = kmers[order], nodes[order]
-        refs, afs = refs[order], afs[order]
+        todo.append((spill_dir, out_prefix, t, n_ranges, modulo,
+                     int(range_rows[t]), rmax, skip_frequencies))
 
-        diffs = (np.ediff1d(local, to_begin=np.int64(1))
-                 if nt else np.zeros(0, np.int64))
-        bstarts = np.nonzero(diffs)[0]
-        ubuckets = local[bstarts]
-        n_entries = (np.ediff1d(bstarts, to_end=nt - bstarts[-1])
-                     if len(bstarts) else np.zeros(0, np.int64))
-        starts_tbl = hp_zeros(m_range, np.int64, populate=True)
-        sizes_tbl = hp_zeros(m_range, np.int32, populate=True)
-        starts_tbl[ubuckets] = bstarts
-        sizes_tbl[ubuckets] = n_entries
-        shard_scan = int(n_entries.max()) if len(n_entries) else 0
+    def done_one(t, shard_scan, shard_node):
+        nonlocal max_scan, max_node
         max_scan = max(max_scan, shard_scan)
-        shard_node = int(nodes.max()) if nt else 0
         max_node = max(max_node, shard_node)
-
-        def pad(a, dtype):
-            out = np.zeros(rmax, dtype=dtype)
-            out[:nt] = a
-            return out
-
-        cols = {"starts": starts_tbl, "sizes": sizes_tbl,
-                "row_kmers": pad(kmers, np.uint64),
-                "row_nodes": pad(nodes, np.int32),
-                "row_ref_offsets": pad(refs, np.uint64),
-                "row_afs": pad(afs, np.float32),
-                "n_rows": np.int64(nt)}
-        if not skip_frequencies:
-            from ..models.kmer_index import \
-                _frequencies_by_distinct_ref_offsets
-            cols["row_frequencies"] = pad(
-                _frequencies_by_distinct_ref_offsets(kmers, refs),
-                np.uint16)
-        ckpt._atomic_savez(spath, **cols)
-        tmp = f"{mpath}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"rows": nt, "rmax": rmax, "max_scan": shard_scan,
-                       "max_node": shard_node}, f)
-        os.replace(tmp, mpath)
         logging.info("ooc build: shard %d/%d built (%d rows, scan<=%d)",
-                     t, n_ranges, nt, shard_scan)
-        if delete_spills:
+                     t, n_ranges, int(range_rows[t]), shard_scan)
+        if delete_spills and t not in keep_ranges:
             for col, _ in _COLS:
                 path = _range_path(spill_dir, t, col)
                 if os.path.exists(path):
                     os.remove(path)
+
+    if n_workers > 1 and len(todo) > 1:
+        from .proc_pool import SubprocessPool
+        with SubprocessPool(min(n_workers, len(todo))) as pool:
+            for _, res in pool.imap_unordered(
+                    _build_one_shard, [(a[2], a) for a in todo]):
+                done_one(*res)
+    else:
+        for a in todo:
+            done_one(*_build_one_shard(a))
 
     ckpt._atomic_savez(
         ckpt.manifest_path(out_prefix),
@@ -379,9 +413,9 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
                                critical_paths=None, position_id=None,
                                chunks_per_worker=20,
                                skip_frequencies=False,
-                               delete_spills=True,
+                               delete_spills=True, keep_ranges=(),
                                checkpoint_dir=None, mp_context=None,
-                               out_prefix=None,
+                               out_prefix=None, build_workers=None,
                                **finder_kwargs) -> dict:
     """Genome-scale pipeline: pooled find → bucket-range spill →
     per-range build → shard checkpoint at ``out_prefix``.
@@ -431,8 +465,9 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
     spill = writer.finish()
     logging.info("ooc find: %d chunks, %d rows spilled",
                  spill["n_chunks"], spill["total_rows"])
-    res = build_shards_from_spills(spill_dir, out_prefix,
-                                   skip_frequencies=skip_frequencies,
-                                   delete_spills=delete_spills)
+    res = build_shards_from_spills(
+        spill_dir, out_prefix, skip_frequencies=skip_frequencies,
+        delete_spills=delete_spills, keep_ranges=keep_ranges,
+        n_workers=n_workers if build_workers is None else build_workers)
     res["spilled_rows"] = spill["total_rows"]
     return res
