@@ -32,7 +32,6 @@ import json
 import os
 import pathlib
 import resource
-import shutil
 import sys
 import threading
 import time

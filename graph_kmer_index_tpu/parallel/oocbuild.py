@@ -59,6 +59,9 @@ from ..utils.hugepages import hp_empty, hp_zeros
 _SPILL_VERSION = 1
 _COLS = (("kmers", np.uint64), ("nodes", np.int32),
          ("refs", np.uint64), ("afs", np.float32))
+#: the packed-conversion pass only re-routes what its serve path reads
+_COLS_KN = _COLS[:2]
+_COL_DTYPES = dict(_COLS)
 
 
 def _range_path(spill_dir: str, t: int, col: str) -> str:
@@ -80,14 +83,20 @@ class SpillWriter:
     """
 
     def __init__(self, spill_dir: str, modulo: int, n_ranges: int,
-                 pins: dict | None = None):
+                 pins: dict | None = None, cols=None, m_range=None):
         self.spill_dir = spill_dir
         self.modulo = int(modulo)
         self.n_ranges = int(n_ranges)
-        self.m_range = _m_range(modulo, n_ranges)
+        # m_range override: the packed conversion needs 16-aligned
+        # ranges (record groups must not straddle shards)
+        self.m_range = int(m_range) if m_range is not None \
+            else _m_range(modulo, n_ranges)
+        self.cols = tuple(cols) if cols is not None else _COLS
         os.makedirs(spill_dir, exist_ok=True)
         meta = {"version": _SPILL_VERSION, "modulo": self.modulo,
-                "n_ranges": self.n_ranges, "pins": pins or {}}
+                "n_ranges": self.n_ranges, "pins": pins or {},
+                "cols": [c for c, _ in self.cols],
+                "m_range": self.m_range}
         meta_path = os.path.join(spill_dir, "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -127,7 +136,7 @@ class SpillWriter:
             # crash cleanup: drop any partially-appended tail beyond the
             # journaled lengths
             for t in range(self.n_ranges):
-                for col, dtype in _COLS:
+                for col, dtype in self.cols:
                     path = _range_path(spill_dir, t, col)
                     want = int(self.range_rows[t]) * np.dtype(dtype).itemsize
                     if os.path.exists(path):
@@ -142,8 +151,8 @@ class SpillWriter:
                         raise ValueError(f"spill file {path} missing but "
                                          f"journaled nonempty")
 
-    def add_chunk(self, chunk_id: int, hashes, nodes, ref_offsets,
-                  allele_frequencies) -> None:
+    def add_chunk(self, chunk_id: int, hashes, nodes, ref_offsets=None,
+                  allele_frequencies=None) -> None:
         chunk_id = int(chunk_id)
         if chunk_id in self.done:
             return
@@ -151,9 +160,9 @@ class SpillWriter:
             raise ValueError(f"add_chunk out of order: got {chunk_id}, "
                              f"expected {self._next}")
         h = np.ascontiguousarray(hashes, dtype=np.uint64)
-        cols = (h, np.ascontiguousarray(nodes, dtype=np.int32),
-                np.ascontiguousarray(ref_offsets, dtype=np.uint64),
-                np.ascontiguousarray(allele_frequencies, dtype=np.float32))
+        vals = (h, nodes, ref_offsets, allele_frequencies)[:len(self.cols)]
+        cols = tuple(np.ascontiguousarray(v, dtype=dt)
+                     for (_, dt), v in zip(self.cols, vals))
         owner = (h % np.uint64(self.modulo)).astype(np.int64) // self.m_range
         order = np.argsort(owner, kind="stable")
         owner_sorted = owner[order]
@@ -165,7 +174,7 @@ class SpillWriter:
             if lo == hi:
                 continue
             sel = order[lo:hi]
-            for (col, dtype), arr in zip(_COLS, cols):
+            for (col, dtype), arr in zip(self.cols, cols):
                 with open(_range_path(self.spill_dir, t, col), "ab") as f:
                     arr[sel].tofile(f)
                     f.flush()
@@ -186,12 +195,12 @@ class SpillWriter:
                 "total_rows": int(self.range_rows.sum())}
 
 
-def _load_spill_range(spill_dir: str, t: int, n_rows: int):
+def _load_spill_range(spill_dir: str, t: int, n_rows: int, cols=_COLS):
     """Read one range's spilled columns into hugepage-advised buffers
     (this host first-touch faults fresh 4 KB pages at ~22 MB/s; a plain
     np.fromfile allocation would serialize on that)."""
     out = []
-    for col, dtype in _COLS:
+    for col, dtype in cols:
         buf = hp_empty(n_rows, dtype)
         if n_rows:
             with open(_range_path(spill_dir, t, col), "rb") as f:
@@ -471,3 +480,184 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
         n_workers=n_workers if build_workers is None else build_workers)
     res["spilled_rows"] = spill["total_rows"]
     return res
+
+
+# -- out-of-core PACKED layout (the production serving table) ---------------
+
+def _build_packed_shard(arg) -> tuple:
+    """One modulo2-bucket range of the packed-record layout — the same
+    construction as ``PackedTableShards.from_index`` (sharded.py:305)
+    restricted to a shard: a bucket's record group never straddles a
+    shard (16-aligned ranges) and dup2 adjacency is bucket-local, so
+    the restriction is exact. Returns ``(t, max_scan, has_dup,
+    max_node)``."""
+    (spill_dir, out_prefix, t, n_table, modulo2, m2_local, nt,
+     rmax) = arg
+    from . import checkpoint as ckpt
+    from ..ops.lookup import SCAN_CAP, _DUP2, _dup2_masks
+
+    kmers, nodes = _load_spill_range(spill_dir, t, nt, cols=_COLS_KN)
+    bs = ((kmers % np.uint64(modulo2)).astype(np.int64)
+          - t * m2_local)
+    order = np.argsort(bs, kind="stable")
+    bs, ks = bs[order], kmers[order]
+    ns = nodes[order].astype(np.uint32)
+
+    first = (np.ediff1d(bs, to_begin=np.int64(1)) != 0) if nt \
+        else np.zeros(0, bool)
+    second = np.concatenate([[False], first[:-1]]) & ~first \
+        if nt else first
+    sizes_at = np.zeros(m2_local, np.int64)
+    np.add.at(sizes_at, bs, 1)
+    sz_row = sizes_at[bs]
+    max_scan = int(sz_row.max()) if nt else 1
+    if max_scan > SCAN_CAP:
+        raise ValueError(
+            "table has buckets deeper than SCAN_CAP; use the CSR "
+            "layout for this index")
+
+    idx_local = np.arange(nt, dtype=np.int64)
+    rec = np.full(8 * m2_local, 0xFFFFFFFF, np.uint32)
+    tb = bs * 8
+    ks_lo = (ks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    ks_hi = (ks >> np.uint64(32)).astype(np.uint32)
+    dup_b, dup_a = _dup2_masks(second, sz_row, ks, xp=np)
+    sec2 = second & (sz_row == 2) & ~dup_b
+    rec[tb[first]] = ks_lo[first]
+    rec[tb[first] + 1] = ks_hi[first]
+    rec[tb[first] + 2] = ns[first]
+    szv = sz_row.astype(np.uint32)
+    szv[dup_a] |= np.uint32(_DUP2)
+    rec[tb[first] + 3] = ~szv[first]
+    rec[tb[sec2] + 4] = ks_lo[sec2]
+    rec[tb[sec2] + 5] = ks_hi[sec2]
+    rec[tb[sec2] + 6] = ns[sec2]
+    fdeep = first & ((sz_row > 2) | dup_a)
+    rec[tb[fdeep] + 6] = idx_local[fdeep].astype(np.uint32)
+
+    def pad(a, dtype):
+        out = np.zeros(rmax, dtype=dtype)
+        out[:nt] = a
+        return out
+
+    ckpt._atomic_savez(
+        ckpt.shard_path(out_prefix, t, n_table),
+        records=rec.reshape(m2_local // 16, 128),
+        row_kmers=pad(ks, np.uint64),
+        row_nodes=pad(ns.astype(np.int32), np.int32))
+    has_dup = bool(dup_b.any())
+    max_node = int(nodes.max()) if nt else 0
+    mpath = _shard_meta_path(out_prefix, t, n_table)
+    tmp = f"{mpath}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"rows": nt, "rmax": rmax, "max_scan": max_scan,
+                   "has_dup": has_dup, "max_node": max_node}, f)
+    os.replace(tmp, mpath)
+    return t, max_scan, has_dup, max_node
+
+
+def convert_checkpoint_to_packed(csr_prefix: str, workdir: str,
+                                 out_prefix: str | None = None,
+                                 n_table: int | None = None,
+                                 n_workers: int = 1,
+                                 delete_spills: bool = True) -> dict:
+    """Out-of-core CSR checkpoint → out-of-core PACKED checkpoint.
+
+    The packed layout (ops/lookup.py: one 32-byte record gather per
+    query) hashes by its own internal ``next_prime(2n)`` modulo, so a
+    conversion is a full re-partition: each CSR shard's rows are read
+    once (in global row order) and re-spilled to the owner of their
+    modulo2-bucket range, then each range builds its packed shard —
+    peak memory stays ~rows/n_table. The result serves through the
+    existing ``checkpoint.load_shards`` + ``make_count_step_packed`` /
+    ``make_member_step_packed`` mesh steps and is bit-identical to
+    ``PackedTableShards.from_index`` of the monolithic index
+    (tests/test_oocbuild.py).
+
+    Disk note: packed records cost 32 B/bucket at ~2 buckets/row —
+    ~64 B/row of checkpoint (it is the serving fleet's HBM-resident
+    table). A 3 Gb genome's packed set is ~300 GB spread over the
+    fleet; size ``n_table`` so each shard fits one device's HBM.
+    """
+    from . import checkpoint as ckpt
+    from ..ops.lookup import internal_modulo
+
+    with np.load(ckpt.manifest_path(csr_prefix)) as z:
+        n_csr = int(z["n_table"])
+        shard_rows = z["shard_rows"].astype(np.int64)
+    n = int(shard_rows.sum())
+    if n_table is None:
+        n_table = n_csr
+    modulo2 = internal_modulo(n)
+    per_shard = -(-modulo2 // n_table)
+    m2_local = 16 * (-(-per_shard // 16))
+
+    spill_dir = os.path.join(workdir, "spill2")
+    if out_prefix is None:
+        out_prefix = os.path.join(workdir, "packed")
+    writer = SpillWriter(spill_dir, modulo2, n_table,
+                         pins={"csr": os.path.abspath(csr_prefix),
+                               "rows": n},
+                         cols=_COLS_KN, m_range=m2_local)
+    # pass 1: CSR shards in order == global row order; chunk = shard
+    for t in range(n_csr):
+        if t in writer.done:
+            continue
+        nt = int(shard_rows[t])
+        with np.load(ckpt.shard_path(csr_prefix, t, n_csr)) as z:
+            writer.add_chunk(t, z["row_kmers"][:nt], z["row_nodes"][:nt])
+    spill = writer.finish()
+    assert spill["total_rows"] == n, (spill["total_rows"], n)
+
+    # pass 2: per-range packed builds
+    rmax = max(1, int(writer.range_rows.max()))
+    max_scan, has_dup, max_node = 1, False, 0
+    todo = []
+    for t in range(n_table):
+        spath = ckpt.shard_path(out_prefix, t, n_table)
+        mpath = _shard_meta_path(out_prefix, t, n_table)
+        if os.path.exists(spath) and os.path.exists(mpath):
+            with open(mpath) as f:
+                sm = json.load(f)
+            if sm["rows"] == int(writer.range_rows[t]) \
+                    and sm["rmax"] == rmax:
+                max_scan = max(max_scan, sm["max_scan"])
+                has_dup = has_dup or sm["has_dup"]
+                max_node = max(max_node, sm["max_node"])
+                continue
+        todo.append((spill_dir, out_prefix, t, n_table, modulo2,
+                     m2_local, int(writer.range_rows[t]), rmax))
+
+    def done_one(t, s_scan, s_dup, s_node):
+        nonlocal max_scan, has_dup, max_node
+        max_scan = max(max_scan, s_scan)
+        has_dup = has_dup or s_dup
+        max_node = max(max_node, s_node)
+        logging.info("packed ooc: shard %d/%d built", t, n_table)
+        if delete_spills:
+            for col, _ in _COLS_KN:
+                path = _range_path(spill_dir, t, col)
+                if os.path.exists(path):
+                    os.remove(path)
+
+    if n_workers > 1 and len(todo) > 1:
+        from .proc_pool import SubprocessPool
+        with SubprocessPool(min(n_workers, len(todo))) as pool:
+            for _, res in pool.imap_unordered(
+                    _build_packed_shard, [(a[2], a) for a in todo]):
+                done_one(res[0], res[1], res[2], res[3])
+    else:
+        for a in todo:
+            done_one(*_build_packed_shard(a))
+
+    ckpt._atomic_savez(
+        ckpt.manifest_path(out_prefix),
+        kind="packed", version=ckpt._VERSION, n_table=n_table,
+        m2_local=m2_local, modulo2=modulo2, max_scan=max_scan,
+        has_dup=int(has_dup), max_node=max_node,
+        shard_rows=writer.range_rows.astype(np.int64),
+        shape_records=np.asarray([m2_local // 16, 128], dtype=np.int64),
+        shape_row_kmers=np.asarray([rmax], dtype=np.int64),
+        shape_row_nodes=np.asarray([rmax], dtype=np.int64))
+    return {"prefix": out_prefix, "n_table": n_table, "total_rows": n,
+            "modulo2": modulo2, "max_scan": max_scan}

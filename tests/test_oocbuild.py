@@ -237,3 +237,59 @@ def test_empty_and_tiny_inputs(tmp_path):
     assert len(np.asarray(idx._kmers)) == 0
     assert not idx.has_kmers(np.array([3], dtype=np.uint64),
                              backend="host").any()
+
+
+def test_packed_conversion_matches_from_index(tmp_path):
+    """Out-of-core packed conversion == PackedTableShards.from_index of
+    the monolithic index, bit-for-bit, and serves on the mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+    from graph_kmer_index_tpu.parallel.oocbuild import \
+        convert_checkpoint_to_packed
+    from graph_kmer_index_tpu.parallel.sharded import (
+        KMER_PAD, PackedTableShards, make_count_step_packed)
+
+    graph, flat, mono = _fixture(seed=55)
+    n_table = 4
+    _spill_flat(str(tmp_path / "spill"), flat, 4, n_table)
+    build_shards_from_spills(str(tmp_path / "spill"),
+                             str(tmp_path / "index"))
+    for workers in (1, 3):
+        wd = str(tmp_path / f"p{workers}")
+        res = convert_checkpoint_to_packed(
+            str(tmp_path / "index"), wd, n_table=n_table,
+            n_workers=workers)
+        got = ckpt.load_shards(res["prefix"])
+        want = PackedTableShards.from_index(mono, n_table)
+        assert got.modulo2 == want.modulo2
+        assert got.m2_local == want.m2_local
+        assert got.max_scan == want.max_scan
+        assert got.has_dup == want.has_dup
+        np.testing.assert_array_equal(np.asarray(got.records),
+                                      np.asarray(want.records))
+        np.testing.assert_array_equal(np.asarray(got.row_kmers),
+                                      np.asarray(want.row_kmers))
+        np.testing.assert_array_equal(np.asarray(got.row_nodes),
+                                      np.asarray(want.row_nodes))
+
+    # mesh serve from the converted checkpoint == monolithic counts
+    rng = np.random.default_rng(9)
+    qs = np.concatenate([
+        rng.choice(np.asarray(flat._hashes, dtype=np.uint64), 60),
+        rng.integers(0, 1 << 40, 40).astype(np.uint64)])
+    n_nodes = graph.n_nodes()
+    expected = mono.map_kmers(qs, n_nodes)
+    devices = np.asarray(jax.devices()[:8]).reshape(2, n_table)
+    mesh = Mesh(devices, ("data", "table"))
+    shards = ckpt.load_shards(res["prefix"], mesh=mesh)
+    step = make_count_step_packed(mesh, shards, n_nodes, K,
+                                  from_kmers=True)
+    qpad = np.full(128, KMER_PAD, dtype=np.uint64)
+    qpad[:len(qs)] = qs
+    qj = jax.device_put(jnp.asarray(qpad.reshape(2, 64)),
+                        NamedSharding(mesh, P("data", None)))
+    got_counts = np.asarray(step(qj, shards.records, shards.row_kmers,
+                                 shards.row_nodes))
+    assert np.array_equal(got_counts, expected)
