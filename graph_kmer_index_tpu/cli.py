@@ -507,6 +507,22 @@ def make_index_out_of_core(args):
                  res["total_rows"], res["n_table"], res["prefix"])
 
 
+def convert_shards_to_packed(args):
+    """Extra subcommand: out-of-core CSR shard checkpoint → out-of-core
+    PACKED shard checkpoint (the production one-gather-per-query serving
+    layout, ops/lookup.py) without ever materializing the whole table;
+    see parallel/oocbuild.py:convert_checkpoint_to_packed."""
+    from .parallel.oocbuild import convert_checkpoint_to_packed
+
+    res = convert_checkpoint_to_packed(
+        args.csr_prefix, args.workdir, out_prefix=args.out_prefix,
+        n_table=args.n_shards, n_workers=args.n_threads,
+        delete_spills=not args.keep_spills)
+    logging.info("Packed checkpoint: %d rows in %d shards at %s* "
+                 "(modulo2=%d)", res["total_rows"], res["n_table"],
+                 res["prefix"], res["modulo2"])
+
+
 def make_graph(args):
     """Extra subcommand (not in the reference CLI — the reference relies
     on the external obgraph package for graph construction)."""
@@ -679,6 +695,16 @@ def build_argument_parser():
                    help="also persist per-chunk find results; a killed "
                         "run resumes without re-walking the graph")
     s.set_defaults(func=make_index_out_of_core)
+
+    s = subparsers.add_parser("convert_shards_to_packed")
+    s.add_argument("-i", "--csr-prefix", required=True)
+    s.add_argument("-d", "--workdir", required=True)
+    s.add_argument("-o", "--out-prefix", required=False, default=None)
+    s.add_argument("-n", "--n-shards", type=int, default=None,
+                   help="packed shard count (default: same as CSR)")
+    s.add_argument("-t", "--n-threads", type=int, default=1)
+    s.add_argument("--keep-spills", type=bool, default=False)
+    s.set_defaults(func=convert_shards_to_packed)
 
     s = subparsers.add_parser("make_graph")
     s.add_argument("-R", "--reference-fasta", required=True)

@@ -166,6 +166,17 @@ def test_cli_make_index_out_of_core(tmp_path, fixtures):
                          "-n", str(len(np.load(counts))), "-o", counts_sh])
     np.testing.assert_array_equal(np.load(counts_sh), np.load(counts))
 
+    # packed conversion serves the same counts
+    pwd_ = str(tmp_path / "pk")
+    run_argument_parser(["convert_shards_to_packed",
+                         "-i", str(pathlib.Path(wd) / "index"),
+                         "-d", pwd_, "-t", "2"])
+    counts_pk = str(tmp_path / "counts_packed.npy")
+    run_argument_parser(["map_reads", "-T", str(pathlib.Path(pwd_) / "packed"),
+                         "-r", reads, "-k", "5",
+                         "-n", str(len(np.load(counts))), "-o", counts_pk])
+    np.testing.assert_array_equal(np.load(counts_pk), np.load(counts))
+
 
 def test_cli_full_user_journey(tmp_path):
     """FASTA+VCF -> make_graph -> index -> make_from_flat -> map_reads:
