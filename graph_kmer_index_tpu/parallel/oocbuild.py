@@ -425,6 +425,7 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
                                delete_spills=True, keep_ranges=(),
                                checkpoint_dir=None, mp_context=None,
                                out_prefix=None, build_workers=None,
+                               stash_ram_chunks=None,
                                **finder_kwargs) -> dict:
     """Genome-scale pipeline: pooled find → bucket-range spill →
     per-range build → shard checkpoint at ``out_prefix``.
@@ -456,15 +457,41 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
         out_prefix = os.path.join(workdir, "index")
     writer = SpillWriter(spill_dir, modulo, n_ranges, pins=pins)
 
+    # Out-of-order completions can pile up while a straggler chunk
+    # blocks the consecutive prefix (the other workers keep consuming
+    # the task list), so only a few are held in RAM; the rest stash to
+    # disk (or, with a find checkpoint, are simply re-read from it) —
+    # peak driver memory stays O(n_workers * chunk), not O(genome).
     pending: dict = {}
     state = {"next": 0}
+    ram_cap = max(2, int(n_workers)) if stash_ram_chunks is None \
+        else int(stash_ram_chunks)
+    stash_dir = os.path.join(workdir, "stash")
+    _STASHED = object()
+
+    def _stash_path(i):
+        return os.path.join(stash_dir, f"chunk-{i:08d}.npz")
+
+    def _consume(r):
+        h, n, ro, af = r
+        writer.add_chunk(state["next"], h, n, ro, af)
+        state["next"] += 1
 
     def on_result(i, r):
-        pending[i] = r
+        if i != state["next"] and len(pending) >= ram_cap:
+            os.makedirs(stash_dir, exist_ok=True)
+            np.savez(_stash_path(i),
+                     **{f"a{j}": a for j, a in enumerate(r)})
+            pending[i] = _STASHED
+        else:
+            pending[i] = r
         while state["next"] in pending:
-            h, n, ro, af = pending.pop(state["next"])
-            writer.add_chunk(state["next"], h, n, ro, af)
-            state["next"] += 1
+            r2 = pending.pop(state["next"])
+            if r2 is _STASHED:
+                with np.load(_stash_path(state["next"])) as z:
+                    r2 = tuple(z[f"a{j}"] for j in range(4))
+                os.remove(_stash_path(state["next"]))
+            _consume(r2)
 
     _find_pooled(_run_chunk, graph, k, n_workers, critical_paths,
                  position_id, chunks_per_worker, finder_kwargs,

@@ -293,3 +293,19 @@ def test_packed_conversion_matches_from_index(tmp_path):
     got_counts = np.asarray(step(qj, shards.records, shards.row_kmers,
                                  shards.row_nodes))
     assert np.array_equal(got_counts, expected)
+
+
+def test_out_of_order_stash_path(tmp_path):
+    """A full run with the stash forced (ram_cap=0: every out-of-order
+    completion goes to disk) == the serial run."""
+    graph, flat, mono = _fixture(seed=66)
+    wd = str(tmp_path / "wd")
+    res = find_and_build_out_of_core(
+        graph, K, n_workers=3, workdir=wd, modulo=MODULO, n_ranges=4,
+        stash_ram_chunks=0, delete_spills=False)
+    assert res["spilled_rows"] == len(flat)
+    _assert_index_equal(index_from_shard_checkpoint(os.path.join(wd, "index")),
+                        mono)
+    # every stash file was consumed and removed
+    stash = os.path.join(wd, "stash")
+    assert not os.path.isdir(stash) or not os.listdir(stash)
