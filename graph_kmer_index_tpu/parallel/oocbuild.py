@@ -83,7 +83,16 @@ class SpillWriter:
     """
 
     def __init__(self, spill_dir: str, modulo: int, n_ranges: int,
-                 pins: dict | None = None, cols=None, m_range=None):
+                 pins: dict | None = None, cols=None, m_range=None,
+                 fsync: bool = False):
+        # fsync=False is PROCESS-crash-safe by write ordering alone: the
+        # journal line is written (buffered) strictly after the data it
+        # covers, and buffered writes survive the death of the process.
+        # fsync=True additionally survives a kernel/power crash — at
+        # ~4*n_ranges fsyncs per chunk, which round-5 profiling showed
+        # stalls the spill consumer behind the find workers and backlogs
+        # whole chunks in the pool's result queue (driver RSS grew to
+        # ~75% of the genome's rows before the fix).
         self.spill_dir = spill_dir
         self.modulo = int(modulo)
         self.n_ranges = int(n_ranges)
@@ -92,6 +101,7 @@ class SpillWriter:
         self.m_range = int(m_range) if m_range is not None \
             else _m_range(modulo, n_ranges)
         self.cols = tuple(cols) if cols is not None else _COLS
+        self.fsync = bool(fsync)
         os.makedirs(spill_dir, exist_ok=True)
         meta = {"version": _SPILL_VERSION, "modulo": self.modulo,
                 "n_ranges": self.n_ranges, "pins": pins or {},
@@ -178,13 +188,15 @@ class SpillWriter:
                 with open(_range_path(self.spill_dir, t, col), "ab") as f:
                     arr[sel].tofile(f)
                     f.flush()
-                    os.fsync(f.fileno())
-        # journal only after the data it describes is durable
+                    if self.fsync:
+                        os.fsync(f.fileno())
+        # journal strictly after the data it describes is written
         with open(self.journal_path, "a") as f:
             f.write(json.dumps({"chunk": chunk_id,
                                 "rows": counts.tolist()}) + "\n")
             f.flush()
-            os.fsync(f.fileno())
+            if self.fsync:
+                os.fsync(f.fileno())
         self.done.add(chunk_id)
         self._next = chunk_id + 1
         self.range_rows += counts
@@ -467,6 +479,9 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
     ram_cap = max(2, int(n_workers)) if stash_ram_chunks is None \
         else int(stash_ram_chunks)
     stash_dir = os.path.join(workdir, "stash")
+    if os.path.isdir(stash_dir):
+        import shutil
+        shutil.rmtree(stash_dir)  # stale stash from a killed run
     _STASHED = object()
 
     def _stash_path(i):
