@@ -143,26 +143,38 @@ class SpillWriter:
                 raise ValueError(
                     f"spill journal {self.journal_path!r} has chunk gaps "
                     f"({sorted(self.done)[:10]}...); cannot resume")
-            # crash cleanup: drop any partially-appended tail beyond the
-            # journaled lengths
-            for t in range(self.n_ranges):
-                for col, dtype in self.cols:
-                    path = _range_path(spill_dir, t, col)
-                    want = int(self.range_rows[t]) * np.dtype(dtype).itemsize
-                    if os.path.exists(path):
-                        if os.path.getsize(path) < want:
-                            raise ValueError(
-                                f"spill file {path} shorter than its "
-                                f"journal ({os.path.getsize(path)} < "
-                                f"{want}); spill dir is corrupt")
-                        if os.path.getsize(path) > want:
-                            os.truncate(path, want)
-                    elif want:
-                        raise ValueError(f"spill file {path} missing but "
-                                         f"journaled nonempty")
+        self._validated = False
+
+    def validate_files(self, skip_ranges=()) -> None:
+        """Crash cleanup: drop any partially-appended tail beyond the
+        journaled lengths; refuse short/missing files. Runs lazily
+        before the first append (``add_chunk``) — a reader of a
+        FINISHED spill set whose ranges were already consumed and
+        deleted (``delete_spills``) passes those as ``skip_ranges``
+        instead of failing on them."""
+        for t in range(self.n_ranges):
+            if t in skip_ranges:
+                continue
+            for col, dtype in self.cols:
+                path = _range_path(self.spill_dir, t, col)
+                want = int(self.range_rows[t]) * np.dtype(dtype).itemsize
+                if os.path.exists(path):
+                    if os.path.getsize(path) < want:
+                        raise ValueError(
+                            f"spill file {path} shorter than its "
+                            f"journal ({os.path.getsize(path)} < "
+                            f"{want}); spill dir is corrupt")
+                    if os.path.getsize(path) > want:
+                        os.truncate(path, want)
+                elif want:
+                    raise ValueError(f"spill file {path} missing but "
+                                     f"journaled nonempty")
+        self._validated = True
 
     def add_chunk(self, chunk_id: int, hashes, nodes, ref_offsets=None,
                   allele_frequencies=None) -> None:
+        if not self._validated:
+            self.validate_files()
         chunk_id = int(chunk_id)
         if chunk_id in self.done:
             return
@@ -340,6 +352,10 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
                 continue
         todo.append((spill_dir, out_prefix, t, n_ranges, modulo,
                      int(range_rows[t]), rmax, skip_frequencies))
+    # already-built ranges may legitimately have had their spills
+    # deleted; only the ranges still to build need intact files
+    writer.validate_files(
+        skip_ranges=set(range(n_ranges)) - {a[2] for a in todo})
 
     def done_one(t, shard_scan, shard_node):
         nonlocal max_scan, max_node
@@ -669,6 +685,8 @@ def convert_checkpoint_to_packed(csr_prefix: str, workdir: str,
                 continue
         todo.append((spill_dir, out_prefix, t, n_table, modulo2,
                      m2_local, int(writer.range_rows[t]), rmax))
+    writer.validate_files(
+        skip_ranges=set(range(n_table)) - {a[2] for a in todo})
 
     def done_one(t, s_scan, s_dup, s_node):
         nonlocal max_scan, has_dup, max_node

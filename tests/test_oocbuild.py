@@ -309,3 +309,38 @@ def test_out_of_order_stash_path(tmp_path):
     # every stash file was consumed and removed
     stash = os.path.join(wd, "stash")
     assert not os.path.isdir(stash) or not os.listdir(stash)
+
+
+def test_rerun_after_completion_with_deleted_spills(tmp_path):
+    """Re-invoking the build/convert after a completed run whose spills
+    were deleted must no-op cleanly (crash-just-before-return story)."""
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+    from graph_kmer_index_tpu.parallel.oocbuild import \
+        convert_checkpoint_to_packed
+
+    graph, flat, mono = _fixture(seed=77)
+    d = str(tmp_path / "spill")
+    _spill_flat(d, flat, n_chunks=3, n_ranges=4)
+    prefix = str(tmp_path / "index")
+    build_shards_from_spills(d, prefix, delete_spills=True)
+    assert not any(f.endswith(".bin") for f in os.listdir(d))
+    # re-run on the consumed spill set: must skip everything, rewrite
+    # only the manifest, and not raise
+    res = build_shards_from_spills(d, prefix, delete_spills=True)
+    assert res["total_rows"] == len(flat)
+    _assert_index_equal(index_from_shard_checkpoint(prefix), mono)
+
+    wd = str(tmp_path / "pk")
+    convert_checkpoint_to_packed(prefix, wd, n_table=4)
+    res2 = convert_checkpoint_to_packed(prefix, wd, n_table=4)
+    assert res2["total_rows"] == len(flat)
+    # crash-mid-build sim (spills kept): drop one shard, rebuild it only
+    wd2 = str(tmp_path / "pk2")
+    convert_checkpoint_to_packed(prefix, wd2, n_table=4,
+                                 delete_spills=False)
+    os.remove(ckpt.shard_path(os.path.join(wd2, "packed"), 1, 4))
+    convert_checkpoint_to_packed(prefix, wd2, n_table=4,
+                                 delete_spills=False)
+    a = ckpt.load_shards(os.path.join(wd, "packed"))
+    b = ckpt.load_shards(os.path.join(wd2, "packed"))
+    np.testing.assert_array_equal(a.records, b.records)
