@@ -54,7 +54,7 @@ import os
 
 import numpy as np
 
-from ..utils.hugepages import hp_empty, hp_zeros
+from ..utils.hugepages import cap_malloc_mmap_threshold, hp_empty, hp_zeros
 
 _SPILL_VERSION = 1
 _COLS = (("kmers", np.uint64), ("nodes", np.int32),
@@ -66,6 +66,50 @@ _COL_DTYPES = dict(_COLS)
 
 def _range_path(spill_dir: str, t: int, col: str) -> str:
     return os.path.join(spill_dir, f"range-{t:05d}.{col}.bin")
+
+
+def _chunk_range_path(spill_dir: str, key, t: int, col: str) -> str:
+    start, stop = key
+    return os.path.join(
+        spill_dir, f"chunk-{start:08d}-{stop:08d}.range-{t:05d}.{col}.bin")
+
+
+def spill_chunk_to_files(spill_dir, key, modulo, n_ranges, m_range,
+                         cols_spec, arrays):
+    """Worker-side spill (layout='chunk'): partition ONE find chunk's
+    rows by bucket-range owner and write its per-(chunk, range) files.
+
+    Needs no shared state and no ordering — each chunk owns its file
+    names (the find-chunk ``(start, stop)`` critical-path window), so
+    the find workers write their own rows instead of pickling ~24 B/row
+    through the pool to a single streaming consumer (round-5 profiling:
+    the parent-streaming path cost a 2x pickle round trip and left
+    ~50-70 chunk-sizes of glibc arena retention in the driver). Writes
+    are idempotent (O_TRUNC, deterministic bytes); a chunk present with
+    the right sizes is skipped. Returns per-range row counts; the
+    PARENT journals them only after the worker returned, i.e. strictly
+    after the files were written.
+    """
+    h = np.ascontiguousarray(arrays[0], dtype=np.uint64)
+    cols = tuple(np.ascontiguousarray(v, dtype=dt)
+                 for (_, dt), v in zip(cols_spec, arrays))
+    owner = (h % np.uint64(modulo)).astype(np.int64) // m_range
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner[order], minlength=n_ranges).astype(np.int64)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    for t in range(n_ranges):
+        lo, hi = int(bounds[t]), int(bounds[t + 1])
+        if lo == hi:
+            continue
+        sel = order[lo:hi]
+        for (col, dtype), arr in zip(cols_spec, cols):
+            path = _chunk_range_path(spill_dir, key, t, col)
+            want = (hi - lo) * np.dtype(dtype).itemsize
+            if os.path.exists(path) and os.path.getsize(path) == want:
+                continue
+            with open(path, "wb") as f:
+                arr[sel].tofile(f)
+    return counts
 
 
 def _m_range(modulo: int, n_ranges: int) -> int:
@@ -84,7 +128,13 @@ class SpillWriter:
 
     def __init__(self, spill_dir: str, modulo: int, n_ranges: int,
                  pins: dict | None = None, cols=None, m_range=None,
-                 fsync: bool = False):
+                 fsync: bool = False, layout: str = "range"):
+        # layout="range": one append-only file set per range, chunks
+        # appended in order by a single consumer (required when the
+        # parent must also see the rows, e.g. find --checkpoint-dir).
+        # layout="chunk": one file set per (find-chunk, range), written
+        # by the find workers themselves (spill_chunk_to_files); the
+        # parent only journals counts, so no rows ever cross the pool.
         # fsync=False is PROCESS-crash-safe by write ordering alone: the
         # journal line is written (buffered) strictly after the data it
         # covers, and buffered writes survive the death of the process.
@@ -102,11 +152,14 @@ class SpillWriter:
             else _m_range(modulo, n_ranges)
         self.cols = tuple(cols) if cols is not None else _COLS
         self.fsync = bool(fsync)
+        if layout not in ("range", "chunk"):
+            raise ValueError(f"unknown spill layout {layout!r}")
+        self.layout = layout
         os.makedirs(spill_dir, exist_ok=True)
         meta = {"version": _SPILL_VERSION, "modulo": self.modulo,
                 "n_ranges": self.n_ranges, "pins": pins or {},
                 "cols": [c for c, _ in self.cols],
-                "m_range": self.m_range}
+                "m_range": self.m_range, "layout": self.layout}
         meta_path = os.path.join(spill_dir, "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -123,7 +176,8 @@ class SpillWriter:
 
         self.journal_path = os.path.join(spill_dir, "journal.jsonl")
         self.range_rows = np.zeros(self.n_ranges, dtype=np.int64)
-        self.done: set[int] = set()
+        self.done: set = set()
+        self.chunk_counts: dict = {}
         self._next = 0
         if os.path.exists(self.journal_path):
             with open(self.journal_path) as f:
@@ -135,14 +189,23 @@ class SpillWriter:
                         rec = json.loads(line)
                     except json.JSONDecodeError:
                         break  # torn tail line: everything after is void
-                    self.done.add(int(rec["chunk"]))
-                    self.range_rows += np.asarray(rec["rows"],
-                                                  dtype=np.int64)
-            self._next = (max(self.done) + 1) if self.done else 0
-            if self.done != set(range(self._next)):
-                raise ValueError(
-                    f"spill journal {self.journal_path!r} has chunk gaps "
-                    f"({sorted(self.done)[:10]}...); cannot resume")
+                    counts = np.asarray(rec["rows"], dtype=np.int64)
+                    if self.layout == "chunk":
+                        key = (int(rec["start"]), int(rec["stop"]))
+                        if key in self.done:
+                            continue
+                        self.done.add(key)
+                        self.chunk_counts[key] = counts
+                    else:
+                        self.done.add(int(rec["chunk"]))
+                    self.range_rows += counts
+            if self.layout == "range":
+                self._next = (max(self.done) + 1) if self.done else 0
+                if self.done != set(range(self._next)):
+                    raise ValueError(
+                        f"spill journal {self.journal_path!r} has chunk "
+                        f"gaps ({sorted(self.done)[:10]}...); cannot "
+                        f"resume")
         self._validated = False
 
     def validate_files(self, skip_ranges=()) -> None:
@@ -152,6 +215,9 @@ class SpillWriter:
         FINISHED spill set whose ranges were already consumed and
         deleted (``delete_spills``) passes those as ``skip_ranges``
         instead of failing on them."""
+        if self.layout == "chunk":
+            self._validate_chunk_files(skip_ranges)
+            return
         for t in range(self.n_ranges):
             if t in skip_ranges:
                 continue
@@ -170,6 +236,62 @@ class SpillWriter:
                     raise ValueError(f"spill file {path} missing but "
                                      f"journaled nonempty")
         self._validated = True
+
+    def _validate_chunk_files(self, skip_ranges=()) -> None:
+        """layout='chunk': journaled chunk files must exist with exact
+        sizes (ranges already consumed+deleted are skipped); files of
+        UNjournaled chunks are torn survivors of a crash — deleted (the
+        rewrite is idempotent, but stale partial bytes must never be
+        readable)."""
+        import glob as _glob
+        journaled = set()
+        for key, counts in self.chunk_counts.items():
+            for t in range(self.n_ranges):
+                nt = int(counts[t])
+                if nt == 0:
+                    continue
+                for col, dtype in self.cols:
+                    path = _chunk_range_path(self.spill_dir, key, t, col)
+                    journaled.add(os.path.basename(path))
+                    if t in skip_ranges:
+                        continue
+                    want = nt * np.dtype(dtype).itemsize
+                    if not os.path.exists(path) \
+                            or os.path.getsize(path) != want:
+                        raise ValueError(
+                            f"spill file {path} missing or wrong size "
+                            f"for its journal entry")
+        for path in _glob.glob(os.path.join(self.spill_dir,
+                                            "chunk-*.range-*.bin")):
+            if os.path.basename(path) not in journaled:
+                os.remove(path)
+        self._validated = True
+
+    def journal_chunk(self, key, counts) -> None:
+        """layout='chunk': record a completed chunk (files already
+        written by the worker). Any-order; duplicates are no-ops."""
+        assert self.layout == "chunk"
+        key = (int(key[0]), int(key[1]))
+        if key in self.done:
+            return
+        counts = np.asarray(counts, dtype=np.int64)
+        with open(self.journal_path, "a") as f:
+            f.write(json.dumps({"start": key[0], "stop": key[1],
+                                "rows": counts.tolist()}) + "\n")
+            f.flush()
+            if self.fsync:
+                os.fsync(f.fileno())
+        self.done.add(key)
+        self.chunk_counts[key] = counts
+        self.range_rows += counts
+
+    def range_segments(self, t: int):
+        """layout='chunk': ``[(key, rows_in_t), ...]`` in chunk order
+        (ascending start == global input order), zero-row chunks
+        skipped."""
+        return [(key, int(self.chunk_counts[key][t]))
+                for key in sorted(self.chunk_counts)
+                if int(self.chunk_counts[key][t])]
 
     def add_chunk(self, chunk_id: int, hashes, nodes, ref_offsets=None,
                   allele_frequencies=None) -> None:
@@ -219,20 +341,81 @@ class SpillWriter:
                 "total_rows": int(self.range_rows.sum())}
 
 
-def _load_spill_range(spill_dir: str, t: int, n_rows: int, cols=_COLS):
+def _load_spill_range(spill_dir: str, t: int, n_rows: int, cols=_COLS,
+                      segs=None):
     """Read one range's spilled columns into hugepage-advised buffers
     (this host first-touch faults fresh 4 KB pages at ~22 MB/s; a plain
-    np.fromfile allocation would serialize on that)."""
+    np.fromfile allocation would serialize on that). ``segs`` (layout
+    'chunk': ``[(key, rows), ...]`` in chunk order) concatenates the
+    per-chunk files; None reads the contiguous per-range files."""
     out = []
     for col, dtype in cols:
         buf = hp_empty(n_rows, dtype)
-        if n_rows:
+        isz = np.dtype(dtype).itemsize
+        if n_rows and segs is None:
             with open(_range_path(spill_dir, t, col), "rb") as f:
                 got = f.readinto(memoryview(buf).cast("B"))
-            assert got == n_rows * np.dtype(dtype).itemsize, \
-                (col, t, got, n_rows)
+            assert got == n_rows * isz, (col, t, got, n_rows)
+        elif n_rows:
+            mv = memoryview(buf).cast("B")
+            off = 0
+            for key, nr in segs:
+                with open(_chunk_range_path(spill_dir, key, t, col),
+                          "rb") as f:
+                    got = f.readinto(mv[off * isz:(off + nr) * isz])
+                assert got == nr * isz, (col, t, key, got, nr)
+                off += nr
+            assert off == n_rows, (col, t, off, n_rows)
         out.append(buf)
     return out
+
+
+def _delete_range_spills(writer: "SpillWriter", t: int) -> None:
+    if writer.layout == "chunk":
+        for key, _ in writer.range_segments(t):
+            for col, _d in writer.cols:
+                path = _chunk_range_path(writer.spill_dir, key, t, col)
+                if os.path.exists(path):
+                    os.remove(path)
+    else:
+        for col, _d in writer.cols:
+            path = _range_path(writer.spill_dir, t, col)
+            if os.path.exists(path):
+                os.remove(path)
+
+
+def _run_chunk_spill(chunk):
+    """Find-pool worker for the worker-side spill mode: walk the chunk,
+    expand rows locally, write this chunk's per-range spill files, and
+    return only the per-range counts (never the rows). Chunks already
+    journaled by a previous (killed) run are skipped entirely —
+    resume-without-find-checkpoint re-walks nothing."""
+    from .host_pool import _WORKER_STATE
+    from ..finder import DenseKmerFinder
+
+    cap_malloc_mmap_threshold()
+    s = _WORKER_STATE
+    cfg = s["finder_kwargs"]["_spill_cfg"]
+    start, stop = chunk
+    if (start, stop) in cfg["done"]:
+        return (start, stop, None)
+    kwargs = {k: v for k, v in s["finder_kwargs"].items()
+              if k != "_spill_cfg"}
+    finder = DenseKmerFinder(
+        s["graph"], s["k"], critical_graph_paths=s["critical_paths"],
+        position_id=s["position_id"],
+        start_at_critical_path_number=start,
+        stop_at_critical_path_number=stop,
+        use_device=False, **kwargs)
+    finder.find()
+    flat = finder.get_flat_kmers(v="1")
+    counts = spill_chunk_to_files(
+        cfg["spill_dir"], (start, stop), cfg["modulo"], cfg["n_ranges"],
+        cfg["m_range"], _COLS,
+        (np.asarray(flat._hashes), np.asarray(flat._nodes),
+         np.asarray(flat._ref_offsets),
+         np.asarray(flat._allele_frequencies)))
+    return (start, stop, counts)
 
 
 def _shard_meta_path(prefix: str, t: int, n_table: int) -> str:
@@ -245,11 +428,14 @@ def _build_one_shard(arg) -> tuple:
     jax-free SubprocessPool worker. Returns ``(t, max_scan, max_node)``.
     """
     (spill_dir, out_prefix, t, n_ranges, modulo, nt, rmax,
-     skip_frequencies) = arg
+     skip_frequencies, segs) = arg
     from . import checkpoint as ckpt
 
+    cap_malloc_mmap_threshold()
+
     m_range = _m_range(modulo, n_ranges)
-    kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt)
+    kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt,
+                                                segs=segs)
     local = ((kmers % np.uint64(modulo)).astype(np.int64)
              - t * m_range)
     order = np.argsort(local, kind="stable")
@@ -326,8 +512,11 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
     modulo = int(meta["modulo"])
     n_ranges = int(meta["n_ranges"])
     m_range = _m_range(modulo, n_ranges)
-    writer = SpillWriter(spill_dir, modulo, n_ranges,
-                         pins=meta.get("pins") or {})
+    writer = SpillWriter(
+        spill_dir, modulo, n_ranges, pins=meta.get("pins") or {},
+        cols=tuple((c, _COL_DTYPES[c]) for c in meta["cols"]),
+        m_range=meta.get("m_range"),
+        layout=meta.get("layout", "range"))
     range_rows = writer.range_rows
     rmax = max(1, int(range_rows.max()) if len(range_rows) else 1)
 
@@ -351,7 +540,9 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
                              "skipping", t, n_ranges)
                 continue
         todo.append((spill_dir, out_prefix, t, n_ranges, modulo,
-                     int(range_rows[t]), rmax, skip_frequencies))
+                     int(range_rows[t]), rmax, skip_frequencies,
+                     writer.range_segments(t)
+                     if writer.layout == "chunk" else None))
     # already-built ranges may legitimately have had their spills
     # deleted; only the ranges still to build need intact files
     writer.validate_files(
@@ -364,10 +555,7 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
         logging.info("ooc build: shard %d/%d built (%d rows, scan<=%d)",
                      t, n_ranges, int(range_rows[t]), shard_scan)
         if delete_spills and t not in keep_ranges:
-            for col, _ in _COLS:
-                path = _range_path(spill_dir, t, col)
-                if os.path.exists(path):
-                    os.remove(path)
+            _delete_range_spills(writer, t)
 
     if n_workers > 1 and len(todo) > 1:
         from .proc_pool import SubprocessPool
@@ -458,14 +646,15 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
     """Genome-scale pipeline: pooled find → bucket-range spill →
     per-range build → shard checkpoint at ``out_prefix``.
 
-    Rows stream from the find pool straight to disk in chunk order
-    (buffering only until a consecutive prefix exists — same discipline
-    as the streamed device finalize), so peak memory is a few chunks,
-    never the genome. With ``checkpoint_dir`` set, find chunks also
-    persist individually and a killed run resumes without recomputing
-    them (at the cost of a second on-disk copy of the rows); without
-    it, an interrupted run re-walks the graph but re-spills nothing
-    already journaled.
+    Default (no ``checkpoint_dir``): WORKER-SIDE spill — each find
+    worker writes its own chunk's per-(chunk, range) files and ships
+    only per-range counts back; no row ever crosses the pool, the
+    driver's memory stays ~the graph, and a killed run's journaled
+    chunks are skipped entirely on re-run (resume without a second
+    on-disk row copy). With ``checkpoint_dir``, rows come back to the
+    parent (persisted per chunk as find-checkpoint npz) and stream into
+    append-only per-range files in chunk order, with out-of-order
+    completions past a small RAM cap stashed to disk.
     """
     from .host_pool import (_find_pooled, _graph_fingerprint, _run_chunk,
                             _value_fingerprint)
@@ -477,58 +666,82 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
         from ..graph import PositionId
         position_id = PositionId.from_graph(graph)
 
+    cap_malloc_mmap_threshold()  # streaming consumer: see hugepages.py
     pins = {"graph": _graph_fingerprint(graph), "k": int(k),
             "kwargs": {kk: _value_fingerprint(v)
                        for kk, v in sorted(finder_kwargs.items())}}
     spill_dir = os.path.join(workdir, "spill")
     if out_prefix is None:
         out_prefix = os.path.join(workdir, "index")
-    writer = SpillWriter(spill_dir, modulo, n_ranges, pins=pins)
 
-    # Out-of-order completions can pile up while a straggler chunk
-    # blocks the consecutive prefix (the other workers keep consuming
-    # the task list), so only a few are held in RAM; the rest stash to
-    # disk (or, with a find checkpoint, are simply re-read from it) —
-    # peak driver memory stays O(n_workers * chunk), not O(genome).
-    pending: dict = {}
-    state = {"next": 0}
-    ram_cap = max(2, int(n_workers)) if stash_ram_chunks is None \
-        else int(stash_ram_chunks)
-    stash_dir = os.path.join(workdir, "stash")
-    if os.path.isdir(stash_dir):
-        import shutil
-        shutil.rmtree(stash_dir)  # stale stash from a killed run
-    _STASHED = object()
+    worker_spill = checkpoint_dir is None
+    writer = SpillWriter(spill_dir, modulo, n_ranges, pins=pins,
+                         layout="chunk" if worker_spill else "range")
 
-    def _stash_path(i):
-        return os.path.join(stash_dir, f"chunk-{i:08d}.npz")
+    if worker_spill:
+        # torn files of unjournaled chunks must be gone BEFORE workers
+        # start rewriting them
+        writer.validate_files()
+        fk = dict(finder_kwargs)
+        fk["_spill_cfg"] = {
+            "spill_dir": spill_dir, "modulo": int(modulo),
+            "n_ranges": int(n_ranges), "m_range": writer.m_range,
+            "done": frozenset(writer.done)}
 
-    def _consume(r):
-        h, n, ro, af = r
-        writer.add_chunk(state["next"], h, n, ro, af)
-        state["next"] += 1
+        def on_result(i, r):
+            start, stop, counts = r
+            if counts is not None:
+                writer.journal_chunk((start, stop), counts)
 
-    def on_result(i, r):
-        if i != state["next"] and len(pending) >= ram_cap:
-            os.makedirs(stash_dir, exist_ok=True)
-            np.savez(_stash_path(i),
-                     **{f"a{j}": a for j, a in enumerate(r)})
-            pending[i] = _STASHED
-        else:
-            pending[i] = r
-        while state["next"] in pending:
-            r2 = pending.pop(state["next"])
-            if r2 is _STASHED:
-                with np.load(_stash_path(state["next"])) as z:
-                    r2 = tuple(z[f"a{j}"] for j in range(4))
-                os.remove(_stash_path(state["next"]))
-            _consume(r2)
+        _find_pooled(_run_chunk_spill, graph, k, n_workers,
+                     critical_paths, position_id, chunks_per_worker,
+                     fk, checkpoint_dir=None, mp_context=mp_context,
+                     on_result=on_result)
+    else:
+        # Out-of-order completions can pile up while a straggler chunk
+        # blocks the consecutive prefix (the other workers keep
+        # consuming the task list), so only a few are held in RAM; the
+        # rest stash to disk — peak driver memory stays
+        # O(n_workers * chunk), not O(genome).
+        pending: dict = {}
+        state = {"next": 0}
+        ram_cap = max(2, int(n_workers)) if stash_ram_chunks is None \
+            else int(stash_ram_chunks)
+        stash_dir = os.path.join(workdir, "stash")
+        if os.path.isdir(stash_dir):
+            import shutil
+            shutil.rmtree(stash_dir)  # stale stash from a killed run
+        _STASHED = object()
 
-    _find_pooled(_run_chunk, graph, k, n_workers, critical_paths,
-                 position_id, chunks_per_worker, finder_kwargs,
-                 checkpoint_dir=checkpoint_dir, mp_context=mp_context,
-                 on_result=on_result)
-    assert not pending, "chunk stream ended with a gap in the prefix"
+        def _stash_path(i):
+            return os.path.join(stash_dir, f"chunk-{i:08d}.npz")
+
+        def _consume(r):
+            h, n, ro, af = r
+            writer.add_chunk(state["next"], h, n, ro, af)
+            state["next"] += 1
+
+        def on_result(i, r):
+            if i != state["next"] and len(pending) >= ram_cap:
+                os.makedirs(stash_dir, exist_ok=True)
+                np.savez(_stash_path(i),
+                         **{f"a{j}": a for j, a in enumerate(r)})
+                pending[i] = _STASHED
+            else:
+                pending[i] = r
+            while state["next"] in pending:
+                r2 = pending.pop(state["next"])
+                if r2 is _STASHED:
+                    with np.load(_stash_path(state["next"])) as z:
+                        r2 = tuple(z[f"a{j}"] for j in range(4))
+                    os.remove(_stash_path(state["next"]))
+                _consume(r2)
+
+        _find_pooled(_run_chunk, graph, k, n_workers, critical_paths,
+                     position_id, chunks_per_worker, finder_kwargs,
+                     checkpoint_dir=checkpoint_dir,
+                     mp_context=mp_context, on_result=on_result)
+        assert not pending, "chunk stream ended with a gap in the prefix"
     spill = writer.finish()
     logging.info("ooc find: %d chunks, %d rows spilled",
                  spill["n_chunks"], spill["total_rows"])
@@ -550,11 +763,14 @@ def _build_packed_shard(arg) -> tuple:
     the restriction is exact. Returns ``(t, max_scan, has_dup,
     max_node)``."""
     (spill_dir, out_prefix, t, n_table, modulo2, m2_local, nt,
-     rmax) = arg
+     rmax, segs) = arg
     from . import checkpoint as ckpt
     from ..ops.lookup import SCAN_CAP, _DUP2, _dup2_masks
 
-    kmers, nodes = _load_spill_range(spill_dir, t, nt, cols=_COLS_KN)
+    cap_malloc_mmap_threshold()
+
+    kmers, nodes = _load_spill_range(spill_dir, t, nt, cols=_COLS_KN,
+                                     segs=segs)
     bs = ((kmers % np.uint64(modulo2)).astype(np.int64)
           - t * m2_local)
     order = np.argsort(bs, kind="stable")
@@ -684,7 +900,7 @@ def convert_checkpoint_to_packed(csr_prefix: str, workdir: str,
                 max_node = max(max_node, sm["max_node"])
                 continue
         todo.append((spill_dir, out_prefix, t, n_table, modulo2,
-                     m2_local, int(writer.range_rows[t]), rmax))
+                     m2_local, int(writer.range_rows[t]), rmax, None))
     writer.validate_files(
         skip_ranges=set(range(n_table)) - {a[2] for a in todo})
 
@@ -695,10 +911,7 @@ def convert_checkpoint_to_packed(csr_prefix: str, workdir: str,
         max_node = max(max_node, s_node)
         logging.info("packed ooc: shard %d/%d built", t, n_table)
         if delete_spills:
-            for col, _ in _COLS_KN:
-                path = _range_path(spill_dir, t, col)
-                if os.path.exists(path):
-                    os.remove(path)
+            _delete_range_spills(writer, t)
 
     if n_workers > 1 and len(todo) > 1:
         from .proc_pool import SubprocessPool

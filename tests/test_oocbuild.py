@@ -296,19 +296,60 @@ def test_packed_conversion_matches_from_index(tmp_path):
 
 
 def test_out_of_order_stash_path(tmp_path):
-    """A full run with the stash forced (ram_cap=0: every out-of-order
-    completion goes to disk) == the serial run."""
+    """Parent-streaming mode (checkpoint_dir set) with the stash forced
+    (ram_cap=0: every out-of-order completion goes to disk) == the
+    serial run."""
     graph, flat, mono = _fixture(seed=66)
     wd = str(tmp_path / "wd")
     res = find_and_build_out_of_core(
         graph, K, n_workers=3, workdir=wd, modulo=MODULO, n_ranges=4,
-        stash_ram_chunks=0, delete_spills=False)
+        stash_ram_chunks=0, delete_spills=False,
+        checkpoint_dir=os.path.join(wd, "findck"))
     assert res["spilled_rows"] == len(flat)
     _assert_index_equal(index_from_shard_checkpoint(os.path.join(wd, "index")),
                         mono)
     # every stash file was consumed and removed
     stash = os.path.join(wd, "stash")
     assert not os.path.isdir(stash) or not os.listdir(stash)
+
+
+def test_worker_spill_mode_matches_monolithic(tmp_path):
+    """Default worker-side spill (layout='chunk', rows never cross the
+    pool): multiworker == monolithic, resume skips journaled chunks,
+    and a torn unjournaled chunk file is cleaned up."""
+    graph, flat, mono = _fixture(seed=88)
+    wd = str(tmp_path / "wd")
+    res = find_and_build_out_of_core(
+        graph, K, n_workers=3, workdir=wd, modulo=MODULO, n_ranges=4,
+        delete_spills=False)
+    assert res["spilled_rows"] == len(flat)
+    _assert_index_equal(index_from_shard_checkpoint(os.path.join(wd, "index")),
+                        mono)
+    spill = os.path.join(wd, "spill")
+    assert any(f.startswith("chunk-") for f in os.listdir(spill))
+
+    # crash sim: drop 2 journal lines (their chunks become unjournaled)
+    # and write a torn file; the re-run must re-spill those chunks,
+    # delete the torn survivor, and reproduce the same index
+    jp = os.path.join(spill, "journal.jsonl")
+    with open(jp) as f:
+        lines = f.readlines()
+    with open(jp, "w") as f:
+        f.writelines(lines[:-2])
+    with open(os.path.join(spill, "chunk-99999990-99999999.range-00001"
+                                  ".kmers.bin"), "wb") as f:
+        f.write(b"\xff" * 16)
+    for fn in list(os.listdir(str(tmp_path / "wd"))):
+        if fn.startswith("index"):
+            os.remove(os.path.join(wd, fn))
+    res2 = find_and_build_out_of_core(
+        graph, K, n_workers=3, workdir=wd, modulo=MODULO, n_ranges=4,
+        delete_spills=False)
+    assert res2["spilled_rows"] == len(flat)
+    _assert_index_equal(index_from_shard_checkpoint(os.path.join(wd, "index")),
+                        mono)
+    assert not os.path.exists(os.path.join(
+        spill, "chunk-99999990-99999999.range-00001.kmers.bin"))
 
 
 def test_rerun_after_completion_with_deleted_spills(tmp_path):
