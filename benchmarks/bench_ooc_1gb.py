@@ -109,7 +109,8 @@ def main():
     from graph_kmer_index_tpu.critical_paths import CriticalGraphPaths
     from graph_kmer_index_tpu.finder import DenseKmerFinder
     from graph_kmer_index_tpu.parallel.oocbuild import (
-        _load_spill_range, _m_range, find_and_build_out_of_core)
+        SpillWriter, _load_spill_range, _m_range,
+        find_and_build_out_of_core)
     from graph_kmer_index_tpu.utils.synthetic import random_snp_graph
 
     os.makedirs(workdir, exist_ok=True)
@@ -193,7 +194,21 @@ def main():
     t0 = time.perf_counter()
     for t in AUDIT_RANGES:
         nt = int(shard_rows[t])
-        kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt)
+        # reconstruct the writer from the spill meta (worker-spill runs
+        # use the per-(chunk,range) layout; segments stitch chunk order)
+        import json as _json
+        with open(os.path.join(spill_dir, "meta.json")) as f:
+            smeta = _json.load(f)
+        from graph_kmer_index_tpu.parallel.oocbuild import _COL_DTYPES
+        w = SpillWriter(
+            spill_dir, smeta["modulo"], smeta["n_ranges"],
+            pins=smeta.get("pins") or {},
+            cols=tuple((c, _COL_DTYPES[c]) for c in smeta["cols"]),
+            m_range=smeta.get("m_range"),
+            layout=smeta.get("layout", "range"))
+        segs = w.range_segments(t) if w.layout == "chunk" else None
+        kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt,
+                                                    segs=segs)
         bucket = (kmers % np.uint64(modulo)).astype(np.int64) - t * m_range
         order = np.lexsort((np.arange(nt), bucket))
         ub, counts = np.unique(bucket[order], return_counts=True)
