@@ -315,6 +315,18 @@ def _ckpt_load_chunk(checkpoint_dir, chunk):
         return None
 
 
+def plan_chunks(n_paths: int, n_workers: int, chunks_per_worker: int):
+    """The pooled find's critical-path chunking, exposed so spill
+    journals can pin it: resuming with a different worker count would
+    otherwise produce overlapping-but-differently-bounded chunks whose
+    stale journal entries double-count rows."""
+    n_chunks = min(max(1, n_workers * chunks_per_worker), max(1, n_paths))
+    per = max(1, n_paths // n_chunks)
+    starts = list(range(0, n_paths, per))
+    ends = starts[1:] + [n_paths]
+    return list(zip(starts, ends))
+
+
 def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
                  chunks_per_worker, finder_kwargs, checkpoint_dir=None,
                  mp_context=None, on_result=None):
@@ -341,11 +353,7 @@ def _find_pooled(run_fn, graph, k, n_workers, critical_paths, position_id,
         position_id = PositionId.from_graph(graph)
 
     n_paths = len(critical_paths)
-    n_chunks = min(max(1, n_workers * chunks_per_worker), max(1, n_paths))
-    per = max(1, n_paths // n_chunks)
-    starts = list(range(0, n_paths, per))
-    ends = starts[1:] + [n_paths]
-    chunks = list(zip(starts, ends))
+    chunks = plan_chunks(n_paths, n_workers, chunks_per_worker)
     logging.info("find pool: %d paths in %d chunks over %d workers",
                  n_paths, len(chunks), n_workers)
 

@@ -657,7 +657,7 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
     completions past a small RAM cap stashed to disk.
     """
     from .host_pool import (_find_pooled, _graph_fingerprint, _run_chunk,
-                            _value_fingerprint)
+                            _value_fingerprint, plan_chunks)
     from ..critical_paths import CriticalGraphPaths
 
     if critical_paths is None:
@@ -667,9 +667,16 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
         position_id = PositionId.from_graph(graph)
 
     cap_malloc_mmap_threshold()  # streaming consumer: see hugepages.py
+    chunks = plan_chunks(len(critical_paths), n_workers,
+                         chunks_per_worker)
     pins = {"graph": _graph_fingerprint(graph), "k": int(k),
             "kwargs": {kk: _value_fingerprint(v)
-                       for kk, v in sorted(finder_kwargs.items())}}
+                       for kk, v in sorted(finder_kwargs.items())},
+            # a resume with a different worker count would re-chunk the
+            # worklist; journaled rows from the old chunking would then
+            # double-count — refuse instead
+            "chunking": [len(chunks), chunks[0][1] - chunks[0][0]
+                         if chunks else 0]}
     spill_dir = os.path.join(workdir, "spill")
     if out_prefix is None:
         out_prefix = os.path.join(workdir, "index")

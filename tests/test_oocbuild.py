@@ -385,3 +385,27 @@ def test_rerun_after_completion_with_deleted_spills(tmp_path):
     a = ckpt.load_shards(os.path.join(wd, "packed"))
     b = ckpt.load_shards(os.path.join(wd2, "packed"))
     np.testing.assert_array_equal(a.records, b.records)
+
+
+def test_resume_with_different_workers_refused(tmp_path):
+    """A spill journal written under one chunking must refuse a resume
+    under another (different n_workers) instead of double-counting."""
+    graph, flat, mono = _fixture(seed=99)
+    wd = str(tmp_path / "wd")
+    find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd,
+                               modulo=MODULO, n_ranges=4,
+                               delete_spills=False)
+    for f in list(os.listdir(wd)):
+        if f.startswith("index"):
+            os.remove(os.path.join(wd, f))
+    with pytest.raises(ValueError, match="different inputs"):
+        find_and_build_out_of_core(graph, K, n_workers=3, workdir=wd,
+                                   modulo=MODULO, n_ranges=4,
+                                   delete_spills=False)
+    # same worker count resumes fine
+    res = find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd,
+                                     modulo=MODULO, n_ranges=4,
+                                     delete_spills=False)
+    assert res["spilled_rows"] == len(flat)
+    _assert_index_equal(index_from_shard_checkpoint(os.path.join(wd, "index")),
+                        mono)
