@@ -523,6 +523,18 @@ def convert_shards_to_packed(args):
                  res["prefix"], res["modulo2"])
 
 
+def reshard_checkpoint_command(args):
+    """Extra subcommand: merge adjacent bucket-range shards of a CSR
+    checkpoint (build with many ranges for bounded memory, serve with
+    one shard per mesh device); parallel/oocbuild.py:reshard_checkpoint."""
+    from .parallel.oocbuild import reshard_checkpoint
+
+    res = reshard_checkpoint(args.in_prefix, args.out_prefix,
+                             args.n_shards)
+    logging.info("Resharded to %d shards (%d rows) at %s*",
+                 res["n_table"], res["total_rows"], res["prefix"])
+
+
 def make_graph(args):
     """Extra subcommand (not in the reference CLI — the reference relies
     on the external obgraph package for graph construction)."""
@@ -695,6 +707,12 @@ def build_argument_parser():
                    help="also persist per-chunk find results; a killed "
                         "run resumes without re-walking the graph")
     s.set_defaults(func=make_index_out_of_core)
+
+    s = subparsers.add_parser("reshard_checkpoint")
+    s.add_argument("-i", "--in-prefix", required=True)
+    s.add_argument("-o", "--out-prefix", required=True)
+    s.add_argument("-n", "--n-shards", type=int, required=True)
+    s.set_defaults(func=reshard_checkpoint_command)
 
     s = subparsers.add_parser("convert_shards_to_packed")
     s.add_argument("-i", "--csr-prefix", required=True)

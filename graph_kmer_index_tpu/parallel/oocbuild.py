@@ -941,3 +941,80 @@ def convert_checkpoint_to_packed(csr_prefix: str, workdir: str,
         shape_row_nodes=np.asarray([rmax], dtype=np.int64))
     return {"prefix": out_prefix, "n_table": n_table, "total_rows": n,
             "modulo2": modulo2, "max_scan": max_scan}
+
+
+def reshard_checkpoint(prefix: str, out_prefix: str,
+                       new_n_table: int) -> dict:
+    """Merge adjacent bucket-range shards of a CSR checkpoint:
+    ``n_table -> new_n_table`` (must divide it). Build-time shard counts
+    are chosen for per-range memory (e.g. 32 at 1 Gb); serving wants
+    one shard per mesh device (e.g. 8) — ranges are contiguous bucket
+    intervals, so k adjacent shards merge by concatenating rows and
+    re-basing their local starts, one group in memory at a time.
+    The merged row stream is identical to a direct ``new_n_table``
+    build (rows are globally bucket-sorted either way); the bucket
+    tables use ``m_local_new = k * m_local`` (which can differ from a
+    direct build's own ceil-division by a few padding buckets — the
+    container is self-describing and serves identically,
+    tests/test_oocbuild.py)."""
+    from . import checkpoint as ckpt
+
+    cap_malloc_mmap_threshold()
+    with np.load(ckpt.manifest_path(prefix)) as z:
+        if str(z["kind"]) != "csr":
+            raise ValueError("reshard_checkpoint supports the csr kind "
+                             "(packed records embed shard-local row "
+                             "starts; rebuild with the target count)")
+        n_old = int(z["n_table"])
+        m_local = int(z["m_local"])
+        modulo = int(z["modulo"])
+        max_scan = int(z["max_scan"])
+        max_node = int(z["max_node"]) if "max_node" in z.files else 0
+        extras = [str(s) for s in z["extras"]] if "extras" in z.files \
+            else []
+        shard_rows = z["shard_rows"].astype(np.int64)
+    if n_old % new_n_table:
+        raise ValueError(f"{new_n_table} does not divide {n_old}")
+    k = n_old // new_n_table
+    m_new = m_local * k
+    group_rows = shard_rows.reshape(new_n_table, k).sum(axis=1)
+    rmax = max(1, int(group_rows.max()))
+
+    row_cols = ["row_kmers", "row_nodes"] + extras
+    for t in range(new_n_table):
+        out: dict = {"starts": hp_zeros(m_new, np.int64, populate=True),
+                     "sizes": hp_zeros(m_new, np.int32, populate=True),
+                     "n_rows": np.int64(int(group_rows[t]))}
+        off = 0
+        bufs: dict = {}
+        for j in range(k):
+            src = t * k + j
+            nt = int(shard_rows[src])
+            with np.load(ckpt.shard_path(prefix, src, n_old)) as z:
+                sizes_j = z["sizes"]
+                nzj = sizes_j > 0
+                out["sizes"][j * m_local:(j + 1) * m_local] = sizes_j
+                st = out["starts"][j * m_local:(j + 1) * m_local]
+                st[nzj] = z["starts"][nzj] + off
+                for name in row_cols:
+                    a = z[name]
+                    if name not in bufs:
+                        bufs[name] = np.zeros(rmax, dtype=a.dtype)
+                    bufs[name][off:off + nt] = a[:nt]
+            off += nt
+        assert off == int(group_rows[t])
+        out.update(bufs)
+        ckpt._atomic_savez(ckpt.shard_path(out_prefix, t, new_n_table),
+                           **out)
+    ckpt._atomic_savez(
+        ckpt.manifest_path(out_prefix),
+        kind="csr", version=ckpt._VERSION, n_table=new_n_table,
+        m_local=m_new, modulo=modulo, max_scan=max_scan,
+        max_node=max_node, extras=np.asarray(extras),
+        shard_rows=group_rows,
+        shape_starts=np.asarray([m_new], dtype=np.int64),
+        shape_sizes=np.asarray([m_new], dtype=np.int64),
+        shape_row_kmers=np.asarray([rmax], dtype=np.int64),
+        shape_row_nodes=np.asarray([rmax], dtype=np.int64))
+    return {"prefix": out_prefix, "n_table": new_n_table,
+            "total_rows": int(group_rows.sum())}

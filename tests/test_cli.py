@@ -166,6 +166,16 @@ def test_cli_make_index_out_of_core(tmp_path, fixtures):
                          "-n", str(len(np.load(counts))), "-o", counts_sh])
     np.testing.assert_array_equal(np.load(counts_sh), np.load(counts))
 
+    # reshard (4 -> 2 shards) serves the same counts
+    rsh = str(tmp_path / "resharded")
+    run_argument_parser(["reshard_checkpoint",
+                         "-i", str(pathlib.Path(wd) / "index"),
+                         "-o", rsh, "-n", "2"])
+    counts_rs = str(tmp_path / "counts_resharded.npy")
+    run_argument_parser(["map_reads", "-T", rsh, "-r", reads, "-k", "5",
+                         "-n", str(len(np.load(counts))), "-o", counts_rs])
+    np.testing.assert_array_equal(np.load(counts_rs), np.load(counts))
+
     # packed conversion serves the same counts
     pwd_ = str(tmp_path / "pk")
     run_argument_parser(["convert_shards_to_packed",

@@ -409,3 +409,55 @@ def test_resume_with_different_workers_refused(tmp_path):
     assert res["spilled_rows"] == len(flat)
     _assert_index_equal(index_from_shard_checkpoint(os.path.join(wd, "index")),
                         mono)
+
+
+def test_reshard_checkpoint_serves_identically(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+    from graph_kmer_index_tpu.parallel.oocbuild import reshard_checkpoint
+    from graph_kmer_index_tpu.parallel.sharded import (KMER_PAD,
+                                                       make_count_step)
+
+    graph, flat, mono = _fixture(seed=111)
+    _spill_flat(str(tmp_path / "spill"), flat, 3, 8)
+    build_shards_from_spills(str(tmp_path / "spill"),
+                             str(tmp_path / "i8"))
+    res = reshard_checkpoint(str(tmp_path / "i8"), str(tmp_path / "i4"), 4)
+    assert res["n_table"] == 4 and res["total_rows"] == len(flat)
+
+    # merged row stream == a direct 4-range build's row stream
+    _spill_flat(str(tmp_path / "spill4"), flat, 3, 4)
+    build_shards_from_spills(str(tmp_path / "spill4"),
+                             str(tmp_path / "d4"))
+    a = ckpt.load_shards(str(tmp_path / "i4"))
+    b = ckpt.load_shards(str(tmp_path / "d4"))
+    ar = np.concatenate([a.row_kmers[t][:int(np.asarray(a.sizes[t]).sum())]
+                         for t in range(4)])
+    br = np.concatenate([b.row_kmers[t][:int(np.asarray(b.sizes[t]).sum())]
+                         for t in range(4)])
+    assert np.array_equal(ar, br)
+
+    # reassembled full index == monolithic
+    _assert_index_equal(index_from_shard_checkpoint(str(tmp_path / "i4")),
+                        mono)
+
+    # mesh serve from the resharded checkpoint == monolithic counts
+    rng = np.random.default_rng(12)
+    qs = np.concatenate([
+        rng.choice(np.asarray(flat._hashes, dtype=np.uint64), 64),
+        rng.integers(0, 1 << 40, 64).astype(np.uint64)])
+    n_nodes = graph.n_nodes()
+    expected = mono.map_kmers(qs, n_nodes)
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "table"))
+    shards = ckpt.load_shards(str(tmp_path / "i4"), mesh=mesh)
+    step = make_count_step(mesh, shards, n_nodes, K, from_kmers=True)
+    qpad = np.full(128, KMER_PAD, dtype=np.uint64)
+    qpad[:len(qs)] = qs
+    qj = jax.device_put(jnp.asarray(qpad.reshape(2, 64)),
+                        NamedSharding(mesh, P("data", None)))
+    got = np.asarray(step(qj, shards.starts, shards.sizes,
+                          shards.row_kmers, shards.row_nodes))
+    assert np.array_equal(got, expected)
