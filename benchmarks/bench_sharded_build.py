@@ -151,8 +151,10 @@ def main():
     acc = 0
     for qb in batches:
         qj = jax.device_put(jnp.asarray(qb), sharding_q)
-        acc = acc + jnp.sum(step(qj, *targs))
-    acc = int(acc)  # scalar fetch: true sync
+        # per-batch sync: letting many 8-device psum batches queue up
+        # deadlocks XLA:CPU's InProcessCommunicator (AwaitAndLogIfStuck
+        # abort observed); the compile is still amortized
+        acc = acc + int(jnp.sum(step(qj, *targs)))
     t_steady = time.perf_counter() - t0
     rec("sharded_serve_membership_steady", round(n_batches * n_q / t_steady),
         "queries/s", n_batches=n_batches, n_queries_per_batch=n_q,
@@ -180,8 +182,7 @@ def main():
     acc1 = 0
     for qb in batches:
         qj = jax.device_put(jnp.asarray(qb), sharding_q1)
-        acc1 = acc1 + jnp.sum(step1(qj, *targs1))
-    acc1 = int(acc1)
+        acc1 = acc1 + int(jnp.sum(step1(qj, *targs1)))
     t_steady1 = time.perf_counter() - t0
     assert acc1 == acc, "single-device verdicts diverge from sharded"
     rec("single_device_serve_steady", round(n_batches * n_q / t_steady1),
