@@ -99,6 +99,7 @@ def main():
     n_variants = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
     workdir = sys.argv[3] if len(sys.argv) > 3 else "/root/ooc_run"
     n_ranges = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    spill_cols = sys.argv[5] if len(sys.argv) > 5 else "full"
     modulo = 452_930_477
     global AUDIT_RANGES
     AUDIT_RANGES = (0, min(17, n_ranges - 1))
@@ -137,7 +138,7 @@ def main():
         graph, k, n_workers=4, workdir=workdir, modulo=modulo,
         n_ranges=n_ranges, critical_paths=cpaths,
         delete_spills=True, keep_ranges=AUDIT_RANGES,
-        max_variant_nodes=4)
+        spill_cols=spill_cols, max_variant_nodes=4)
     t_pipe = time.perf_counter() - t0
     self_gb, child_gb = rss_gb()
     rows = res["total_rows"]
@@ -207,8 +208,11 @@ def main():
             m_range=smeta.get("m_range"),
             layout=smeta.get("layout", "range"))
         segs = w.range_segments(t) if w.layout == "chunk" else None
-        kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt,
-                                                    segs=segs)
+        loaded = _load_spill_range(spill_dir, t, nt, cols=w.cols,
+                                   segs=segs)
+        kmers, nodes = loaded[0], loaded[1]
+        refs, afs = (loaded[2], loaded[3]) if len(loaded) > 2 \
+            else (None, None)
         bucket = (kmers % np.uint64(modulo)).astype(np.int64) - t * m_range
         order = np.lexsort((np.arange(nt), bucket))
         ub, counts = np.unique(bucket[order], return_counts=True)
@@ -222,9 +226,10 @@ def main():
             assert np.array_equal(z["starts"][nz], starts_i[nz]), t
             assert np.array_equal(z["row_kmers"][:nt], kmers[order]), t
             assert np.array_equal(z["row_nodes"][:nt], nodes[order]), t
-            assert np.array_equal(z["row_ref_offsets"][:nt],
-                                  refs[order]), t
-            assert np.array_equal(z["row_afs"][:nt], afs[order]), t
+            if refs is not None:
+                assert np.array_equal(z["row_ref_offsets"][:nt],
+                                      refs[order]), t
+                assert np.array_equal(z["row_afs"][:nt], afs[order]), t
         ground_truth[t] = (kmers, nodes)
     rec("independent_shard_audit", round(time.perf_counter() - t0, 1),
         "s", shards=list(AUDIT_RANGES),
@@ -267,7 +272,7 @@ def main():
     sampler.stop()
     rec("ooc_acceptance", n_bases, "bases", rows=rows,
         total_s=round(time.perf_counter() - t_all, 1),
-        n_ranges=n_ranges, ok=True)
+        n_ranges=n_ranges, columns=spill_cols, ok=True)
 
 
 if __name__ == "__main__":

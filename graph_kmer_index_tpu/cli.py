@@ -500,7 +500,7 @@ def make_index_out_of_core(args):
         skip_frequencies=args.skip_frequencies,
         delete_spills=not args.keep_spills,
         checkpoint_dir=args.checkpoint_dir,
-        out_prefix=args.out_prefix,
+        out_prefix=args.out_prefix, spill_cols=args.columns,
         max_variant_nodes=args.max_variant_nodes,
         only_save_one_node_per_kmer=args.only_save_one_node_per_kmer)
     logging.info("Out-of-core index done: %d rows in %d shards at %s*",
@@ -703,6 +703,10 @@ def build_argument_parser():
                    default=False)
     s.add_argument("--skip-frequencies", type=bool, default=False)
     s.add_argument("--keep-spills", type=bool, default=False)
+    s.add_argument("--columns", default="full", choices=["full", "kn"],
+                   help="'kn' spills/stores only the serving columns "
+                        "(kmers+nodes): half the disk, counts/membership "
+                        "serving only")
     s.add_argument("--checkpoint-dir", required=False, default=None,
                    help="also persist per-chunk find results; a killed "
                         "run resumes without re-walking the graph")

@@ -409,12 +409,14 @@ def _run_chunk_spill(chunk):
         use_device=False, **kwargs)
     finder.find()
     flat = finder.get_flat_kmers(v="1")
+    spill_cols = tuple((c, _COL_DTYPES[c])
+                       for c in cfg.get("cols", [c for c, _ in _COLS]))
+    arrays = (np.asarray(flat._hashes), np.asarray(flat._nodes),
+              np.asarray(flat._ref_offsets),
+              np.asarray(flat._allele_frequencies))[:len(spill_cols)]
     counts = spill_chunk_to_files(
         cfg["spill_dir"], (start, stop), cfg["modulo"], cfg["n_ranges"],
-        cfg["m_range"], _COLS,
-        (np.asarray(flat._hashes), np.asarray(flat._nodes),
-         np.asarray(flat._ref_offsets),
-         np.asarray(flat._allele_frequencies)))
+        cfg["m_range"], spill_cols, arrays)
     return (start, stop, counts)
 
 
@@ -428,20 +430,26 @@ def _build_one_shard(arg) -> tuple:
     jax-free SubprocessPool worker. Returns ``(t, max_scan, max_node)``.
     """
     (spill_dir, out_prefix, t, n_ranges, modulo, nt, rmax,
-     skip_frequencies, segs) = arg
+     skip_frequencies, segs, col_names) = arg
     from . import checkpoint as ckpt
 
     cap_malloc_mmap_threshold()
 
+    spill_cols = tuple((c, _COL_DTYPES[c]) for c in col_names)
+    kn_only = len(spill_cols) == 2
     m_range = _m_range(modulo, n_ranges)
-    kmers, nodes, refs, afs = _load_spill_range(spill_dir, t, nt,
-                                                segs=segs)
+    loaded = _load_spill_range(spill_dir, t, nt, cols=spill_cols,
+                               segs=segs)
+    kmers, nodes = loaded[0], loaded[1]
+    refs = loaded[2] if not kn_only else None
+    afs = loaded[3] if not kn_only else None
     local = ((kmers % np.uint64(modulo)).astype(np.int64)
              - t * m_range)
     order = np.argsort(local, kind="stable")
     local = local[order]
     kmers, nodes = kmers[order], nodes[order]
-    refs, afs = refs[order], afs[order]
+    if not kn_only:
+        refs, afs = refs[order], afs[order]
 
     diffs = (np.ediff1d(local, to_begin=np.int64(1))
              if nt else np.zeros(0, np.int64))
@@ -464,15 +472,16 @@ def _build_one_shard(arg) -> tuple:
     cols = {"starts": starts_tbl, "sizes": sizes_tbl,
             "row_kmers": pad(kmers, np.uint64),
             "row_nodes": pad(nodes, np.int32),
-            "row_ref_offsets": pad(refs, np.uint64),
-            "row_afs": pad(afs, np.float32),
             "n_rows": np.int64(nt)}
-    if not skip_frequencies:
-        from ..models.kmer_index import \
-            _frequencies_by_distinct_ref_offsets
-        cols["row_frequencies"] = pad(
-            _frequencies_by_distinct_ref_offsets(kmers, refs),
-            np.uint16)
+    if not kn_only:
+        cols["row_ref_offsets"] = pad(refs, np.uint64)
+        cols["row_afs"] = pad(afs, np.float32)
+        if not skip_frequencies:
+            from ..models.kmer_index import \
+                _frequencies_by_distinct_ref_offsets
+            cols["row_frequencies"] = pad(
+                _frequencies_by_distinct_ref_offsets(kmers, refs),
+                np.uint16)
     ckpt._atomic_savez(ckpt.shard_path(out_prefix, t, n_ranges), **cols)
     mpath = _shard_meta_path(out_prefix, t, n_ranges)
     tmp = f"{mpath}.tmp.{os.getpid()}"
@@ -522,9 +531,13 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
 
     max_scan = 1
     max_node = 0
-    extras = ["row_ref_offsets", "row_afs"]
-    if not skip_frequencies:
-        extras.append("row_frequencies")
+    kn_only = len(writer.cols) == 2
+    if kn_only:
+        extras = []
+    else:
+        extras = ["row_ref_offsets", "row_afs"]
+        if not skip_frequencies:
+            extras.append("row_frequencies")
 
     todo = []
     for t in range(n_ranges):
@@ -542,7 +555,8 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
         todo.append((spill_dir, out_prefix, t, n_ranges, modulo,
                      int(range_rows[t]), rmax, skip_frequencies,
                      writer.range_segments(t)
-                     if writer.layout == "chunk" else None))
+                     if writer.layout == "chunk" else None,
+                     [c for c, _ in writer.cols]))
     # already-built ranges may legitimately have had their spills
     # deleted; only the ranges still to build need intact files
     writer.validate_files(
@@ -598,6 +612,11 @@ def index_from_shard_checkpoint(prefix: str):
         shard_rows = z["shard_rows"].astype(np.int64)
         extras = [str(s) for s in z["extras"]] if "extras" in z.files \
             else []
+    if "row_ref_offsets" not in extras:
+        raise ValueError(
+            "this checkpoint was built with spill_cols='kn' (serving "
+            "columns only); a full CollisionFreeKmerIndex cannot be "
+            "reassembled from it — serve it via checkpoint.load_shards")
     total = int(shard_rows.sum())
     kmers = hp_empty(total, np.uint64)
     nodes = hp_empty(total, np.int32)
@@ -641,7 +660,7 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
                                delete_spills=True, keep_ranges=(),
                                checkpoint_dir=None, mp_context=None,
                                out_prefix=None, build_workers=None,
-                               stash_ram_chunks=None,
+                               stash_ram_chunks=None, spill_cols="full",
                                **finder_kwargs) -> dict:
     """Genome-scale pipeline: pooled find → bucket-range spill →
     per-range build → shard checkpoint at ``out_prefix``.
@@ -682,7 +701,18 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
         out_prefix = os.path.join(workdir, "index")
 
     worker_spill = checkpoint_dir is None
+    if spill_cols not in ("full", "kn"):
+        raise ValueError(f"spill_cols must be 'full' or 'kn', got "
+                         f"{spill_cols!r}")
+    # 'kn' spills only what the serving lookups read (kmers+nodes):
+    # half the disk, no ref-offset/AF/frequency columns in the result —
+    # the membership/counts checkpoint for map_kmers-style serving
+    cols = _COLS if spill_cols == "full" else _COLS_KN
+    if spill_cols == "kn" and not worker_spill:
+        raise ValueError("spill_cols='kn' requires the worker-spill "
+                         "mode (no checkpoint_dir)")
     writer = SpillWriter(spill_dir, modulo, n_ranges, pins=pins,
+                         cols=cols,
                          layout="chunk" if worker_spill else "range")
 
     if worker_spill:
@@ -693,6 +723,7 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
         fk["_spill_cfg"] = {
             "spill_dir": spill_dir, "modulo": int(modulo),
             "n_ranges": int(n_ranges), "m_range": writer.m_range,
+            "cols": [c for c, _ in writer.cols],
             "done": frozenset(writer.done)}
 
         def on_result(i, r):

@@ -461,3 +461,43 @@ def test_reshard_checkpoint_serves_identically(tmp_path):
     got = np.asarray(step(qj, shards.starts, shards.sizes,
                           shards.row_kmers, shards.row_nodes))
     assert np.array_equal(got, expected)
+
+
+def test_kn_only_spill_serves_counts(tmp_path):
+    """spill_cols='kn' (serving columns only, half the spill/checkpoint
+    disk): mesh counts equal the monolithic index; full-index
+    reassembly is refused loudly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+    from graph_kmer_index_tpu.parallel.sharded import (KMER_PAD,
+                                                       make_count_step)
+
+    graph, flat, mono = _fixture(seed=123)
+    wd = str(tmp_path / "wd")
+    res = find_and_build_out_of_core(
+        graph, K, n_workers=2, workdir=wd, modulo=MODULO, n_ranges=4,
+        spill_cols="kn", delete_spills=True)
+    assert res["spilled_rows"] == len(flat)
+    prefix = os.path.join(wd, "index")
+    with pytest.raises(ValueError, match="spill_cols='kn'"):
+        index_from_shard_checkpoint(prefix)
+
+    rng = np.random.default_rng(7)
+    qs = np.concatenate([
+        rng.choice(np.asarray(flat._hashes, dtype=np.uint64), 64),
+        rng.integers(0, 1 << 40, 64).astype(np.uint64)])
+    n_nodes = graph.n_nodes()
+    expected = mono.map_kmers(qs, n_nodes)
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "table"))
+    shards = ckpt.load_shards(prefix, mesh=mesh)
+    step = make_count_step(mesh, shards, n_nodes, K, from_kmers=True)
+    qpad = np.full(128, KMER_PAD, dtype=np.uint64)
+    qpad[:len(qs)] = qs
+    qj = jax.device_put(jnp.asarray(qpad.reshape(2, 64)),
+                        NamedSharding(mesh, P("data", None)))
+    got = np.asarray(step(qj, shards.starts, shards.sizes,
+                          shards.row_kmers, shards.row_nodes))
+    assert np.array_equal(got, expected)
