@@ -501,3 +501,31 @@ def test_kn_only_spill_serves_counts(tmp_path):
     got = np.asarray(step(qj, shards.starts, shards.sizes,
                           shards.row_kmers, shards.row_nodes))
     assert np.array_equal(got, expected)
+
+
+def test_kn_checkpoint_reshard_and_packed_convert(tmp_path):
+    """The serving-columns checkpoint composes with reshard and packed
+    conversion (both only touch kmers+nodes)."""
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+    from graph_kmer_index_tpu.parallel.oocbuild import (
+        convert_checkpoint_to_packed, reshard_checkpoint)
+    from graph_kmer_index_tpu.parallel.sharded import PackedTableShards
+
+    graph, flat, mono = _fixture(seed=131)
+    wd = str(tmp_path / "wd")
+    find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd,
+                               modulo=MODULO, n_ranges=8,
+                               spill_cols="kn")
+    prefix = os.path.join(wd, "index")
+    res = reshard_checkpoint(prefix, str(tmp_path / "r4"), 4)
+    assert res["total_rows"] == len(flat)
+    got = ckpt.load_shards(str(tmp_path / "r4"))
+    rows = np.concatenate([got.row_kmers[t][:int(np.asarray(
+        got.sizes[t]).sum())] for t in range(4)])
+    assert np.array_equal(rows, np.asarray(mono._kmers, np.uint64))
+
+    pres = convert_checkpoint_to_packed(prefix, str(tmp_path / "pk"),
+                                        n_table=4)
+    pgot = ckpt.load_shards(pres["prefix"])
+    want = PackedTableShards.from_index(mono, 4)
+    np.testing.assert_array_equal(pgot.records, want.records)
