@@ -1,12 +1,12 @@
 """Genome-scale out-of-core build acceptance (VERDICT r4 item 2).
 
-Drives the full bounded-memory pipeline — pooled find → bucket-range
-disk spill → per-range shard build → shard-checkpoint serving — at the
-largest scale this sandbox's 120 GB free disk allows (default 1 Gb /
-4 M variants ≈ 1.6 G rows ≈ 38 GB of spilled rows; the full 3 Gb ≈
-4.8 G rows ≈ 125 GB of rows needs only more disk, not more design: peak
-HOST MEMORY is ~rows/n_ranges regardless of genome size, which is the
-point).
+Drives the full bounded-memory pipeline — pooled find (worker-side
+spill) → per-range shard build → shard-checkpoint serving. Run at
+1 Gb (full columns), 2 Gb (full columns) and the reference's own
+3 Gb default (`--genome-size`, command_line_interface.py:261) with
+the serving columns (`cols=kn`): logs_r5_ooc_{1gb,2gb,3gb}.jsonl.
+Peak HOST MEMORY is ~graph + rows/n_ranges regardless of genome size,
+which is the point.
 
 Evidence captured per stage (one JSON record each):
   * wall time + rates for graph/find+spill/build,
@@ -24,7 +24,7 @@ Evidence captured per stage (one JSON record each):
 Run (CPU fallback; on-chip rerun when the relay returns):
   env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
       python benchmarks/bench_ooc_1gb.py [n_bases] [n_variants] \
-          [workdir] [n_ranges]
+          [workdir] [n_ranges] [cols: full|kn]
 """
 from __future__ import annotations
 
