@@ -13,10 +13,15 @@ Disk discipline: the interrupted run's find-checkpoint + spills are
 deleted before the control run, so the peak is ~2 checkpoints + one
 spill set, not everything at once.
 
+Two modes: "findck" (default — `--checkpoint-dir` set, parent-streaming
+spill, resume reloads find chunks from npz) and "spill" (worker-side
+spill only: resume skips chunks straight from the spill journal, no
+second row copy on disk).
+
 Run:
   env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
       python benchmarks/bench_ooc_resume.py [n_bases] [n_variants] \
-          [workdir] [n_ranges]
+          [workdir] [n_ranges] [mode: findck|spill]
 """
 from __future__ import annotations
 
@@ -55,6 +60,8 @@ def main():
     n_variants = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     workdir = sys.argv[3] if len(sys.argv) > 3 else "/root/ooc_resume"
     n_ranges = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    mode = sys.argv[5] if len(sys.argv) > 5 else "findck"
+    assert mode in ("findck", "spill"), mode
     modulo = 452_930_477
     k = 31
     kill_fraction = 0.4
@@ -80,7 +87,8 @@ def main():
     a_dir = os.path.join(workdir, "A")
     os.makedirs(a_dir, exist_ok=True)
     findck = os.path.join(a_dir, "findck")
-    argv = cli_argv(graph_path, a_dir, k, modulo, n_ranges, True)
+    argv = cli_argv(graph_path, a_dir, k, modulo, n_ranges,
+                    mode == "findck")
     t0 = time.perf_counter()
     proc = subprocess.Popen(argv, env=env, start_new_session=True,
                             stdout=subprocess.DEVNULL,
@@ -89,8 +97,19 @@ def main():
     # 20 chunks/worker = 80 chunks total
     n_chunks_total = 80
     killed_at = None
+    journal = os.path.join(a_dir, "spill", "journal.jsonl")
+
+    def chunks_done():
+        if mode == "findck":
+            return len(glob.glob(os.path.join(findck, "chunk-*.npz")))
+        try:
+            with open(journal) as f:
+                return sum(1 for _ in f)
+        except FileNotFoundError:
+            return 0
+
     while proc.poll() is None:
-        done = len(glob.glob(os.path.join(findck, "chunk-*.npz")))
+        done = chunks_done()
         if done >= int(kill_fraction * n_chunks_total):
             os.killpg(proc.pid, signal.SIGKILL)
             killed_at = done
