@@ -44,7 +44,7 @@ def main():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from graph_kmer_index_tpu.parallel.sharded import (
-        KMER_PAD, PackedTableShards, build_packed_shards_sharded,
+        PackedTableShards, build_packed_shards_sharded,
         make_member_step_packed)
     from graph_kmer_index_tpu.utils.hugepages import hp_empty
 
