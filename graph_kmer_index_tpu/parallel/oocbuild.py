@@ -430,14 +430,13 @@ def _build_one_shard(arg) -> tuple:
     jax-free SubprocessPool worker. Returns ``(t, max_scan, max_node)``.
     """
     (spill_dir, out_prefix, t, n_ranges, modulo, nt, rmax,
-     skip_frequencies, segs, col_names) = arg
+     skip_frequencies, segs, col_names, m_range) = arg
     from . import checkpoint as ckpt
 
     cap_malloc_mmap_threshold()
 
     spill_cols = tuple((c, _COL_DTYPES[c]) for c in col_names)
     kn_only = len(spill_cols) == 2
-    m_range = _m_range(modulo, n_ranges)
     loaded = _load_spill_range(spill_dir, t, nt, cols=spill_cols,
                                segs=segs)
     kmers, nodes = loaded[0], loaded[1]
@@ -465,7 +464,7 @@ def _build_one_shard(arg) -> tuple:
     shard_node = int(nodes.max()) if nt else 0
 
     def pad(a, dtype):
-        out = np.zeros(rmax, dtype=dtype)
+        out = hp_zeros(rmax, dtype, populate=True)
         out[:nt] = a
         return out
 
@@ -486,8 +485,14 @@ def _build_one_shard(arg) -> tuple:
     mpath = _shard_meta_path(out_prefix, t, n_ranges)
     tmp = f"{mpath}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
+        # "extras" pins the column set: a resume under a different
+        # skip_frequencies/cols flag must REBUILD, not silently reuse a
+        # shard whose columns no longer match the manifest
+        shard_extras = [] if kn_only else (
+            ["row_ref_offsets", "row_afs"]
+            + ([] if skip_frequencies else ["row_frequencies"]))
         json.dump({"rows": nt, "rmax": rmax, "max_scan": shard_scan,
-                   "max_node": shard_node}, f)
+                   "max_node": shard_node, "extras": shard_extras}, f)
     os.replace(tmp, mpath)
     return t, shard_scan, shard_node
 
@@ -520,12 +525,14 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
         meta = json.load(f)
     modulo = int(meta["modulo"])
     n_ranges = int(meta["n_ranges"])
-    m_range = _m_range(modulo, n_ranges)
     writer = SpillWriter(
         spill_dir, modulo, n_ranges, pins=meta.get("pins") or {},
         cols=tuple((c, _COL_DTYPES[c]) for c in meta["cols"]),
         m_range=meta.get("m_range"),
         layout=meta.get("layout", "range"))
+    # the writer's m_range honors any meta override (the routing the
+    # spill was actually written with) — never recompute it here
+    m_range = writer.m_range
     range_rows = writer.range_rows
     rmax = max(1, int(range_rows.max()) if len(range_rows) else 1)
 
@@ -546,7 +553,8 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
         if os.path.exists(spath) and os.path.exists(mpath):
             with open(mpath) as f:
                 sm = json.load(f)
-            if sm["rows"] == int(range_rows[t]) and sm["rmax"] == rmax:
+            if (sm["rows"] == int(range_rows[t]) and sm["rmax"] == rmax
+                    and sm.get("extras") == extras):
                 max_scan = max(max_scan, sm["max_scan"])
                 max_node = max(max_node, sm["max_node"])
                 logging.info("ooc build: shard %d/%d already built; "
@@ -556,7 +564,7 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
                      int(range_rows[t]), rmax, skip_frequencies,
                      writer.range_segments(t)
                      if writer.layout == "chunk" else None,
-                     [c for c, _ in writer.cols]))
+                     [c for c, _ in writer.cols], m_range))
     # already-built ranges may legitimately have had their spills
     # deleted; only the ranges still to build need intact files
     writer.validate_files(
@@ -717,8 +725,17 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
 
     if worker_spill:
         # torn files of unjournaled chunks must be gone BEFORE workers
-        # start rewriting them
-        writer.validate_files()
+        # start rewriting them — but ranges whose shards already landed
+        # (a resume after a build-stage crash, or a re-invocation after
+        # completion) have legitimately deleted spills: skip them, the
+        # build stage re-checks their sidecars
+        from . import checkpoint as ckpt
+        built = {t for t in range(n_ranges)
+                 if os.path.exists(ckpt.shard_path(out_prefix, t,
+                                                   n_ranges))
+                 and os.path.exists(_shard_meta_path(out_prefix, t,
+                                                     n_ranges))}
+        writer.validate_files(skip_ranges=built)
         fk = dict(finder_kwargs)
         fk["_spill_cfg"] = {
             "spill_dir": spill_dir, "modulo": int(modulo),
@@ -829,7 +846,10 @@ def _build_packed_shard(arg) -> tuple:
             "layout for this index")
 
     idx_local = np.arange(nt, dtype=np.int64)
-    rec = np.full(8 * m2_local, 0xFFFFFFFF, np.uint32)
+    # multi-GB allocate-then-fill: hugepage-advised (CLAUDE.md host
+    # quirk — fresh 4 KB pages fault at ~22 MB/s)
+    rec = hp_empty(8 * m2_local, np.uint32)
+    rec[:] = np.uint32(0xFFFFFFFF)
     tb = bs * 8
     ks_lo = (ks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     ks_hi = (ks >> np.uint64(32)).astype(np.uint32)
@@ -848,7 +868,7 @@ def _build_packed_shard(arg) -> tuple:
     rec[tb[fdeep] + 6] = idx_local[fdeep].astype(np.uint32)
 
     def pad(a, dtype):
-        out = np.zeros(rmax, dtype=dtype)
+        out = hp_zeros(rmax, dtype, populate=True)
         out[:nt] = a
         return out
 

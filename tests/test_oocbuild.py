@@ -529,3 +529,73 @@ def test_kn_checkpoint_reshard_and_packed_convert(tmp_path):
     pgot = ckpt.load_shards(pres["prefix"])
     want = PackedTableShards.from_index(mono, 4)
     np.testing.assert_array_equal(pgot.records, want.records)
+
+
+def test_driver_reentry_after_delete_spills(tmp_path):
+    """Re-invoking the DEFAULT driver (worker-spill + delete_spills)
+    after completion — and resuming after a simulated build-stage crash
+    — must succeed, not die validating deleted spills (r5 review #1)."""
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+
+    graph, flat, mono = _fixture(seed=141)
+    wd = str(tmp_path / "wd")
+    find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd,
+                               modulo=MODULO, n_ranges=4,
+                               delete_spills=True)
+    # 1) re-entry after completion: must no-op cleanly
+    res = find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd,
+                                     modulo=MODULO, n_ranges=4,
+                                     delete_spills=True)
+    assert res["total_rows"] == len(flat)
+    # 2) build-stage crash sim (the REAL post-crash shape: built
+    #    shards' spills deleted, the pending shard's spill intact):
+    #    rebuild in a fresh workdir without deletion, then craft it
+    wd2 = str(tmp_path / "wd2")
+    find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd2,
+                               modulo=MODULO, n_ranges=4,
+                               delete_spills=False)
+    prefix2 = os.path.join(wd2, "index")
+    os.remove(ckpt.manifest_path(prefix2))
+    os.remove(ckpt.shard_path(prefix2, 2, 4))
+    from graph_kmer_index_tpu.parallel.oocbuild import (
+        SpillWriter, _COL_DTYPES, _delete_range_spills)
+    import json as _json
+    with open(os.path.join(wd2, "spill", "meta.json")) as f:
+        sm = _json.load(f)
+    w = SpillWriter(os.path.join(wd2, "spill"), sm["modulo"],
+                    sm["n_ranges"],
+                    pins=sm.get("pins") or {},
+                    cols=tuple((c, _COL_DTYPES[c]) for c in sm["cols"]),
+                    m_range=sm.get("m_range"),
+                    layout=sm.get("layout", "range"))
+    for t in (0, 1, 3):
+        _delete_range_spills(w, t)
+    res2 = find_and_build_out_of_core(graph, K, n_workers=1,
+                                      workdir=wd2, modulo=MODULO,
+                                      n_ranges=4, delete_spills=True)
+    assert res2["total_rows"] == len(flat)
+    _assert_index_equal(index_from_shard_checkpoint(prefix2), mono)
+    # the impossible-by-construction state (shard AND spill both gone)
+    # still fails loudly rather than fabricating data
+    os.remove(ckpt.shard_path(prefix2, 2, 4))
+    _delete_range_spills(w, 2)
+    with pytest.raises(ValueError, match="missing"):
+        find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd2,
+                                   modulo=MODULO, n_ranges=4,
+                                   delete_spills=True)
+
+
+def test_resume_flip_skip_frequencies_rebuilds(tmp_path):
+    """A resumed build under a different skip_frequencies flag must
+    REBUILD shards, not reuse ones missing the frequency column
+    (r5 review #2)."""
+    graph, flat, mono = _fixture(seed=151)
+    d = str(tmp_path / "spill")
+    _spill_flat(d, flat, n_chunks=3, n_ranges=4)
+    prefix = str(tmp_path / "index")
+    build_shards_from_spills(d, prefix, skip_frequencies=True)
+    # flip: the re-run must produce shards WITH frequencies
+    build_shards_from_spills(d, prefix, skip_frequencies=False)
+    ooc = index_from_shard_checkpoint(prefix)
+    _assert_index_equal(ooc, mono)
+    assert np.asarray(ooc._frequencies).sum() > 0
