@@ -206,10 +206,18 @@ def load_shards(prefix: str, mesh=None, axis: str = "table"):
     def read_col(t: int, name: str, z) -> np.ndarray:
         a = z[name]
         ndim, dtype = schema[name]
-        if a.ndim != ndim or a.dtype != dtype or a.shape != shapes[name]:
+        if a.ndim != ndim or a.dtype != dtype \
+                or any(g > m for g, m in zip(a.shape, shapes[name])):
             raise ValueError(
                 f"shard {t} column {name}: got {a.dtype}{a.shape}, "
                 f"manifest says {np.dtype(dtype)}{shapes[name]}")
+        if a.shape != shapes[name]:
+            # shards may store their row columns UNPADDED (out-of-core
+            # builders write exact lengths so per-shard builds never
+            # need the global max); pad up to the manifest shape here
+            out = np.zeros(shapes[name], dtype=dtype)
+            out[tuple(slice(0, d) for d in a.shape)] = a
+            return out
         return a
 
     if mesh is None:

@@ -464,9 +464,9 @@ def _build_one_shard(arg) -> tuple:
     shard_node = int(nodes.max()) if nt else 0
 
     def pad(a, dtype):
-        out = hp_zeros(rmax, dtype, populate=True)
-        out[:nt] = a
-        return out
+        # stored UNPADDED: load_shards pads to the manifest shape, so
+        # per-shard builds never depend on the global max range size
+        return np.ascontiguousarray(a, dtype=dtype)
 
     cols = {"starts": starts_tbl, "sizes": sizes_tbl,
             "row_kmers": pad(kmers, np.uint64),
@@ -868,9 +868,7 @@ def _build_packed_shard(arg) -> tuple:
     rec[tb[fdeep] + 6] = idx_local[fdeep].astype(np.uint32)
 
     def pad(a, dtype):
-        out = hp_zeros(rmax, dtype, populate=True)
-        out[:nt] = a
-        return out
+        return np.ascontiguousarray(a, dtype=dtype)
 
     ckpt._atomic_savez(
         ckpt.shard_path(out_prefix, t, n_table),

@@ -183,3 +183,52 @@ def test_load_rejects_mismatches(tmp_path):
         np.savez(f, **meta)
     with pytest.raises(ValueError, match="version 999"):
         load_shards(prefix)
+
+
+def test_unpadded_shard_columns_pad_at_load(tmp_path):
+    """Out-of-core builders store row columns unpadded; load_shards
+    pads to the manifest shape on read (host and mesh paths), and a
+    shard LARGER than the manifest is refused."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+
+    n_table, m_local, rmax = 2, 8, 6
+    rows = [4, 6]
+    for t in range(n_table):
+        nt = rows[t]
+        ckpt._atomic_savez(
+            ckpt.shard_path(str(tmp_path / "p"), t, n_table),
+            starts=np.zeros(m_local, np.int64),
+            sizes=np.zeros(m_local, np.int32),
+            row_kmers=np.arange(nt, dtype=np.uint64) + 10 * t,
+            row_nodes=np.arange(nt, dtype=np.int32))
+    ckpt._atomic_savez(
+        ckpt.manifest_path(str(tmp_path / "p")),
+        kind="csr", version=ckpt._VERSION, n_table=n_table,
+        m_local=m_local, modulo=16, max_scan=1,
+        shape_starts=np.asarray([m_local]),
+        shape_sizes=np.asarray([m_local]),
+        shape_row_kmers=np.asarray([rmax]),
+        shape_row_nodes=np.asarray([rmax]))
+    got = ckpt.load_shards(str(tmp_path / "p"))
+    assert got.row_kmers.shape == (n_table, rmax)
+    assert np.array_equal(got.row_kmers[0], [0, 1, 2, 3, 0, 0])
+    assert np.array_equal(got.row_kmers[1], [10, 11, 12, 13, 14, 15])
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2),
+                ("data", "table"))
+    gm = ckpt.load_shards(str(tmp_path / "p"), mesh=mesh)
+    assert np.array_equal(np.asarray(gm.row_kmers),
+                          np.asarray(got.row_kmers))
+
+    # an oversized shard must refuse, not truncate
+    ckpt._atomic_savez(
+        ckpt.shard_path(str(tmp_path / "p"), 0, n_table),
+        starts=np.zeros(m_local, np.int64),
+        sizes=np.zeros(m_local, np.int32),
+        row_kmers=np.arange(rmax + 2, dtype=np.uint64),
+        row_nodes=np.arange(rmax + 2, dtype=np.int32))
+    import pytest
+    with pytest.raises(ValueError, match="manifest says"):
+        ckpt.load_shards(str(tmp_path / "p"))
