@@ -501,6 +501,7 @@ def make_index_out_of_core(args):
         delete_spills=not args.keep_spills,
         checkpoint_dir=args.checkpoint_dir,
         out_prefix=args.out_prefix, spill_cols=args.columns,
+        n_spill_passes=args.spill_passes,
         max_variant_nodes=args.max_variant_nodes,
         only_save_one_node_per_kmer=args.only_save_one_node_per_kmer)
     logging.info("Out-of-core index done: %d rows in %d shards at %s*",
@@ -707,6 +708,10 @@ def build_argument_parser():
                    help="'kn' spills/stores only the serving columns "
                         "(kmers+nodes): half the disk, counts/membership "
                         "serving only")
+    s.add_argument("--spill-passes", type=int, default=1,
+                   help="find the graph N times, each pass spilling + "
+                        "building only 1/N of the bucket ranges: peak "
+                        "disk ~spill/N + checkpoint")
     s.add_argument("--checkpoint-dir", required=False, default=None,
                    help="also persist per-chunk find results; a killed "
                         "run resumes without re-walking the graph")

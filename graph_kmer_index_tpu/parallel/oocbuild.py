@@ -75,7 +75,7 @@ def _chunk_range_path(spill_dir: str, key, t: int, col: str) -> str:
 
 
 def spill_chunk_to_files(spill_dir, key, modulo, n_ranges, m_range,
-                         cols_spec, arrays):
+                         cols_spec, arrays, range_lo=0, range_hi=None):
     """Worker-side spill (layout='chunk'): partition ONE find chunk's
     rows by bucket-range owner and write its per-(chunk, range) files.
 
@@ -97,7 +97,13 @@ def spill_chunk_to_files(spill_dir, key, modulo, n_ranges, m_range,
     order = np.argsort(owner, kind="stable")
     counts = np.bincount(owner[order], minlength=n_ranges).astype(np.int64)
     bounds = np.concatenate([[0], np.cumsum(counts)])
-    for t in range(n_ranges):
+    if range_hi is None:
+        range_hi = n_ranges
+    # pass-partitioned spills: rows outside [range_lo, range_hi) are
+    # dropped (their counts zeroed) — another find pass owns them
+    counts[:range_lo] = 0
+    counts[range_hi:] = 0
+    for t in range(range_lo, range_hi):
         lo, hi = int(bounds[t]), int(bounds[t + 1])
         if lo == hi:
             continue
@@ -416,7 +422,8 @@ def _run_chunk_spill(chunk):
               np.asarray(flat._allele_frequencies))[:len(spill_cols)]
     counts = spill_chunk_to_files(
         cfg["spill_dir"], (start, stop), cfg["modulo"], cfg["n_ranges"],
-        cfg["m_range"], spill_cols, arrays)
+        cfg["m_range"], spill_cols, arrays,
+        range_lo=cfg.get("range_lo", 0), range_hi=cfg.get("range_hi"))
     return (start, stop, counts)
 
 
@@ -501,7 +508,9 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
                              skip_frequencies: bool = False,
                              delete_spills: bool = False,
                              keep_ranges: tuple = (),
-                             n_workers: int = 1) -> dict:
+                             n_workers: int = 1,
+                             only_ranges=None,
+                             write_manifest: bool = True) -> dict:
     """Per-range merge+build with bounded peak memory.
 
     For each bucket range: load its spilled rows, stable-sort by bucket,
@@ -547,7 +556,8 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
             extras.append("row_frequencies")
 
     todo = []
-    for t in range(n_ranges):
+    build_set = range(n_ranges) if only_ranges is None else only_ranges
+    for t in build_set:
         spath = ckpt.shard_path(out_prefix, t, n_ranges)
         mpath = _shard_meta_path(out_prefix, t, n_ranges)
         if os.path.exists(spath) and os.path.exists(mpath):
@@ -589,19 +599,60 @@ def build_shards_from_spills(spill_dir: str, out_prefix: str,
         for a in todo:
             done_one(*_build_one_shard(a))
 
+    if write_manifest:
+        ckpt._atomic_savez(
+            ckpt.manifest_path(out_prefix),
+            kind="csr", version=ckpt._VERSION, n_table=n_ranges,
+            m_local=m_range, modulo=modulo, max_scan=max_scan,
+            max_node=max_node,
+            extras=np.asarray(extras),
+            shard_rows=range_rows.astype(np.int64),
+            shape_starts=np.asarray([m_range], dtype=np.int64),
+            shape_sizes=np.asarray([m_range], dtype=np.int64),
+            shape_row_kmers=np.asarray([rmax], dtype=np.int64),
+            shape_row_nodes=np.asarray([rmax], dtype=np.int64))
+    return {"prefix": out_prefix, "n_table": n_ranges,
+            "total_rows": int(range_rows.sum()), "max_scan": max_scan}
+
+
+def finalize_csr_manifest(out_prefix: str, n_ranges: int, modulo: int,
+                          m_range=None) -> dict:
+    """Write the manifest for a shard set assembled across several
+    build calls (pass-partitioned spills): every shard's sidecar meta
+    carries its rows/max_scan/max_node/extras; the manifest is their
+    aggregate. All sidecars must exist and agree on the column set."""
+    from . import checkpoint as ckpt
+
+    if m_range is None:
+        m_range = _m_range(modulo, n_ranges)
+    shard_rows = np.zeros(n_ranges, dtype=np.int64)
+    max_scan, max_node = 1, 0
+    extras = None
+    for t in range(n_ranges):
+        with open(_shard_meta_path(out_prefix, t, n_ranges)) as f:
+            sm = json.load(f)
+        shard_rows[t] = sm["rows"]
+        max_scan = max(max_scan, sm["max_scan"])
+        max_node = max(max_node, sm["max_node"])
+        if extras is None:
+            extras = sm.get("extras", [])
+        elif sm.get("extras", []) != extras:
+            raise ValueError(f"shard {t} column set {sm.get('extras')} "
+                             f"differs from {extras}; passes were built "
+                             f"with different flags")
+    rmax = max(1, int(shard_rows.max()))
     ckpt._atomic_savez(
         ckpt.manifest_path(out_prefix),
         kind="csr", version=ckpt._VERSION, n_table=n_ranges,
         m_local=m_range, modulo=modulo, max_scan=max_scan,
-        max_node=max_node,
-        extras=np.asarray(extras),
-        shard_rows=range_rows.astype(np.int64),
+        max_node=max_node, extras=np.asarray(extras),
+        shard_rows=shard_rows,
         shape_starts=np.asarray([m_range], dtype=np.int64),
         shape_sizes=np.asarray([m_range], dtype=np.int64),
         shape_row_kmers=np.asarray([rmax], dtype=np.int64),
         shape_row_nodes=np.asarray([rmax], dtype=np.int64))
     return {"prefix": out_prefix, "n_table": n_ranges,
-            "total_rows": int(range_rows.sum()), "max_scan": max_scan}
+            "total_rows": int(shard_rows.sum()), "max_scan": max_scan}
 
 
 def index_from_shard_checkpoint(prefix: str):
@@ -669,6 +720,7 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
                                checkpoint_dir=None, mp_context=None,
                                out_prefix=None, build_workers=None,
                                stash_ram_chunks=None, spill_cols="full",
+                               n_spill_passes=1,
                                **finder_kwargs) -> dict:
     """Genome-scale pipeline: pooled find → bucket-range spill →
     per-range build → shard checkpoint at ``out_prefix``.
@@ -719,39 +771,74 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
     if spill_cols == "kn" and not worker_spill:
         raise ValueError("spill_cols='kn' requires the worker-spill "
                          "mode (no checkpoint_dir)")
-    writer = SpillWriter(spill_dir, modulo, n_ranges, pins=pins,
-                         cols=cols,
-                         layout="chunk" if worker_spill else "range")
+    if n_spill_passes > 1 and not worker_spill:
+        raise ValueError("n_spill_passes requires the worker-spill "
+                         "mode (no checkpoint_dir)")
 
     if worker_spill:
-        # torn files of unjournaled chunks must be gone BEFORE workers
-        # start rewriting them — but ranges whose shards already landed
-        # (a resume after a build-stage crash, or a re-invocation after
-        # completion) have legitimately deleted spills: skip them, the
-        # build stage re-checks their sidecars
+        # Pass-partitioned spills: pass p finds the WHOLE graph but
+        # spills only bucket ranges [lo, hi), builds+deletes them, then
+        # the next pass runs — peak disk drops to ~spill/n_passes +
+        # checkpoint, at the cost of walking the graph n_passes times.
+        # Unpadded shard storage (checkpoint.read_col pads at load)
+        # makes per-pass builds independent of the global max range.
         from . import checkpoint as ckpt
-        built = {t for t in range(n_ranges)
-                 if os.path.exists(ckpt.shard_path(out_prefix, t,
-                                                   n_ranges))
-                 and os.path.exists(_shard_meta_path(out_prefix, t,
-                                                     n_ranges))}
-        writer.validate_files(skip_ranges=built)
-        fk = dict(finder_kwargs)
-        fk["_spill_cfg"] = {
-            "spill_dir": spill_dir, "modulo": int(modulo),
-            "n_ranges": int(n_ranges), "m_range": writer.m_range,
-            "cols": [c for c, _ in writer.cols],
-            "done": frozenset(writer.done)}
+        per_pass = -(-n_ranges // max(1, int(n_spill_passes)))
+        total_spilled = 0
+        for p_i in range(n_spill_passes):
+            lo = p_i * per_pass
+            hi = min(n_ranges, lo + per_pass)
+            sd = spill_dir if n_spill_passes == 1                 else os.path.join(workdir, f"spill_pass{p_i}")
+            writer = SpillWriter(
+                sd, modulo, n_ranges,
+                pins={**pins, "window": [lo, hi]}, cols=cols,
+                layout="chunk")
+            # torn files of unjournaled chunks must be gone BEFORE
+            # workers start rewriting them — ranges outside this pass's
+            # window and ranges whose shards already landed (resume /
+            # re-entry after delete_spills) legitimately have no files
+            built = {t for t in range(n_ranges)
+                     if os.path.exists(ckpt.shard_path(out_prefix, t,
+                                                       n_ranges))
+                     and os.path.exists(_shard_meta_path(out_prefix, t,
+                                                         n_ranges))}
+            outside = set(range(n_ranges)) - set(range(lo, hi))
+            writer.validate_files(skip_ranges=outside | built)
+            window_built = set(range(lo, hi)) <= built
+            if window_built and len(writer.done) == 0:
+                # nothing spilled and every shard of the window exists:
+                # a prior run already finished this pass
+                continue
+            fk = dict(finder_kwargs)
+            fk["_spill_cfg"] = {
+                "spill_dir": sd, "modulo": int(modulo),
+                "n_ranges": int(n_ranges), "m_range": writer.m_range,
+                "cols": [c for c, _ in writer.cols],
+                "range_lo": lo, "range_hi": hi,
+                "done": frozenset(writer.done)}
 
-        def on_result(i, r):
-            start, stop, counts = r
-            if counts is not None:
-                writer.journal_chunk((start, stop), counts)
+            def on_result(i, r):
+                start, stop, counts = r
+                if counts is not None:
+                    writer.journal_chunk((start, stop), counts)
 
-        _find_pooled(_run_chunk_spill, graph, k, n_workers,
-                     critical_paths, position_id, chunks_per_worker,
-                     fk, checkpoint_dir=None, mp_context=mp_context,
-                     on_result=on_result)
+            _find_pooled(_run_chunk_spill, graph, k, n_workers,
+                         critical_paths, position_id, chunks_per_worker,
+                         fk, checkpoint_dir=None, mp_context=mp_context,
+                         on_result=on_result)
+            total_spilled += int(writer.range_rows.sum())
+            build_shards_from_spills(
+                sd, out_prefix, skip_frequencies=skip_frequencies,
+                delete_spills=delete_spills, keep_ranges=keep_ranges,
+                n_workers=n_workers if build_workers is None
+                else build_workers,
+                only_ranges=range(lo, hi),
+                write_manifest=False)
+        res = finalize_csr_manifest(out_prefix, n_ranges, modulo)
+        res["spilled_rows"] = total_spilled             if total_spilled else res["total_rows"]
+        logging.info("ooc: %d rows across %d pass(es)",
+                     res["total_rows"], n_spill_passes)
+        return res
     else:
         # Out-of-order completions can pile up while a straggler chunk
         # blocks the consecutive prefix (the other workers keep
@@ -792,6 +879,8 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
                     os.remove(_stash_path(state["next"]))
                 _consume(r2)
 
+        writer = SpillWriter(spill_dir, modulo, n_ranges, pins=pins,
+                             cols=cols, layout="range")
         _find_pooled(_run_chunk, graph, k, n_workers, critical_paths,
                      position_id, chunks_per_worker, finder_kwargs,
                      checkpoint_dir=checkpoint_dir,

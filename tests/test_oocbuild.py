@@ -599,3 +599,23 @@ def test_resume_flip_skip_frequencies_rebuilds(tmp_path):
     ooc = index_from_shard_checkpoint(prefix)
     _assert_index_equal(ooc, mono)
     assert np.asarray(ooc._frequencies).sum() > 0
+
+
+def test_pass_partitioned_spill_matches_single_pass(tmp_path):
+    """n_spill_passes=2/3 (find the graph per pass, spill+build only
+    that pass's bucket ranges, delete before the next) == single pass
+    == monolithic."""
+    graph, flat, mono = _fixture(seed=161)
+    for passes in (2, 3):
+        wd = str(tmp_path / f"p{passes}")
+        res = find_and_build_out_of_core(
+            graph, K, n_workers=2, workdir=wd, modulo=MODULO,
+            n_ranges=6, n_spill_passes=passes, delete_spills=True)
+        assert res["total_rows"] == len(flat)
+        _assert_index_equal(
+            index_from_shard_checkpoint(os.path.join(wd, "index")), mono)
+        # re-entry after completion: all windows detected as built
+        res2 = find_and_build_out_of_core(
+            graph, K, n_workers=2, workdir=wd, modulo=MODULO,
+            n_ranges=6, n_spill_passes=passes, delete_spills=True)
+        assert res2["total_rows"] == len(flat)
