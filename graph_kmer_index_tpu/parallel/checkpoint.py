@@ -35,7 +35,7 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .sharded import PackedTableShards, TableShards
-from ..utils.hugepages import hp_empty
+from ..utils.hugepages import hp_empty, hp_zeros
 
 _VERSION = 1
 
@@ -212,11 +212,18 @@ def load_shards(prefix: str, mesh=None, axis: str = "table"):
                 f"shard {t} column {name}: got {a.dtype}{a.shape}, "
                 f"manifest says {np.dtype(dtype)}{shapes[name]}")
         if a.shape != shapes[name]:
-            # shards may store their row columns UNPADDED (out-of-core
-            # builders write exact lengths so per-shard builds never
-            # need the global max); pad up to the manifest shape here
-            out = np.zeros(shapes[name], dtype=dtype)
-            out[tuple(slice(0, d) for d in a.shape)] = a
+            # ONLY the 1-D row_* slabs may be stored UNPADDED
+            # (out-of-core builders write exact lengths so per-shard
+            # builds never need the global max) — bucket tables and
+            # packed records must match exactly: zero-padding them
+            # would fabricate size-0/occupied-by-kmer-0 buckets
+            if not name.startswith("row_") or ndim != 1:
+                raise ValueError(
+                    f"shard {t} column {name}: got {a.shape}, "
+                    f"manifest says {shapes[name]} (only row_* columns "
+                    f"may be stored short)")
+            out = hp_zeros(shapes[name], dtype, populate=True)
+            out[: a.shape[0]] = a
             return out
         return a
 

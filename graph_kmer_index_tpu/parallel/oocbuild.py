@@ -774,6 +774,9 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
     if n_spill_passes > 1 and not worker_spill:
         raise ValueError("n_spill_passes requires the worker-spill "
                          "mode (no checkpoint_dir)")
+    if int(n_spill_passes) < 1:
+        raise ValueError(f"n_spill_passes must be >= 1, got "
+                         f"{n_spill_passes}")
 
     if worker_spill:
         # Pass-partitioned spills: pass p finds the WHOLE graph but
@@ -783,16 +786,23 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
         # Unpadded shard storage (checkpoint.read_col pads at load)
         # makes per-pass builds independent of the global max range.
         from . import checkpoint as ckpt
-        per_pass = -(-n_ranges // max(1, int(n_spill_passes)))
+        per_pass = -(-n_ranges // int(n_spill_passes))
+        expected_extras = [] if spill_cols == "kn" else (
+            ["row_ref_offsets", "row_afs"]
+            + ([] if skip_frequencies else ["row_frequencies"]))
         total_spilled = 0
         for p_i in range(n_spill_passes):
             lo = p_i * per_pass
             hi = min(n_ranges, lo + per_pass)
-            sd = spill_dir if n_spill_passes == 1                 else os.path.join(workdir, f"spill_pass{p_i}")
-            writer = SpillWriter(
-                sd, modulo, n_ranges,
-                pins={**pins, "window": [lo, hi]}, cols=cols,
-                layout="chunk")
+            sd = (spill_dir if n_spill_passes == 1
+                  else os.path.join(workdir, f"spill_pass{p_i}"))
+            # the window pin only exists for multi-pass spills: adding
+            # it to single-pass meta would refuse resumes of spill dirs
+            # written before this feature existed
+            pass_pins = (pins if n_spill_passes == 1
+                         else {**pins, "window": [lo, hi]})
+            writer = SpillWriter(sd, modulo, n_ranges, pins=pass_pins,
+                                 cols=cols, layout="chunk")
             # torn files of unjournaled chunks must be gone BEFORE
             # workers start rewriting them — ranges outside this pass's
             # window and ranges whose shards already landed (resume /
@@ -806,9 +816,28 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
             writer.validate_files(skip_ranges=outside | built)
             window_built = set(range(lo, hi)) <= built
             if window_built and len(writer.done) == 0:
-                # nothing spilled and every shard of the window exists:
-                # a prior run already finished this pass
-                continue
+                # every shard of the window exists and nothing is
+                # spilled: a prior run finished this pass — but ONLY
+                # reuse shards whose column set matches the CURRENT
+                # flags; otherwise wipe them and re-run the pass (the
+                # spills are gone, so honoring the flag means
+                # re-finding)
+                stale = []
+                for t in range(lo, hi):
+                    with open(_shard_meta_path(out_prefix, t,
+                                               n_ranges)) as f:
+                        sm = json.load(f)
+                    if sm.get("extras") != expected_extras:
+                        stale.append(t)
+                if not stale:
+                    continue
+                logging.warning(
+                    "ooc: shards %s were built with a different column "
+                    "set (%s != %s); rebuilding this pass", stale,
+                    sm.get("extras"), expected_extras)
+                for t in stale:
+                    os.remove(ckpt.shard_path(out_prefix, t, n_ranges))
+                    os.remove(_shard_meta_path(out_prefix, t, n_ranges))
             fk = dict(finder_kwargs)
             fk["_spill_cfg"] = {
                 "spill_dir": sd, "modulo": int(modulo),
@@ -835,9 +864,9 @@ def find_and_build_out_of_core(graph, k, n_workers, workdir,
                 only_ranges=range(lo, hi),
                 write_manifest=False)
         res = finalize_csr_manifest(out_prefix, n_ranges, modulo)
-        res["spilled_rows"] = total_spilled             if total_spilled else res["total_rows"]
-        logging.info("ooc: %d rows across %d pass(es)",
-                     res["total_rows"], n_spill_passes)
+        res["spilled_rows"] = res["total_rows"]
+        logging.info("ooc: %d rows across %d pass(es), %d newly spilled",
+                     res["total_rows"], n_spill_passes, total_spilled)
         return res
     else:
         # Out-of-order completions can pile up while a straggler chunk

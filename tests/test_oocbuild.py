@@ -619,3 +619,35 @@ def test_pass_partitioned_spill_matches_single_pass(tmp_path):
             graph, K, n_workers=2, workdir=wd, modulo=MODULO,
             n_ranges=6, n_spill_passes=passes, delete_spills=True)
         assert res2["total_rows"] == len(flat)
+
+
+def test_flag_flip_with_deleted_spills_refinds(tmp_path):
+    """Spill journal gone + flags flipped: the driver must re-find and
+    rebuild honoring the new flags, not silently reuse stale shards
+    (r5 review round 2, finding 1)."""
+    import shutil
+    from graph_kmer_index_tpu.parallel import checkpoint as ckpt
+
+    graph, flat, mono = _fixture(seed=171)
+    wd = str(tmp_path / "wd")
+    find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd,
+                               modulo=MODULO, n_ranges=4,
+                               skip_frequencies=False,
+                               delete_spills=True)
+    shutil.rmtree(os.path.join(wd, "spill"))
+    res = find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd,
+                                     modulo=MODULO, n_ranges=4,
+                                     skip_frequencies=True,
+                                     delete_spills=True)
+    assert res["total_rows"] == len(flat)
+    with np.load(ckpt.manifest_path(os.path.join(wd, "index"))) as z:
+        extras = [str(x) for x in z["extras"]]
+    assert "row_frequencies" not in extras, extras
+    # and flipping back re-finds again and restores frequencies
+    shutil.rmtree(os.path.join(wd, "spill"))
+    find_and_build_out_of_core(graph, K, n_workers=1, workdir=wd,
+                               modulo=MODULO, n_ranges=4,
+                               skip_frequencies=False,
+                               delete_spills=True)
+    _assert_index_equal(
+        index_from_shard_checkpoint(os.path.join(wd, "index")), mono)
